@@ -1,13 +1,347 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+/** Driver contract — one `queries` entry + DuckDB `oracleSql` per implemented
+  * operator from SURVEY.md §2. Column names/aliases are kept identical
+  * between the Spark query and the oracle SQL (the driver sorts columns by
+  * name before hashing).
+  *
+  * Determinism policy (see ops/Features.scala scaladoc): integer epoch-micros
+  * for all event-time arithmetic; money integerized to cents before
+  * aggregation; ratios formed from bit-identical operands so double division
+  * and rounding agree bit-for-bit across engines.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Features.featureView(Tables.events(spark, "/root/testdata/sf0.001"))
+
+  // ---------------------------------------------------------------- helpers
+
+  private val DayUs = 86400L * 1000000L
+  private val HourUs = 3600L * 1000000L
+
+  /** events base: shared Spark-side normalization (Features.eventFrame)
+    * mirrored by this DuckDB CTE. */
+  private val evBaseSql =
+    """base AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
+      |         props AS sku,
+      |         (event_type = 'error') AS is_cancel,
+      |         CAST(CASE WHEN event_type = 'error' THEN 0 ELSE 1 END AS BIGINT) AS txn,
+      |         CAST(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS BIGINT) AS cancel,
+      |         CASE WHEN event_type = 'error' THEN 0
+      |              ELSE CAST(round(coalesce(value, 0) * 100) AS BIGINT) END AS spend_cents
+      |  FROM events
+      |)""".stripMargin
+
+  /** DuckDB SQL for the 17-column feature view (mirrors Features.featureView). */
+  private val featureViewSql: String = {
+    val winDefs = Features.Windows.map { case (lbl, us) =>
+      s"w$lbl AS (PARTITION BY user_id ORDER BY ts_us RANGE BETWEEN $us PRECEDING AND CURRENT ROW)"
+    }.mkString(", ")
+    val cols = Features.Windows.map { case (lbl, _) =>
+      s"""  CAST(sum(txn) OVER w$lbl AS BIGINT) AS txn_count_$lbl,
+         |  CAST(sum(spend_cents) OVER w$lbl AS BIGINT) / 100.0 AS spend_$lbl,
+         |  CAST(count(DISTINCT sku) OVER w$lbl AS BIGINT) AS unique_skus_$lbl,
+         |  (CAST(sum(spend_cents) OVER w$lbl AS BIGINT) / 100.0) /
+         |    (CASE WHEN sum(txn) OVER w$lbl > 0 THEN CAST(sum(txn) OVER w$lbl AS BIGINT) ELSE 1 END) AS avg_basket_value_$lbl,
+         |  least(greatest(CAST(sum(cancel) OVER w$lbl AS BIGINT) /
+         |    (CASE WHEN sum(cancel) OVER w$lbl + sum(txn) OVER w$lbl > 0
+         |          THEN CAST(sum(cancel) OVER w$lbl + sum(txn) OVER w$lbl AS BIGINT) ELSE 1 END), 0.0), 1.0) AS cancel_rate_$lbl""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $evBaseSql
+       |SELECT user_id, event_id, ts_us,
+       |$cols,
+       |  CAST(floor((ts_us - min(ts_us) OVER (PARTITION BY user_id)) / 86400000000.0) AS BIGINT) AS tenure_days
+       |FROM base
+       |WINDOW $winDefs""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- queries
+
+  private case class Q(name: String,
+                       fn: (SparkSession, String) => DataFrame,
+                       sql: Option[String])
+
+  private def lineitem(s: SparkSession, d: String) = Tables.lineitem(s, d)
+
+  private val all: Seq[Q] = Seq(
+
+    // S2 + pushdown: filtered projected parquet scan (SURVEY §2.1 S2, §4)
+    Q("q01_pruned_scan",
+      (s, d) => Relational.prunedScan(lineitem(s, d)),
+      Some("""SELECT l_returnflag, count(*) AS n_rows,
+             |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+             |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_price
+             |FROM lineitem
+             |WHERE l_returnflag = 'R' AND l_quantity >= 25.0
+             |GROUP BY l_returnflag""".stripMargin)),
+
+    // EP1 bronze normalize: O1-O8 (SURVEY §2.2)
+    Q("q02_bronze_normalize",
+      (s, d) => Relational.bronzeNormalize(lineitem(s, d), Tables.orders(s, d),
+        Tables.customer(s, d), Tables.nation(s, d)),
+      Some("""SELECT l.l_orderkey AS invoice,
+             |  upper(trim('sku-' || CAST(l.l_partkey AS VARCHAR))) AS stock_code,
+             |  CAST(l.l_quantity AS INT) AS quantity,
+             |  epoch_us(l.l_shipdate) AS ts_us,
+             |  o.o_custkey AS customer_id,
+             |  coalesce(trim(n.n_name), '') AS country,
+             |  l.l_linenumber AS line_number,
+             |  coalesce(l.l_returnflag LIKE 'R%', false) AS is_cancel,
+             |  CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100) AS BIGINT) / 100.0 AS line_amount,
+             |  CAST(NOT coalesce(l.l_returnflag LIKE 'R%', false) AS INT) AS txn,
+             |  CASE WHEN NOT coalesce(l.l_returnflag LIKE 'R%', false)
+             |       THEN CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100) AS BIGINT) / 100.0
+             |       ELSE 0.0 END AS spend
+             |FROM lineitem l
+             |JOIN orders o ON l.l_orderkey = o.o_orderkey
+             |JOIN customer c ON o.o_custkey = c.c_custkey
+             |JOIN nation n ON c.c_nationkey = n.n_nationkey
+             |WHERE o.o_custkey IS NOT NULL AND l.l_shipdate IS NOT NULL""".stripMargin)),
+
+    // A-family global agg, partial-agg + single shuffle (TPC-H Q1 shape)
+    Q("q03_pricing_summary",
+      (s, d) => Relational.pricingSummary(lineitem(s, d)),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+             |  CAST(sum(base_c) AS BIGINT) / 100.0 AS sum_base_price,
+             |  CAST(sum(disc_c) AS BIGINT) / 10000.0 AS sum_disc_price,
+             |  CAST(sum(charge_c) AS BIGINT) / 10000.0 AS sum_charge,
+             |  sum(l_quantity) / count(*) AS avg_qty,
+             |  (CAST(sum(base_c) AS BIGINT) / 100.0) / count(*) AS avg_price,
+             |  count(*) AS count_order,
+             |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS uniq_parts
+             |FROM (
+             |  SELECT *,
+             |    CAST(round(l_extendedprice * 100) AS BIGINT) AS base_c,
+             |    CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT) AS disc_c,
+             |    CAST(round(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) * 10000) AS BIGINT) AS charge_c
+             |  FROM lineitem)
+             |GROUP BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // J1 star join with broadcast dimensions
+    Q("q04_revenue_by_nation",
+      (s, d) => Relational.revenueByNation(Tables.orders(s, d),
+        Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d)),
+      Some("""SELECT r_name, n_name,
+             |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS revenue,
+             |  count(*) AS n_orders,
+             |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+             |FROM orders
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name, n_name""".stripMargin)),
+
+    // A8 deterministic top-K by frequency
+    Q("q05_topk_nations",
+      (s, d) => Labels.topKByFreq(
+        Tables.customer(s, d).join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey")), "n_name", 10),
+      Some("""SELECT n_name, count(*) AS cnt
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY n_name
+             |ORDER BY cnt DESC, n_name ASC
+             |LIMIT 10""".stripMargin)),
+
+    // A7 deterministic per-group mode
+    Q("q06_mode_segment",
+      (s, d) => Relational.modePerGroup(Tables.customer(s, d),
+        "c_nationkey", "c_mktsegment"),
+      Some("""SELECT c_nationkey, c_mktsegment AS c_mktsegment_mode, cnt
+             |FROM (
+             |  SELECT c_nationkey, c_mktsegment, count(*) AS cnt,
+             |    row_number() OVER (PARTITION BY c_nationkey
+             |      ORDER BY count(*) DESC, c_mktsegment ASC) AS rn
+             |  FROM customer GROUP BY c_nationkey, c_mktsegment)
+             |WHERE rn = 1""".stripMargin)),
+
+    // E1 fixed-vocabulary one-hot (named columns, reference contract)
+    Q("q07_onehot_segment",
+      (s, d) => Labels.oneHot(
+        Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment")),
+        "c_mktsegment",
+        Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"),
+        "seg__"),
+      Some("""SELECT c_custkey, c_mktsegment,
+             |  CAST(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END AS INT) AS "seg__AUTOMOBILE",
+             |  CAST(CASE WHEN c_mktsegment = 'BUILDING'   THEN 1 ELSE 0 END AS INT) AS "seg__BUILDING",
+             |  CAST(CASE WHEN c_mktsegment = 'FURNITURE'  THEN 1 ELSE 0 END AS INT) AS "seg__FURNITURE",
+             |  CAST(CASE WHEN c_mktsegment = 'HOUSEHOLD'  THEN 1 ELSE 0 END AS INT) AS "seg__HOUSEHOLD",
+             |  CAST(CASE WHEN c_mktsegment = 'MACHINERY'  THEN 1 ELSE 0 END AS INT) AS "seg__MACHINERY"
+             |FROM customer""".stripMargin)),
+
+    // T1/T2 sort + limit (raw doubles, no arithmetic → bit-identical)
+    Q("q08_sort_limit",
+      (s, d) => Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(20),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice
+             |FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""".stripMargin)),
+
+    // U1 union + distinct set op
+    Q("q09_union_distinct",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        c.filter(col("c_mktsegment") === "BUILDING").select(col("c_nationkey"))
+          .unionByName(
+            c.filter(col("c_mktsegment") === "MACHINERY").select(col("c_nationkey")))
+          .distinct()
+      },
+      Some("""SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+             |UNION
+             |SELECT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY'""".stripMargin)),
+
+    // T3 ordered 80/20 prefix split (reference train/test split semantics)
+    Q("q10_ordered_split",
+      (s, d) => Labels.orderedSplit(
+        Tables.events(s, d).filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("ts_us")),
+        Seq("user_id", "ts_us", "event_id")),
+      Some("""SELECT user_id, event_id, ts_us,
+             |  CASE WHEN 5 * row_number() OVER (ORDER BY user_id, ts_us, event_id)
+             |            <= 4 * (SELECT count(*) FROM events WHERE event_type = 'purchase')
+             |       THEN 'train' ELSE 'test' END AS split
+             |FROM (SELECT user_id, event_id, epoch_us(ts) AS ts_us
+             |      FROM events WHERE event_type = 'purchase')""".stripMargin)),
+
+    // O11-O15 scalar function battery
+    Q("q11_scalar_funcs",
+      (s, d) => Relational.scalarFuncs(Tables.orders(s, d)),
+      Some("""SELECT o_orderkey, o_custkey,
+             |  least(greatest(o_totalprice / 500000.0, 0.0), 1.0) AS price_clip01,
+             |  strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+             |  epoch_us(o_orderdate + INTERVAL 30 DAY) AS due_us,
+             |  strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') AS iso_ts,
+             |  epoch_us(o_orderdate) AS ts_us,
+             |  CAST(floor((epoch_us(o_orderdate) -
+             |    min(epoch_us(o_orderdate)) OVER (PARTITION BY o_custkey)) / 86400000000.0) AS BIGINT) AS tenure_days
+             |FROM orders""".stripMargin)),
+
+    // A1-A7 / O10-O14: the 17-column event-time range-window feature view
+    Q("q12_feature_view",
+      (s, d) => Features.featureView(Tables.events(s, d)),
+      Some(featureViewSql)),
+
+    // J4 latest-per-key snapshot
+    Q("q13_latest_per_key",
+      (s, d) => Snapshots.latestPerKey(
+        Tables.events(s, d).select(col("user_id"), col("event_id"),
+          col("ts_us"), col("event_type"), col("value")),
+        "user_id", "ts_us", "event_id"),
+      Some("""SELECT user_id, event_id, ts_us, event_type, value
+             |FROM (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value,
+             |        row_number() OVER (PARTITION BY user_id
+             |          ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+             |      FROM events)
+             |WHERE rn = 1""".stripMargin)),
+
+    // J3 batch backward as-of lookup (as-of 2024-01-15T00:00:00Z)
+    Q("q14_asof_lookup",
+      (s, d) => Snapshots.asOf(
+        Tables.events(s, d).select(col("user_id"), col("event_id"),
+          col("ts_us"), col("event_type"), col("value")),
+        "user_id", "ts_us", "event_id", 1705276800000000L),
+      Some("""SELECT user_id, event_id, ts_us, event_type, value
+             |FROM (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value,
+             |        row_number() OVER (PARTITION BY user_id
+             |          ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+             |      FROM events WHERE epoch_us(ts) <= 1705276800000000)
+             |WHERE rn = 1""".stripMargin)),
+
+    // J2 point-in-time interval existence label (churn = no purchase in (t, t+7d])
+    Q("q15_churn_labels",
+      (s, d) => Labels.churnLabelsWindow(
+        Tables.events(s, d).filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("ts_us")),
+        7 * DayUs),
+      Some("""SELECT user_id, event_id, ts_us,
+             |  CAST(CASE WHEN min(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us
+             |         RANGE BETWEEN 1 FOLLOWING AND 604800000000 FOLLOWING) IS NULL
+             |       THEN 1 ELSE 0 END AS INT) AS churn
+             |FROM (SELECT user_id, event_id, epoch_us(ts) AS ts_us
+             |      FROM events WHERE event_type = 'purchase')""".stripMargin)),
+
+    // J1 training-set assembly: feature view ⋈ labels on (user, event)
+    Q("q16_training_join",
+      (s, d) => {
+        val feats = Features.featureView(Tables.events(s, d))
+          .select(col("user_id"), col("event_id"), col("ts_us"),
+            col("txn_count_7d"), col("spend_7d"), col("cancel_rate_7d"))
+        val labels = Labels.churnLabelsWindow(
+          Tables.events(s, d).filter(col("event_type") === "purchase")
+            .select(col("user_id"), col("event_id"), col("ts_us")),
+          7 * DayUs).select(col("user_id"), col("event_id"), col("churn"))
+        feats.join(labels, Seq("user_id", "event_id"), "inner")
+      },
+      Some(s"""WITH feats AS ($featureViewSql),
+              |labels AS (
+              |  SELECT user_id, event_id,
+              |    CAST(CASE WHEN min(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us
+              |           RANGE BETWEEN 1 FOLLOWING AND 604800000000 FOLLOWING) IS NULL
+              |         THEN 1 ELSE 0 END AS INT) AS churn
+              |  FROM (SELECT user_id, event_id, epoch_us(ts) AS ts_us
+              |        FROM events WHERE event_type = 'purchase'))
+              |SELECT f.user_id, f.event_id, f.ts_us,
+              |       f.txn_count_7d, f.spend_7d, f.cancel_rate_7d, l.churn
+              |FROM feats f JOIN labels l
+              |  ON f.user_id = l.user_id AND f.event_id = l.event_id""".stripMargin)),
+
+    // Gap-based sessionization (30-minute gap)
+    Q("q17_sessionize",
+      (s, d) => Sessions.sessionize(Tables.events(s, d), 30 * 60 * 1000000L),
+      Some("""WITH s1 AS (
+             |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             |    CAST(round(coalesce(value, 0) * 100) AS BIGINT) AS vc,
+             |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+             |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+             |         THEN 1 ELSE 0 END AS is_new
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+             |s2 AS (
+             |  SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id
+             |    ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+             |  FROM s1)
+             |SELECT user_id, session_id, count(*) AS n_events,
+             |  min(ts_us) AS t_start_us, max(ts_us) AS t_end_us,
+             |  CAST(sum(vc) AS BIGINT) / 100.0 AS value_sum
+             |FROM s2 GROUP BY user_id, session_id""".stripMargin)),
+
+    // Range join: clicks in the hour strictly before each purchase
+    Q("q18_range_join",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("ts_us"))
+        val c = ev.filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("ts_us").as("c_ts"))
+        p.join(c,
+            col("user_id") === col("c_user") &&
+            col("c_ts") >= col("ts_us") - lit(HourUs) &&
+            col("c_ts") < col("ts_us"), "left")
+          .groupBy(col("user_id"), col("event_id"), col("ts_us"))
+          .agg(count(col("c_ts")).as("n_clicks_1h"))
+      },
+      Some("""SELECT p.user_id, p.event_id, epoch_us(p.ts) AS ts_us,
+             |  count(c.ts) AS n_clicks_1h
+             |FROM events p
+             |LEFT JOIN events c ON c.user_id = p.user_id AND c.event_type = 'click'
+             |  AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000
+             |  AND epoch_us(c.ts) < epoch_us(p.ts)
+             |WHERE p.event_type = 'purchase'
+             |GROUP BY p.user_id, p.event_id, epoch_us(p.ts)""".stripMargin))
+  )
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.fn).toMap
+
+  def oracleSql: Map[String, String] =
+    all.flatMap(q => q.sql.map(q.name -> _)).toMap
 }

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** SparkSession factory with the engine's standard configuration.
+  *
+  * Used by tests and ad-hoc mains; `Verify`/`Bench` build their own sessions
+  * per the driver contract but apply the same settings.
+  *
+  * Posture (SURVEY.md §4): UTC session time zone for oracle parity, AQE on
+  * (skew-join splitting + shuffle-partition coalescing at scale),
+  * shuffle.partitions sized to local cores rather than the 200 default.
+  * On a real cluster only master/shuffle.partitions change.
+  */
+object SparkEnv {
+  def session(cores: Int = 4, appName: String = "graft"): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      // events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
+      // reader rejects; read as raw nanos (LongType) and convert explicitly
+      // (Tables/Events normalizers do `ts DIV 1000` → epoch micros).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Apply runtime-settable engine confs to an externally built session. */
+  def tune(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark
+  }
+}

@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** EP2 — the reference's feature view (SURVEY.md §2.4, A1–A7), rebuilt as a
+  * single declarative pass of event-time range-frame window aggregates.
+  *
+  * Reference semantics (reference: jobs/build_feature_views.py:19-72):
+  * per customer, per event row, rolling windows `[t − w, t]` INCLUSIVE on
+  * both ends (pandas `rolling(w, closed="both")`, build_feature_views.py:35),
+  * five feature families × {1d, 7d, 30d}:
+  *   txn_count  = Σ non-cancel flag                  (A1, :41)
+  *   spend      = Σ amount; cancel rows contribute 0 via the O7 conditional (A2, :42)
+  *   unique_skus= exact distinct count of sku        (A3, :45-47)
+  *   avg_basket = spend_w / max(txn_count_w, 1)      (A4, :49-50 — guard, NOT null)
+  *   cancel_rate= clip(cancels_w/max(cancels_w+txn_w,1), 0, 1) (A5, :52-54)
+  * plus per-customer profile features:
+  *   first_ts   = min event time                     (A6, :57)
+  *   tenure_days= floor of elapsed 86400s periods — NOT calendar datediff (O14, :57-58)
+  *
+  * Where the reference loops over customers in Python (build_feature_views.py:24),
+  * we declare ONE window-spec family; Spark executes it as a single
+  * hash-partition exchange on the customer key + one in-partition sort, with
+  * all same-spec window functions fused into shared WindowExec nodes —
+  * exactly the distribution the per-customer loop implies, minus the loop.
+  *
+  * Determinism/oracle notes:
+  *  - All time arithmetic is integer epoch-microseconds (`ts_us` BIGINT), so
+  *    DuckDB (`epoch_us(ts)` + RANGE frames over BIGINT) matches bit-exactly.
+  *  - Money is integerized to cents (BIGINT) before summing: floating-point
+  *    summation ORDER differs between engines (sliding-frame re-aggregation vs
+  *    segment trees), so double sums can drift in the last ulp; integer sums
+  *    cannot. Ratios divide two bit-identical values → bit-identical doubles.
+  *
+  * Scale posture (100 TB): the only shuffle is the window exchange on
+  * `user_id`; AQE skew-split handles hot customers. `unique_skus` uses
+  * `collect_set` over the frame — exact, fine while per-customer-per-30d
+  * cardinality is bounded (here ≤ a few hundred); for unbounded cardinality
+  * swap in `approx_count_distinct` over the same frame (SURVEY.md §4).
+  */
+object Features {
+  val DayUs: Long = 86400L * 1000000L
+  /** window label → width in microseconds; mirrors WINDOWS = ["1D","7D","30D"]
+    * (reference: jobs/build_feature_views.py:7) */
+  val Windows: Seq[(String, Long)] =
+    Seq("1d" -> DayUs, "7d" -> 7 * DayUs, "30d" -> 30 * DayUs)
+
+  /** Normalize raw events into the bronze-like event frame the feature view
+    * consumes. Maps fixture columns onto reference bronze semantics
+    * (FIXTURES.md §A): user_id→customer_id, ts→event time,
+    * event_type='error'→is_cancel, value→amount, props→sku. */
+  def eventFrame(events: DataFrame): DataFrame =
+    events.select(
+      col("user_id"), col("event_id"), col("ts_us"),
+      col("event_type"), col("props").as("sku"),
+      (col("event_type") === lit("error")).as("is_cancel"),
+      round(coalesce(col("value"), lit(0.0)) * 100).cast("long").as("value_cents"))
+      .withColumn("txn", (!col("is_cancel")).cast("long"))
+      .withColumn("cancel", col("is_cancel").cast("long"))
+      .withColumn("spend_cents",
+        when(!col("is_cancel"), col("value_cents")).otherwise(lit(0L)))
+
+  /** The full 17-column feature view; one output row per input event row
+    * (reference grain — duplicate (customer, t) rows are preserved, SURVEY §7.6). */
+  def featureView(events: DataFrame): DataFrame = {
+    val base = eventFrame(events)
+    val byUser = Window.partitionBy(col("user_id"))
+    def frame(us: Long) =
+      Window.partitionBy(col("user_id")).orderBy(col("ts_us")).rangeBetween(-us, 0)
+
+    val featCols: Seq[Column] = Windows.flatMap { case (lbl, us) =>
+      val w = frame(us)
+      val txnCnt = sum(col("txn")).over(w)
+      val cancels = sum(col("cancel")).over(w)
+      val spendW = sum(col("spend_cents")).over(w) / lit(100.0)
+      Seq(
+        txnCnt.as(s"txn_count_$lbl"),
+        spendW.as(s"spend_$lbl"),
+        size(collect_set(col("sku")).over(w)).cast("long").as(s"unique_skus_$lbl"),
+        // No round(): numerator/denominator are bit-identical integers in
+        // both engines, so the double quotient is bit-identical — rounding
+        // would only INTRODUCE divergence on exact .5 decimal boundaries
+        // (Spark rounds the shortest decimal repr, DuckDB the binary value).
+        (spendW / when(txnCnt > 0, txnCnt).otherwise(lit(1L)))
+          .as(s"avg_basket_value_$lbl"),
+        least(greatest(cancels / when(cancels + txnCnt > 0, cancels + txnCnt)
+          .otherwise(lit(1L)), lit(0.0)), lit(1.0))
+          .as(s"cancel_rate_$lbl"))
+    }
+
+    base.select(
+      Seq(col("user_id"), col("event_id"), col("ts_us")) ++ featCols ++ Seq(
+        floor((col("ts_us") - min(col("ts_us")).over(byUser)) / lit(DayUs.toDouble))
+          .cast("long").as("tenure_days")): _*)
+  }
+}

@@ -1,0 +1,135 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** EP1 + general relational operators (SURVEY.md §2.1–§2.3, §2.5).
+  *
+  * The fixture star schema stands in for the reference's retail domain
+  * (FIXTURES.md §A mapping): orders+lineitem ≙ bronze order lines,
+  * customer/nation/region ≙ the country dimension.
+  */
+object Relational {
+  /** Epoch microseconds from a (NTZ) timestamp column; session TZ is pinned
+    * UTC, so naive-as-UTC micros == DuckDB `epoch_us`. */
+  def epochUs(c: Column): Column = unix_micros(c.cast("timestamp"))
+
+  /** EP1 — bronze normalize (reference: jobs/ingest_xlsx_to_parquet.py:13-42).
+    * O1 rename-project, O2 null-on-error casts, O3 trim/upper/fillna,
+    * O4 null-safe prefix flag, O5 arithmetic derived column, O6 drop-null
+    * filter, O7 conditional spend, O8 boolean→int flag.
+    *
+    * Joins: lineitem⋈orders is the big join (shuffle on orderkey; AQE may
+    * broadcast at small sf); customer and nation are broadcast explicitly —
+    * dimension tables stay < 100 MB even at 100 TB fact scale.
+    */
+  def bronzeNormalize(lineitem: DataFrame, orders: DataFrame,
+                      customer: DataFrame, nation: DataFrame): DataFrame = {
+    val joined = lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+    joined
+      .na.drop(Seq("o_custkey", "l_shipdate"))                       // O6
+      .select(
+        col("l_orderkey").as("invoice"),                             // O1
+        upper(trim(concat(lit("sku-"), col("l_partkey")))).as("stock_code"), // O3
+        col("l_quantity").cast("int").as("quantity"),                // O2
+        epochUs(col("l_shipdate")).as("ts_us"),
+        col("o_custkey").as("customer_id"),
+        coalesce(trim(col("n_name")), lit("")).as("country"),        // O3
+        col("l_linenumber").as("line_number"),
+        coalesce(col("l_returnflag").startsWith("R"), lit(false))
+          .as("is_cancel"),                                          // O4
+        (round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+          .cast("long") / lit(100.0)).as("line_amount"))             // O5 (cents-exact)
+      .withColumn("txn", (!col("is_cancel")).cast("int"))            // O8
+      .withColumn("spend",
+        when(!col("is_cancel"), col("line_amount")).otherwise(lit(0.0))) // O7
+  }
+
+  /** A-family global aggregation (TPC-H Q1 shape) with exact integerized
+    * money so the oracle matches bit-for-bit. Demonstrates partial (map-side)
+    * aggregation + single shuffle on the group keys. */
+  def pricingSummary(lineitem: DataFrame): DataFrame =
+    lineitem
+      .withColumn("base_c", round(col("l_extendedprice") * 100).cast("long"))
+      .withColumn("disc_c",
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000)
+          .cast("long"))
+      .withColumn("charge_c",
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * (lit(1.0) + col("l_tax")) * 10000).cast("long"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).cast("long").as("sum_qty"),
+        (sum(col("base_c")) / lit(100.0)).as("sum_base_price"),
+        (sum(col("disc_c")) / lit(10000.0)).as("sum_disc_price"),
+        (sum(col("charge_c")) / lit(10000.0)).as("sum_charge"),
+        // no round(): operands are bit-identical across engines (exact sums),
+        // so the quotients match bit-for-bit; rounding would only diverge on
+        // exact decimal .5 boundaries.
+        (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        ((sum(col("base_c")) / lit(100.0)) / count(lit(1))).as("avg_price"),
+        count(lit(1)).as("count_order"),
+        countDistinct(col("l_partkey")).as("uniq_parts"))
+
+  /** S2/pushdown showcase — filtered, projected scan that Catalyst pushes to
+    * the parquet reader (PushedFilters + 3-column ReadSchema; verify with
+    * .explain("formatted")). */
+  def prunedScan(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_returnflag") === lit("R") &&
+        col("l_quantity") >= lit(25.0))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity")).cast("long").as("sum_qty"),
+        (sum(round(col("l_extendedprice") * 100).cast("long")) / lit(100.0))
+          .as("sum_price"))
+
+  /** J1-family multiway star join: revenue per region/nation. Dimensions are
+    * broadcast (no shuffle for them); facts shuffle once for the group-by. */
+  def revenueByNation(orders: DataFrame, customer: DataFrame,
+                      nation: DataFrame, region: DataFrame): DataFrame =
+    orders
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .withColumn("price_c", round(col("o_totalprice") * 100).cast("long"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        (sum(col("price_c")) / lit(100.0)).as("revenue"),
+        count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_customers"))
+
+  /** A7 — deterministic per-group mode (reference:
+    * jobs/build_feature_views.py:59 — pandas mode().iloc[0] = tie-break by
+    * lexicographic min; Spark's built-in mode() has unspecified ties, so we
+    * pin count desc, value asc via row_number. SURVEY §7.4). */
+  def modePerGroup(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val counted = df.groupBy(col(groupCol), col(valueCol))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("cnt").desc, col(valueCol).asc)
+    counted.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col(groupCol), col(valueCol).as(s"${valueCol}_mode"), col("cnt"))
+  }
+
+  /** O11–O15 scalar-function battery over orders (clip, date extraction,
+    * interval arithmetic, days-since-first via A6 partition min, ISO format). */
+  def scalarFuncs(orders: DataFrame): DataFrame = {
+    val byCust = Window.partitionBy(col("o_custkey"))
+    orders.select(
+      col("o_orderkey"), col("o_custkey"),
+      least(greatest(col("o_totalprice") / lit(500000.0), lit(0.0)),
+        lit(1.0)).as("price_clip01"),                                // O11
+      date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"), // O12
+      epochUs(col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("due_us"), // O13
+      date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss").as("iso_ts"), // O15
+      epochUs(col("o_orderdate")).as("ts_us"))
+      .withColumn("tenure_days",                                     // O14 + A6
+        floor((col("ts_us") - min(col("ts_us")).over(byCust))
+          / lit(86400000000.0)).cast("long"))
+  }
+}

@@ -1,0 +1,38 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** M4 — point-in-time snapshot operators (SURVEY.md §2.3 J3/J4, §2.6 E2).
+  *
+  * The reference serves one customer at a time from an in-memory frame
+  * (serving/feature_service.py:36-46); the Spark-native equivalents are
+  * whole-table batch operators that materialize every customer's snapshot in
+  * one shuffle, which is what the online store is loaded from
+  * (jobs/materialize_online.py:19).
+  */
+object Snapshots {
+  /** J4 — latest row per key ("as of now",
+    * reference: jobs/materialize_online.py:19). Deterministic tie-break on
+    * `tieCol` desc (the reference takes positional last after sort; we pin
+    * determinism per SURVEY §7.6).
+    *
+    * row_number + filter = one exchange on the key, no join. At 100 TB this
+    * beats groupBy(max)+self-join (one shuffle vs two).
+    */
+  def latestPerKey(df: DataFrame, keyCol: String, tsCol: String,
+                   tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).desc, col(tieCol).desc)
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+  }
+
+  /** J3 — batch backward as-of lookup: latest row per key with ts <= asOf
+    * (reference: serving/feature_service.py:42-46 does this for ONE key with
+    * a filter+tail; this is the all-keys batch form). Keys with no qualifying
+    * row are absent (the reference raises; SQL semantics = no row). */
+  def asOf(df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+           asOfUs: Long): DataFrame =
+    latestPerKey(df.filter(col(tsCol) <= lit(asOfUs)), keyCol, tsCol, tieCol)
+}
