@@ -1,0 +1,303 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ext._
+
+/** Extension queries (M5): dedup, similarity search, text analysis,
+  * multimodal, streaming-twin — each with a DuckDB oracle that replays the
+  * *identical deterministic pipeline* (rank dictionaries + affine hash
+  * families + sequential-fold float math), so even LSH candidate generation
+  * hash-matches. See ext/Dedup.scala scaladoc for the determinism contract.
+  */
+object ExtEntries {
+
+  case class Q(name: String,
+               fn: (SparkSession, String) => DataFrame,
+               sql: Option[String])
+
+  // ---------------------------------------------------------------- SQL CTEs
+
+  /** 3-word shingles, distinct per doc (mirror of Dedup.shingles(k=3)). */
+  private val shinglesCte =
+    """shd AS (
+      |  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) d,
+      |       (SELECT unnest(range(1, 200)) AS i) t
+      |  WHERE len(w) >= 3 AND i <= len(w) - 2)""".stripMargin
+
+  private val shingleCountCte =
+    """shcnt AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id)""".stripMargin
+
+  private val shingleInterCte =
+    """shint AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS ix
+      |  FROM shd a JOIN shd b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)""".stripMargin
+
+  /** minhash signatures in long format (mirror of Dedup.minhashLong). */
+  private val minhashLongCte =
+    s"""dict AS (
+       |  SELECT sh, CAST(dense_rank() OVER (ORDER BY sh) AS BIGINT) AS sid
+       |  FROM (SELECT DISTINCT sh FROM shd)),
+       |ids AS (SELECT s.doc_id, d.sid FROM shd s JOIN dict d USING (sh)),
+       |hj AS (SELECT unnest(range(0, ${Dedup.NumHashes})) AS j),
+       |sigs AS (
+       |  SELECT doc_id, j,
+       |    min(((101 * j + 37) * sid + (577 * j + 89)) % ${Dedup.P}) AS minh
+       |  FROM ids, hj GROUP BY doc_id, j)""".stripMargin
+
+  /** simhash signatures (mirror of Dedup.simhash). */
+  private val simhashCte =
+    s"""words AS (
+       |  SELECT doc_id, w, count(*) AS wcnt
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+       |  GROUP BY doc_id, w),
+       |wdict AS (
+       |  SELECT w, CAST(dense_rank() OVER (ORDER BY w) AS BIGINT) AS wid
+       |  FROM (SELECT DISTINCT w FROM words)),
+       |bits AS (
+       |  SELECT doc_id, j,
+       |    sum(wcnt * ((((101 * j + 37) * wid + (577 * j + 89)) % ${Dedup.P} % 2) * 2 - 1)) AS s
+       |  FROM (SELECT doc_id, wcnt, wid FROM words JOIN wdict USING (w)),
+       |       (SELECT unnest(range(0, 64)) AS j)
+       |  GROUP BY doc_id, j),
+       |simsigs AS (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM bits GROUP BY doc_id)""".stripMargin
+
+  /** Sequential-fold dot product over 64-dim float lists (mirror of
+    * Similarity.dot: widen to double, left fold with +0.0 prefix — adding
+    * the 0.0 init is IEEE-exact, so the folds agree bit-for-bit). */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+
+  private def cosSql(aEmb: String, bEmb: String): String =
+    s"(${dotSql(aEmb, bEmb)} / (sqrt(${dotSql(aEmb, aEmb)}) * sqrt(${dotSql(bEmb, bEmb)})))"
+
+  /** The 8 deterministic hyperplanes as inline SQL list literals. */
+  private def planeSql(j: Int): String =
+    (0 until 64).map { d =>
+      val v = ((1103515245L * (j * 64 + d) + 12345L) % Similarity.PlaneP).toDouble /
+        Similarity.PlaneP - 0.5
+      v.toString
+    }.mkString("[", ", ", "]")
+
+  private val bucketSql: String =
+    (0 until 8).map { j =>
+      val proj = s"list_reduce(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * (${planeSql(j)})[i]), (x, y) -> x + y)"
+      s"(CASE WHEN $proj > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+
+  // ---------------------------------------------------------------- queries
+
+  val all: Seq[Q] = Seq(
+
+    // Streaming twin: tumbling event-time aggregation (batch form; the
+    // streaming variant is StreamingFeatures.streamTumblingAgg, parity-tested)
+    Q("q19_tumbling_agg",
+      (s, d) => graft.streaming.StreamingFeatures.tumblingAgg(Tables.events(s, d)),
+      Some("""SELECT event_type, epoch_us(ts) // 3600000000 AS hour_bucket,
+             |  count(*) AS n_events,
+             |  CAST(sum(CAST(round(coalesce(value, 0) * 100) AS BIGINT)) AS BIGINT) / 100.0 AS value_sum
+             |FROM events GROUP BY 1, 2""".stripMargin)),
+
+    // Exact dedup by content hash
+    Q("q20_dedup_exact",
+      (s, d) => Dedup.exact(Tables.documents(s, d)),
+      Some("""SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+             |  count(*) AS n_copies
+             |FROM documents GROUP BY md5(text)""".stripMargin)),
+
+    // Exact n-gram Jaccard near-dup pairs (3-word shingles, j >= 0.5)
+    Q("q21_dedup_ngram",
+      (s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d), 3, 0.5),
+      Some(s"""WITH $shinglesCte, $shingleCountCte, $shingleInterCte
+              |SELECT d1, d2,
+              |  CAST(ix AS DOUBLE) / (ca.n + cb.n - ix) AS jaccard
+              |FROM shint
+              |JOIN shcnt ca ON d1 = ca.doc_id
+              |JOIN shcnt cb ON d2 = cb.doc_id
+              |WHERE CAST(ix AS DOUBLE) / (ca.n + cb.n - ix) >= 0.5""".stripMargin)),
+
+    // MinHash signatures (16 affine hashes over the shingle rank dictionary)
+    Q("q22_minhash_sigs",
+      (s, d) => Dedup.minhashLong(Tables.documents(s, d), 3)
+        .select(col("doc_id"), col("j").cast("long").as("j"), col("minh")),
+      Some(s"""WITH $shinglesCte, $minhashLongCte
+              |SELECT doc_id, j, CAST(minh AS BIGINT) AS minh FROM sigs""".stripMargin)),
+
+    // MinHash-LSH candidate pairs (4×4 banding) + exact-Jaccard verify
+    Q("q23_minhash_lsh_pairs",
+      (s, d) => Dedup.minhashLshPairs(Tables.documents(s, d), 3, 0.5),
+      Some(s"""WITH $shinglesCte, $minhashLongCte, $shingleCountCte, $shingleInterCte,
+              |wide AS (
+              |  SELECT doc_id,
+              |    ${(0 until 16).map(j => s"min(CASE WHEN j = $j THEN minh END) AS h$j").mkString(", ")}
+              |  FROM sigs GROUP BY doc_id),
+              |bands AS (
+              |  ${(0 until 4).map(b =>
+                   s"SELECT doc_id, $b AS band, " +
+                   (0 until 4).map(r => s"CAST(h${b * 4 + r} AS VARCHAR)").mkString(" || ',' || ") +
+                   " AS sig FROM wide").mkString(" UNION ALL ")}),
+              |cands AS (
+              |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+              |  FROM bands x JOIN bands y
+              |    ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id)
+              |SELECT c.d1, c.d2, CAST(ix AS DOUBLE) / (ca.n + cb.n - ix) AS jaccard
+              |FROM cands c
+              |JOIN shint ON c.d1 = shint.d1 AND c.d2 = shint.d2
+              |JOIN shcnt ca ON c.d1 = ca.doc_id
+              |JOIN shcnt cb ON c.d2 = cb.doc_id
+              |WHERE CAST(ix AS DOUBLE) / (ca.n + cb.n - ix) >= 0.5""".stripMargin)),
+
+    // SimHash 16-bit signatures
+    Q("q24_simhash_sigs",
+      (s, d) => Dedup.simhash(Tables.documents(s, d)),
+      Some(s"""WITH $simhashCte
+              |SELECT doc_id, simhash FROM simsigs""".stripMargin)),
+
+    // SimHash near-dup pairs (hamming <= 3; Spark uses lossless nibble
+    // banding, oracle brute-forces — identical result by pigeonhole)
+    Q("q25_simhash_pairs",
+      (s, d) => Dedup.simhashPairs(Tables.documents(s, d), 3),
+      Some(s"""WITH $simhashCte
+              |SELECT a.doc_id AS d1, b.doc_id AS d2,
+              |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+              |FROM simsigs a JOIN simsigs b ON a.doc_id < b.doc_id
+              |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin)),
+
+    // Embedding near-dup pairs via sign-random-projection buckets + exact cos
+    Q("q26_embed_neardup",
+      (s, d) => Similarity.embeddingNearDupPairs(Tables.embeddings(s, d), 8, 0.4),
+      Some(s"""WITH b AS (
+              |  SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings)
+              |SELECT x.vec_id AS v1, y.vec_id AS v2,
+              |  ${cosSql("x.embedding", "y.embedding")} AS cos
+              |FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+              |WHERE ${cosSql("x.embedding", "y.embedding")} >= 0.4""".stripMargin)),
+
+    // Exact brute-force cosine top-5 for 20 query vectors
+    Q("q27_ann_topk",
+      (s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d), 20, 5),
+      Some(s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+              |          FROM embeddings WHERE vec_id < 20),
+              |c AS (SELECT vec_id AS n_id, embedding AS n_emb FROM embeddings),
+              |scored AS (
+              |  SELECT q_id, n_id, ${cosSql("q_emb", "n_emb")} AS cos
+              |  FROM c JOIN q ON q_id <> n_id)
+              |SELECT q_id, CAST(rank AS INT) AS rank, n_id, cos
+              |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+              |        ORDER BY cos DESC, n_id ASC) AS rank FROM scored)
+              |WHERE rank <= 5""".stripMargin)),
+
+    // IVF top-5: deterministic coarse centroids (vec_id % 100 == 0), nprobe=2
+    Q("q28_ann_ivf",
+      (s, d) => Similarity.ivfTopK(Tables.embeddings(s, d), 20, 5, 100, 2),
+      Some(s"""WITH cent AS (SELECT vec_id AS c_id, embedding AS c_emb
+              |             FROM embeddings WHERE vec_id % 100 = 0),
+              |assigned AS (
+              |  SELECT n_id, n_emb, c_id FROM (
+              |    SELECT e.vec_id AS n_id, e.embedding AS n_emb, c.c_id,
+              |      row_number() OVER (PARTITION BY e.vec_id
+              |        ORDER BY ${cosSql("e.embedding", "c.c_emb")} DESC, c.c_id ASC) AS arn
+              |    FROM embeddings e, cent c)
+              |  WHERE arn = 1),
+              |probes AS (
+              |  SELECT q_id, q_emb, c_id FROM (
+              |    SELECT e.vec_id AS q_id, e.embedding AS q_emb, c.c_id,
+              |      row_number() OVER (PARTITION BY e.vec_id
+              |        ORDER BY ${cosSql("e.embedding", "c.c_emb")} DESC, c.c_id ASC) AS prn
+              |    FROM embeddings e, cent c WHERE e.vec_id < 20)
+              |  WHERE prn <= 2)
+              |SELECT q_id, CAST(rank AS INT) AS rank, n_id, cos
+              |FROM (
+              |  SELECT q_id, n_id, cos, row_number() OVER (PARTITION BY q_id
+              |      ORDER BY cos DESC, n_id ASC) AS rank
+              |  FROM (SELECT p.q_id, a.n_id, ${cosSql("p.q_emb", "a.n_emb")} AS cos
+              |        FROM assigned a JOIN probes p USING (c_id)
+              |        WHERE p.q_id <> a.n_id))
+              |WHERE rank <= 5""".stripMargin)),
+
+    // Multimodal: binary payload decode (stubbed codec, real plumbing)
+    Q("q29_multimodal_decode",
+      (s, d) => Multimodal.decodeFeatures(s, Tables.documents(s, d)).toDF(),
+      Some(s"""SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+              |  CAST(sum(ord(substr(text, CAST(i AS INT), 1)) *
+              |    ((${TextAnalysis.FpA} * i + ${TextAnalysis.FpB}) % ${TextAnalysis.FpP}))
+              |    % ${TextAnalysis.FpP} AS BIGINT) AS checksum,
+              |  CAST(strlen(text) % 640 AS INT) AS width,
+              |  CAST(strlen(text) * 7 % 480 AS INT) AS height,
+              |  3 AS channels
+              |FROM documents, (SELECT unnest(range(1, 700)) AS i) t
+              |WHERE i <= strlen(text)
+              |GROUP BY doc_id, text""".stripMargin)),
+
+    // Token statistics (whitespace tokenization)
+    Q("q30_text_tokens",
+      (s, d) => TextAnalysis.tokenStats(Tables.documents(s, d)),
+      Some("""SELECT doc_id,
+             |  CAST(len(w) AS BIGINT) AS n_tokens,
+             |  CAST(len(list_distinct(w)) AS BIGINT) AS n_unique_tokens,
+             |  CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE) / len(w) AS avg_token_len
+             |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)""".stripMargin)),
+
+    // Quality scoring (stopword ratio, type-token ratio, composite score)
+    Q("q31_text_quality",
+      (s, d) => TextAnalysis.qualityScore(Tables.documents(s, d)),
+      Some("""SELECT doc_id,
+             |  CAST(len(text) AS BIGINT) AS n_chars_calc,
+             |  CAST(len(w) AS BIGINT) AS n_tokens,
+             |  CAST(ns AS DOUBLE) / len(w) AS stopword_ratio,
+             |  CAST(nu AS DOUBLE) / len(w) AS ttr,
+             |  least(greatest(CAST(nu AS DOUBLE) / len(w)
+             |    - 0.5 * (CAST(ns AS DOUBLE) / len(w)), 0.0), 1.0) AS quality_score
+             |FROM (
+             |  SELECT doc_id, text, w,
+             |    len(list_filter(w, x -> list_contains(['the','a','of','and','to'], x))) AS ns,
+             |    len(list_distinct(w)) AS nu
+             |  FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents))""".stripMargin)),
+
+    // Language ID: corpus-trained char-trigram majority vote
+    Q("q32_text_langid",
+      (s, d) => TextAnalysis.langId(Tables.documents(s, d)),
+      Some("""WITH tri AS (
+             |  SELECT DISTINCT doc_id, lang, substr(text, CAST(i AS INT), 3) AS tg
+             |  FROM documents, (SELECT unnest(range(1, 700)) AS i) t
+             |  WHERE len(text) >= 3 AND i <= len(text) - 2),
+             |dict AS (
+             |  SELECT tg, lang AS tg_lang FROM (
+             |    SELECT tg, lang, row_number() OVER (PARTITION BY tg
+             |      ORDER BY count(*) DESC, lang ASC) AS rn
+             |    FROM tri GROUP BY tg, lang)
+             |  WHERE rn = 1)
+             |SELECT doc_id, lang, tg_lang AS guess,
+             |  CAST(CASE WHEN tg_lang = lang THEN 1 ELSE 0 END AS INT) AS correct
+             |FROM (
+             |  SELECT t.doc_id, t.lang, d.tg_lang,
+             |    row_number() OVER (PARTITION BY t.doc_id
+             |      ORDER BY count(*) DESC, d.tg_lang ASC) AS rn
+             |  FROM tri t JOIN dict d USING (tg)
+             |  GROUP BY t.doc_id, t.lang, d.tg_lang)
+             |WHERE rn = 1""".stripMargin)),
+
+    // Position-weighted modular fingerprint
+    Q("q33_text_fingerprint",
+      (s, d) => TextAnalysis.fingerprint(Tables.documents(s, d)),
+      Some(s"""SELECT doc_id,
+              |  CAST(sum(ord(substr(text, CAST(i AS INT), 1)) *
+              |    ((${TextAnalysis.FpA} * i + ${TextAnalysis.FpB}) % ${TextAnalysis.FpP}))
+              |    % ${TextAnalysis.FpP} AS BIGINT) AS fp
+              |FROM documents, (SELECT unnest(range(1, 700)) AS i) t
+              |WHERE i <= len(text)
+              |GROUP BY doc_id""".stripMargin)),
+
+    // BPE-ish sub-word token budget count
+    Q("q34_token_count_bpe",
+      (s, d) => TextAnalysis.tokenCountRegex(Tables.documents(s, d)),
+      Some("""SELECT doc_id,
+             |  CAST(list_sum(list_transform(w, x -> CAST(floor((len(x) + 3) / 4.0) AS BIGINT))) AS BIGINT) AS n_subword_tokens
+             |FROM (SELECT doc_id, regexp_split_to_array(text, '[^a-zA-Z0-9]+') AS w FROM documents)""".stripMargin))
+  )
+}

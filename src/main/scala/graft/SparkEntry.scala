@@ -340,8 +340,10 @@ object SparkEntry {
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    all.map(q => q.name -> q.fn).toMap
+    (all.map(q => q.name -> q.fn) ++
+      ExtEntries.all.map(q => q.name -> q.fn)).toMap
 
   def oracleSql: Map[String, String] =
-    all.flatMap(q => q.sql.map(q.name -> _)).toMap
+    (all.flatMap(q => q.sql.map(q.name -> _)) ++
+      ExtEntries.all.flatMap(q => q.sql.map(q.name -> _))).toMap
 }

@@ -1,0 +1,62 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media as opaque `BinaryType` payloads with
+  * typed metadata, decoded/feature-extracted in batched partition passes.
+  *
+  * The container ships no image/audio codecs, so `decodeStub` is a
+  * clearly-marked deterministic FAKE decoder; everything around it — the
+  * binary column, the case-class schema, the `mapPartitions` batch shape, the
+  * partition-local iteration a real JNI/codec call would amortize over — is
+  * real, tested Spark plumbing. Swap `decodeStub`'s body for an actual codec
+  * (e.g. javax.imageio / ffmpeg via process-per-partition) and nothing else
+  * changes.
+  */
+object Multimodal {
+
+  /** One decoded media record; `width/height/channels` are what a real image
+    * decode would yield — here derived deterministically from the payload. */
+  case class MediaFeature(doc_id: Long, n_bytes: Long, checksum: Long,
+                          width: Int, height: Int, channels: Int)
+
+  /** STUB decoder — deterministic fake standing in for a real codec.
+    * Checksum = position-weighted modular hash of the payload bytes
+    * (same family as TextAnalysis.fingerprint, so the oracle can mirror it). */
+  def decodeStub(docId: Long, payload: Array[Byte]): MediaFeature = {
+    val p = TextAnalysis.FpP
+    var acc = 0L
+    var i = 0
+    while (i < payload.length) {
+      // unsigned byte value, 1-based position — mirrors ascii()/ord() on text
+      acc += (payload(i) & 0xff).toLong *
+        ((TextAnalysis.FpA * (i + 1) + TextAnalysis.FpB) % p)
+      i += 1
+    }
+    MediaFeature(docId, payload.length.toLong, acc % p,
+      width = (payload.length % 640).toInt,
+      height = (payload.length * 7 % 480).toInt, channels = 3)
+  }
+
+  /** Attach a binary payload column (here: utf8 text bytes stand in for media
+    * bytes; in production this is the raw image/audio blob read from object
+    * storage or an inline parquet binary column). */
+  def withPayload(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"),
+      col("text").cast("binary").as("payload"))
+
+  /** Decode + feature-extract via mapPartitions: batch-at-a-time iteration so
+    * a real decoder could amortize codec/model init per partition (the
+    * mapInPandas batch shape, Scala-native). */
+  def decodeFeatures(spark: SparkSession, documents: DataFrame): Dataset[MediaFeature] = {
+    import spark.implicits._
+    withPayload(documents)
+      .select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition init of a real decoder would go here (once, not per row)
+        it.map { case (id, bytes) => decodeStub(id, bytes) }
+      }
+  }
+}

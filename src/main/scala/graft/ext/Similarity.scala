@@ -1,0 +1,130 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (`Array[Float]` columns) —
+  * brute-force cosine top-k as the exact baseline, IVF (coarse-quantizer
+  * probing) as the scale path, and hyperplane-LSH bucketing for near-dup
+  * pair mining.
+  *
+  * No UDFs: dot products are `zip_with` + sequential `aggregate` folds over
+  * the array — codegen'd, and fold ORDER is fixed (left-to-right), so DuckDB
+  * (`list_reduce`) reproduces the exact IEEE double, bit-for-bit. Floats are
+  * widened to double BEFORE multiplication in both engines.
+  *
+  * Scale notes: brute-force top-k is O(|Q|·N) — linear in corpus size for a
+  * fixed query set and embarrassingly parallel (queries broadcast, corpus
+  * partition-scanned; no shuffle until the per-query top-k, which is a
+  * partial top-k then merge). IVF cuts the scanned fraction to
+  * nprobe/ncentroids. The deterministic pseudo-random hyperplanes replace
+  * trained k-means centroids so the oracle can replay them; swap in
+  * `spark.ml.clustering.KMeans` centroids for real recall at scale.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two float-array columns (as doubles). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm2(a: Column): Column = dot(a, a)
+
+  /** cos(a,b) = dot / (sqrt(|a|²)·sqrt(|b|²)) — expression shape mirrored
+    * exactly in the oracle SQL. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
+
+  /** Exact brute-force cosine top-k for a fixed query set (vec_id < nQueries).
+    * Rank ties broken by neighbor id. */
+  def bruteForceTopK(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val q = embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val c = embeddings
+      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+    val scored = c.join(broadcast(q), col("q_id") =!= col("n_id"))
+      .withColumn("cos", cosine(col("q_emb"), col("n_emb")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("int").as("rank"),
+        col("n_id"), col("cos"))
+  }
+
+  /** IVF top-k: corpus vectors with vec_id ≡ 0 (mod centroidEvery) act as
+    * coarse centroids (deterministic stand-in for k-means); every vector is
+    * assigned to its nearest centroid (cos desc, centroid id asc); a query
+    * probes its nprobe nearest centroids and scans only those inverted lists.
+    * Approximate — but deterministically so, hence oracle-checkable. */
+  def ivfTopK(embeddings: DataFrame, nQueries: Int, k: Int,
+              centroidEvery: Int, nprobe: Int): DataFrame = {
+    val cent = embeddings.filter(col("vec_id") % centroidEvery === 0)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    // inverted lists: nearest centroid per corpus vector
+    val assignW = Window.partitionBy(col("n_id"))
+      .orderBy(col("c_cos").desc, col("c_id").asc)
+    val assigned = embeddings
+      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+      .join(broadcast(cent), lit(true))
+      .withColumn("c_cos", cosine(col("n_emb"), col("c_emb")))
+      .withColumn("arn", row_number().over(assignW))
+      .filter(col("arn") === 1)
+      .select(col("n_id"), col("n_emb"), col("c_id"))
+    // probe lists: nprobe nearest centroids per query
+    val probeW = Window.partitionBy(col("q_id"))
+      .orderBy(col("c_cos").desc, col("c_id").asc)
+    val probes = embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .join(broadcast(cent), lit(true))
+      .withColumn("c_cos", cosine(col("q_emb"), col("c_emb")))
+      .withColumn("prn", row_number().over(probeW))
+      .filter(col("prn") <= nprobe)
+      .select(col("q_id"), col("q_emb"), col("c_id"))
+    // search only the probed lists
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id").asc)
+    assigned.join(probes, Seq("c_id"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos", cosine(col("q_emb"), col("n_emb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("int").as("rank"),
+        col("n_id"), col("cos"))
+  }
+
+  val PlaneP = 2000003L
+
+  /** Deterministic pseudo-random hyperplane component for (plane j, dim d):
+    * uniform in [−0.5, 0.5), pure integer arithmetic → engine-exact. */
+  private def planeComponent(j: Int, d: Int): Double =
+    ((1103515245L * (j * 64 + d) + 12345L) % PlaneP).toDouble / PlaneP - 0.5
+
+  /** Sign-random-projection bucket id over nPlanes hyperplanes. */
+  def lshBucket(emb: Column, nPlanes: Int): Column =
+    (0 until nPlanes).map { j =>
+      val proj = aggregate(
+        zip_with(emb,
+          array((0 until 64).map(d => lit(planeComponent(j, d))): _*),
+          (x, p) => x.cast("double") * p),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Embedding near-dup pairs: bucket by sign-random-projection, compare
+    * within buckets only, keep exact cosine ≥ threshold. Approximate recall
+    * (like any LSH), deterministic output. */
+  def embeddingNearDupPairs(embeddings: DataFrame, nPlanes: Int,
+                            threshold: Double): DataFrame = {
+    val b = embeddings.select(col("vec_id"), col("embedding"),
+      lshBucket(col("embedding"), nPlanes).as("bucket"))
+    b.as("x")
+      .join(b.select(col("vec_id").as("vec_id2"),
+        col("embedding").as("embedding2"), col("bucket")).as("y"), Seq("bucket"))
+      .filter(col("vec_id") < col("vec_id2"))
+      .withColumn("cos", cosine(col("embedding"), col("embedding2")))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_id").as("v1"), col("vec_id2").as("v2"), col("cos"))
+  }
+}

@@ -1,0 +1,112 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table — the LLM-training-data
+  * pipeline surface (BASELINE.json north-star; not present in the reference,
+  * which has no text processing at all).
+  *
+  * All computations are pure integer/codepoint arithmetic over codegen'd
+  * built-in functions (split/transform/aggregate) — no UDFs — so they stay
+  * inside whole-stage codegen AND the DuckDB oracle can reproduce results
+  * bit-for-bit.
+  */
+object TextAnalysis {
+
+  /** Token statistics: whitespace tokenization (the BPE-ish regex variant is
+    * `tokenCountRegex` below). Integer-derived ratios → engine-exact. */
+  def tokenStats(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("w", split(col("text"), " "))
+      .select(
+        col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        size(array_distinct(col("w"))).cast("long").as("n_unique_tokens"),
+        (aggregate(transform(col("w"), x => length(x)), lit(0L),
+          (acc, x) => acc + x).cast("double") / size(col("w")))
+          .as("avg_token_len"))
+
+  /** BPE-ish sub-word token count: split on word boundaries, then count
+    * ceil(len/4) sub-word units per word — a standard cheap token-count
+    * heuristic (~4 chars/token) used to budget LLM training data. */
+  def tokenCountRegex(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("w", split(col("text"), "[^a-zA-Z0-9]+"))
+      .select(
+        col("doc_id"),
+        aggregate(
+          transform(col("w"), x => (length(x) + lit(3)) / lit(4)),
+          lit(0L), (acc, x) => acc + x.cast("long")).as("n_subword_tokens"))
+
+  private val Stopwords = Seq("the", "a", "of", "and", "to")
+
+  /** Quality scoring: length, stopword ratio, mean token length, vocabulary
+    * diversity — the standard pre-training quality-filter features. */
+  def qualityScore(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("w")).cast("long"))
+      .withColumn("n_stop",
+        size(filter(col("w"), x => x.isin(Stopwords: _*))).cast("long"))
+      .withColumn("n_unique", size(array_distinct(col("w"))).cast("long"))
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_calc"),
+        col("n_tokens"),
+        (col("n_stop").cast("double") / col("n_tokens")).as("stopword_ratio"),
+        (col("n_unique").cast("double") / col("n_tokens")).as("ttr"),
+        // composite score: diversity minus stopword penalty, clipped to [0,1]
+        least(greatest(
+          (col("n_unique").cast("double") / col("n_tokens"))
+            - lit(0.5) * (col("n_stop").cast("double") / col("n_tokens")),
+          lit(0.0)), lit(1.0)).as("quality_score"))
+
+  /** Language identification via corpus-trained character-trigram majority
+    * vote: (1) per trigram, the modal language over the corpus (count desc,
+    * lang asc tie-break); (2) per document, majority vote of its distinct
+    * trigrams' modal languages. Self-supervised n-gram LID — the dictionary
+    * is a broadcast-sized dimension at any corpus scale.
+    */
+  def langId(documents: DataFrame): DataFrame = {
+    val tri = documents
+      .filter(length(col("text")) >= 3)
+      .select(col("doc_id"), col("lang"),
+        explode(array_distinct(transform(
+          sequence(lit(1), length(col("text")) - 2),
+          i => col("text").substr(i, lit(3))))).as("tg"))
+    val dictW = Window.partitionBy(col("tg"))
+      .orderBy(col("cnt").desc, col("lang").asc)
+    val dict = tri.groupBy(col("tg"), col("lang")).agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(dictW)).filter(col("rn") === 1)
+      .select(col("tg"), col("lang").as("tg_lang"))
+    val voteW = Window.partitionBy(col("doc_id"))
+      .orderBy(col("votes").desc, col("tg_lang").asc)
+    tri.select(col("doc_id"), col("lang"), col("tg"))
+      .join(broadcast(dict), Seq("tg"))
+      .groupBy(col("doc_id"), col("lang"), col("tg_lang"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("rn", row_number().over(voteW)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang"), col("tg_lang").as("guess"),
+        when(col("tg_lang") === col("lang"), lit(1)).otherwise(lit(0))
+          .cast("int").as("correct"))
+  }
+
+  /** Position-weighted modular document fingerprint:
+    * fp = Σ_i code(c_i) · ((A·i + B) mod P) mod P — pure int64 arithmetic
+    * (bounded: 127 · P · len < 2^63), identical in any engine; the cheap
+    * deterministic stand-in for a rolling content hash.
+    */
+  val FpP = 1000003L
+  val FpA = 8191L
+  val FpB = 524287L
+  def fingerprint(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      (aggregate(
+        transform(sequence(lit(1), length(col("text"))),
+          i => ascii(col("text").substr(i, lit(1)))
+            * ((lit(FpA) * i + lit(FpB)) % lit(FpP))),
+        lit(0L), (acc, x) => acc + x.cast("long")) % lit(FpP)).as("fp"))
+}
