@@ -69,30 +69,26 @@ object Dedup {
     sh.select(col("sh")).distinct()
       .withColumn("sid", dense_rank().over(Window.orderBy(col("sh"))).cast("long"))
 
-  /** MinHash signatures, LONG format: (doc_id, j, minh) for j in 0..15 with
-    * minh_j = min over shingles of (A_j·sid + B_j) mod P. */
-  def minhashLong(documents: DataFrame, k: Int = 3): DataFrame = {
-    val sh = shingles(documents, k)
+  private def minhashWideFromShingles(sh: DataFrame): DataFrame = {
     val withId = sh.join(shingleDict(sh), Seq("sh")).select(col("doc_id"), col("sid"))
     val hashes = (0 until NumHashes).map { j =>
       min((lit(hashA(j)) * col("sid") + lit(hashB(j))) % lit(P)).as(s"h$j")
     }
     withId.groupBy(col("doc_id")).agg(hashes.head, hashes.tail: _*)
+  }
+
+  /** MinHash signatures, LONG format: (doc_id, j, minh) for j in 0..15 with
+    * minh_j = min over shingles of (A_j·sid + B_j) mod P. */
+  def minhashLong(documents: DataFrame, k: Int = 3): DataFrame =
+    minhashWideFromShingles(shingles(documents, k))
       .select(col("doc_id"),
         explode(map((0 until NumHashes).flatMap(j =>
           Seq(lit(j), col(s"h$j"))): _*)).as(Seq("j", "minh")))
-  }
 
   /** MinHash signatures, WIDE format (doc_id, h0..h15) — the materialized
     * signature table an incremental dedup service would maintain. */
-  def minhashWide(documents: DataFrame, k: Int = 3): DataFrame = {
-    val sh = shingles(documents, k)
-    val withId = sh.join(shingleDict(sh), Seq("sh")).select(col("doc_id"), col("sid"))
-    val hashes = (0 until NumHashes).map { j =>
-      min((lit(hashA(j)) * col("sid") + lit(hashB(j))) % lit(P)).as(s"h$j")
-    }
-    withId.groupBy(col("doc_id")).agg(hashes.head, hashes.tail: _*)
-  }
+  def minhashWide(documents: DataFrame, k: Int = 3): DataFrame =
+    minhashWideFromShingles(shingles(documents, k))
 
   /** MinHash-LSH near-dup pairs: band signatures (4 bands × 4 hashes) →
     * bucket self-join per band → distinct candidates → exact-Jaccard verify.
@@ -100,7 +96,9 @@ object Dedup {
     * final filter makes the output exact w.r.t. the candidate set. */
   def minhashLshPairs(documents: DataFrame, k: Int = 3,
                       threshold: Double = 0.5): DataFrame = {
-    val wide = minhashWide(documents, k)
+    // one cached shingle pass feeds signatures, counts AND the verify join
+    val sh = shingles(documents, k).cache()
+    val wide = minhashWideFromShingles(sh)
     def bandSig(b: Int): Column =
       concat_ws(",", (0 until BandSize).map(r => col(s"h${b * BandSize + r}")): _*)
     val bands = (0 until NumHashes / BandSize).map { b =>
@@ -110,8 +108,7 @@ object Dedup {
       .join(bands.withColumnRenamed("doc_id", "doc_id2").as("y"), Seq("band", "sig"))
       .filter(col("doc_id") < col("doc_id2"))
       .select(col("doc_id"), col("doc_id2")).distinct()
-    // exact-verify candidates (recompute Jaccard only for candidate pairs)
-    val sh = shingles(documents, k).cache()
+    // exact-verify candidates (Jaccard only for candidate pairs)
     val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("a")
       .join(sh.withColumnRenamed("doc_id", "doc_id2").as("b"), Seq("sh"))

@@ -70,12 +70,15 @@ object TextAnalysis {
     * is a broadcast-sized dimension at any corpus scale.
     */
   def langId(documents: DataFrame): DataFrame = {
+    // cached: the exploded trigram set feeds both dictionary training and
+    // the per-document vote (avoids a second full explode pass)
     val tri = documents
       .filter(length(col("text")) >= 3)
       .select(col("doc_id"), col("lang"),
         explode(array_distinct(transform(
           sequence(lit(1), length(col("text")) - 2),
           i => col("text").substr(i, lit(3))))).as("tg"))
+      .cache()
     val dictW = Window.partitionBy(col("tg"))
       .orderBy(col("cnt").desc, col("lang").asc)
     val dict = tri.groupBy(col("tg"), col("lang")).agg(count(lit(1)).as("cnt"))

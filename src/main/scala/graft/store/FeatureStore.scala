@@ -1,0 +1,103 @@
+package graft.store
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{Features, Labels, Snapshots}
+
+/** The feature-store facade — the engine-level equivalent of the reference's
+  * serving surface (SURVEY.md §2.9): snapshot lookup, batch scoring inputs,
+  * gold materialization, training-set assembly, prediction logging.
+  *
+  * The reference serves per-request from an in-memory pandas frame
+  * (serving/feature_service.py:27-46); Spark-native, the contract is:
+  * batch jobs MATERIALIZE (gold tables, online KV, snapshots), the serving
+  * edge reads materialized artifacts and never launches a Spark job per
+  * request (SURVEY.md §3 EP3).
+  */
+object FeatureStore {
+
+  /** S3 — hive-partitioned gold write with dynamic partition overwrite
+    * (reference: jobs/build_feature_views.py:75-82 writes one file per date
+    * dir by hand; `repartition` by the partition column controls file count,
+    * dynamic overwrite makes re-runs per-partition idempotent). */
+  def writeGold(features: DataFrame, path: String): Unit = {
+    val withDate = features.withColumn("date",
+      to_date(timestamp_micros(col("ts_us"))))
+    withDate.sparkSession.conf
+      .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    withDate
+      .repartition(col("date"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("date")
+      .parquet(path)
+  }
+
+  /** Full gold build: events → 17-column feature view (EP2). */
+  def buildGold(spark: SparkSession, sfDir: String): DataFrame =
+    Features.featureView(graft.Tables.events(spark, sfDir))
+
+  /** J4 — all-customer latest snapshot (what the online store is loaded
+    * from; reference: jobs/materialize_online.py:19). */
+  def latestSnapshots(gold: DataFrame): DataFrame =
+    Snapshots.latestPerKey(gold, "user_id", "ts_us", "event_id")
+
+  /** J3 — all-customer as-of snapshot at a point in time. */
+  def snapshotsAsOf(gold: DataFrame, asOfUs: Long): DataFrame =
+    Snapshots.asOf(gold, "user_id", "ts_us", "event_id", asOfUs)
+
+  /** J3 single-key lookup (the reference's per-request path,
+    * serving/feature_service.py:36-46). Against a date-partitioned gold
+    * table, Catalyst prunes partitions/row-groups via the pushed
+    * `user_id = key` filter — but per-request calls should hit the
+    * materialized KV store instead (see KvSink). */
+  def snapshot(gold: DataFrame, userId: Long, asOfUs: Long): Option[Map[String, Any]] = {
+    val row = gold
+      .filter(col("user_id") === userId && col("ts_us") <= asOfUs)
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+      .limit(1).collect()
+    row.headOption.map(r => r.schema.fieldNames.zip(r.toSeq).toMap)
+  }
+
+  /** E2 — feature-vector alignment: project in contract order, missing
+    * columns → 0.0, everything double (reference:
+    * serving/feature_service.py:48-59 + feature_names.txt). */
+  def alignVector(df: DataFrame, contract: Seq[String]): DataFrame = {
+    val have = df.columns.toSet
+    df.select(contract.map { name =>
+      (if (have(name)) coalesce(col(name).cast("double"), lit(0.0))
+       else lit(0.0)).as(name)
+    }: _*)
+  }
+
+  /** The ordered feature-name contract (reference:
+    * serving/models/feature_names.txt, written at training time by
+    * jobs/make_training_and_train.py:91). */
+  def featureNames: Seq[String] =
+    Features.Windows.flatMap { case (lbl, _) =>
+      Seq(s"txn_count_$lbl", s"spend_$lbl", s"unique_skus_$lbl",
+        s"avg_basket_value_$lbl", s"cancel_rate_$lbl")
+    } ++ Seq("tenure_days", "user_id")
+
+  /** M3 — full training-set assembly (EP chain of
+    * jobs/make_training_and_train.py:96-101): features ⋈ J2 labels,
+    * ordered T3 split column included. */
+  def trainingSet(spark: SparkSession, sfDir: String,
+                  horizonUs: Long = 7 * Features.DayUs): DataFrame = {
+    val gold = buildGold(spark, sfDir)
+    val purchases = graft.Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts_us"))
+    val labels = Labels.churnLabelsWindow(purchases, horizonUs)
+      .select(col("user_id"), col("event_id"), col("churn"))
+    val joined = gold.join(labels, Seq("user_id", "event_id"), "inner")
+    Labels.orderedSplit(joined, Seq("user_id", "ts_us", "event_id"))
+  }
+
+  /** S4 — append-only prediction log, date-partitioned (reference:
+    * serving/pred_logger.py:14-18). Append mode: concurrent writers add
+    * files, never clobber. */
+  def logPredictions(preds: DataFrame, path: String): Unit =
+    preds
+      .withColumn("date", to_date(timestamp_micros(col("ts_us"))))
+      .write.mode(SaveMode.Append).partitionBy("date").parquet(path)
+}

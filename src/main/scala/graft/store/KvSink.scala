@@ -1,0 +1,78 @@
+package graft.store
+
+import java.util.concurrent.ConcurrentHashMap
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** S5 — online KV materialization (reference: jobs/materialize_online.py).
+  *
+  * The reference pipelines `HSET fs:customer:{id} {feature -> str}` into
+  * Redis (:44-57). Spark-native: `foreachPartition` with one client +
+  * pipeline per partition — connections amortized over partition batches,
+  * which is the correct shape for any networked sink at cluster scale.
+  * Redis itself isn't in this container, so the client is pluggable and
+  * tests use the in-memory implementation; a Jedis-backed client drops in
+  * without touching the sink logic.
+  */
+object KvSink {
+
+  /** Minimal hash-set client surface (what the reference uses of Redis). */
+  trait KvClient extends Serializable {
+    def hset(key: String, fields: Map[String, String]): Unit
+    def close(): Unit = ()
+  }
+
+  /** In-memory stand-in (JVM-local; works in local[*] where executors share
+    * the driver JVM — a real deployment supplies a networked client). */
+  class InMemoryKvClient extends KvClient {
+    def hset(key: String, fields: Map[String, String]): Unit =
+      InMemoryKvClient.store.merge(key, fields, (a, b) => a ++ b)
+  }
+  object InMemoryKvClient {
+    val store = new ConcurrentHashMap[String, Map[String, String]]()
+    def snapshot: Map[String, Map[String, String]] = store.asScala.toMap
+    def clear(): Unit = store.clear()
+  }
+
+  /** O16 — stringify row fields the way the reference does
+    * (jobs/materialize_online.py:23-42): numeric features as `str(float)`,
+    * nulls → "0", meta fields verbatim. */
+  def rowToFields(row: Row, featureCols: Seq[String],
+                  metaCols: Seq[String]): Map[String, String] = {
+    val feats = featureCols.map { c =>
+      val v = row.getAs[Any](c)
+      val s = v match {
+        case null => "0"
+        case d: Double => d.toString
+        case n: Number => n.doubleValue().toString
+        case other => other.toString
+      }
+      c -> s
+    }
+    val metas = metaCols.map(c => s"meta:$c" -> String.valueOf(row.getAs[Any](c)))
+    (feats ++ metas).toMap
+  }
+
+  /** Materialize latest snapshots into the KV store:
+    * key = `{prefix}{user_id}`, fields per O16. */
+  def materializeOnline(snapshots: DataFrame, newClient: () => KvClient,
+                        keyPrefix: String = "fs:customer:"): Long = {
+    val featureCols = FeatureStore.featureNames.filterNot(_ == "user_id")
+      .filter(snapshots.columns.contains)
+    val metaCols = Seq("ts_us").filter(snapshots.columns.contains)
+    val keyed = snapshots.withColumn("__key",
+      concat(lit(keyPrefix), col("user_id").cast("string")))
+    val n = snapshots.sparkSession.sparkContext.longAccumulator("kv_rows")
+    keyed.foreachPartition { (it: Iterator[Row]) =>
+      val client = newClient()
+      try it.foreach { row =>
+        client.hset(row.getAs[String]("__key"),
+          rowToFields(row, featureCols, metaCols))
+        n.add(1)
+      } finally client.close()
+    }
+    n.value
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.store.{FeatureStore, KvSink}
+
+/** M3/M4 serving-path behavior: gold write/read roundtrip with partition
+  * pruning, snapshot lookup, vector alignment contract, KV materialization,
+  * prediction-log append semantics. */
+class StoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("gold write → partitioned layout, re-read equals source, rerun idempotent") {
+    val dir = java.nio.file.Files.createTempDirectory("gold").toString
+    val gold = FeatureStore.buildGold(spark, sf)
+    FeatureStore.writeGold(gold, dir)
+    FeatureStore.writeGold(gold, dir) // dynamic-overwrite rerun must not dup
+    val back = spark.read.parquet(dir)
+    assert(back.count() == gold.count())
+    assert(new java.io.File(dir).listFiles().exists(_.getName.startsWith("date=")))
+  }
+
+  test("single-key snapshot equals the batch as-of row for that key") {
+    val gold = FeatureStore.buildGold(spark, sf).cache()
+    val asOf = 1705276800000000L
+    val batch = FeatureStore.snapshotsAsOf(gold, asOf)
+      .filter($"user_id" === 7L).collect()
+    val single = FeatureStore.snapshot(gold, 7L, asOf)
+    assert(single.isDefined == batch.nonEmpty)
+    for (s <- single; b <- batch.headOption)
+      assert(s("event_id") == b.getAs[Long]("event_id"))
+  }
+
+  test("alignVector: contract order, missing → 0.0, all double") {
+    val df = Seq((1L, 5L)).toDF("user_id", "txn_count_7d")
+    val out = FeatureStore.alignVector(df, FeatureStore.featureNames)
+    assert(out.columns.toSeq == FeatureStore.featureNames)
+    assert(out.schema.fields.forall(_.dataType.typeName == "double"))
+    val r = out.collect()(0)
+    assert(r.getAs[Double]("txn_count_7d") == 5.0)
+    assert(r.getAs[Double]("spend_1d") == 0.0)
+  }
+
+  test("KV materialization writes one hash per user with stringified fields") {
+    KvSink.InMemoryKvClient.clear()
+    val gold = FeatureStore.buildGold(spark, sf)
+    val snaps = FeatureStore.latestSnapshots(gold)
+    val n = KvSink.materializeOnline(snaps, () => new KvSink.InMemoryKvClient)
+    val store = KvSink.InMemoryKvClient.snapshot
+    assert(n == snaps.count() && store.size == n)
+    val (k, fields) = store.head
+    assert(k.startsWith("fs:customer:"))
+    assert(fields.contains("spend_7d") && fields.contains("meta:ts_us"))
+    assert(fields("spend_7d").toDouble >= 0.0) // stringified numeric
+  }
+
+  test("prediction log appends (never clobbers) under date partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("predlog").toString
+    val preds = Seq((1L, 1705276800000000L, 0.9, 1))
+      .toDF("user_id", "ts_us", "probability", "prediction")
+    FeatureStore.logPredictions(preds, dir)
+    FeatureStore.logPredictions(preds, dir)
+    assert(spark.read.parquet(dir).count() == 2) // append semantics
+  }
+}
