@@ -293,6 +293,42 @@ object ExtEntries {
               |WHERE i <= len(text)
               |GROUP BY doc_id""".stripMargin)),
 
+    // Custom TypedImperativeAggregate: exact distinct count over a range
+    // frame (the SURVEY §4 scale-path aggregate), vs DuckDB's windowed
+    // COUNT(DISTINCT)
+    Q("q35_distinct_window",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val base = graft.ops.Features.eventFrame(Tables.events(s, d))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts_us"))
+          .rangeBetween(-7L * 86400L * 1000000L, 0)
+        base.select(col("user_id"), col("event_id"), col("ts_us"),
+          graft.functions.GraftFunctions.distinctCountExact(col("sku"))
+            .over(w).as("uniq_7d"))
+      },
+      Some("""SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             |  CAST(count(DISTINCT props) OVER (PARTITION BY user_id
+             |    ORDER BY epoch_us(ts)
+             |    RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS uniq_7d
+             |FROM events""".stripMargin)),
+
+    // Custom codegen'd Expression: native single-pass fingerprint (same
+    // semantics as q33's declarative formulation, same oracle)
+    Q("q36_fingerprint_native",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        Tables.documents(s, d).select(col("doc_id"),
+          graft.functions.GraftFunctions.asciiFingerprint(col("text")).as("fp"))
+      },
+      Some(s"""SELECT doc_id,
+              |  CAST(sum(ord(substr(text, CAST(i AS INT), 1)) *
+              |    ((${TextAnalysis.FpA} * i + ${TextAnalysis.FpB}) % ${TextAnalysis.FpP}))
+              |    % ${TextAnalysis.FpP} AS BIGINT) AS fp
+              |FROM documents, (SELECT unnest(range(1, 700)) AS i) t
+              |WHERE i <= len(text)
+              |GROUP BY doc_id""".stripMargin)),
+
     // BPE-ish sub-word token budget count
     Q("q34_token_count_bpe",
       (s, d) => TextAnalysis.tokenCountRegex(Tables.documents(s, d)),

@@ -1,0 +1,48 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Registration + Column-level access for the custom Catalyst functions.
+  *
+  * Two registration paths:
+  *  - `GraftExtensions` for `SparkSession.builder.withExtensions(...)` /
+  *    `spark.sql.extensions=graft.functions.GraftExtensions` (cluster conf);
+  *  - `register(spark)` for an already-built session (idempotent).
+  * Column helpers go through `call_function`, so `.over(window)` etc. work
+  * like any built-in.
+  */
+object GraftFunctions {
+
+  private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "distinct_count_exact" -> (exprs => DistinctCountAgg(exprs.head)),
+    "ascii_fingerprint" -> (exprs => AsciiFingerprint(exprs.head)))
+
+  def register(spark: SparkSession): Unit =
+    fns.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+
+  def distinctCountExact(c: Column): Column =
+    org.apache.spark.sql.functions.call_function("distinct_count_exact", c)
+
+  def asciiFingerprint(c: Column): Column =
+    org.apache.spark.sql.functions.call_function("ascii_fingerprint", c)
+}
+
+/** `spark.sql.extensions` entry point. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("distinct_count_exact"),
+      new ExpressionInfo(classOf[DistinctCountAgg].getName, "distinct_count_exact"),
+      (exprs: Seq[Expression]) => DistinctCountAgg(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("ascii_fingerprint"),
+      new ExpressionInfo(classOf[AsciiFingerprint].getName, "ascii_fingerprint"),
+      (exprs: Seq[Expression]) => AsciiFingerprint(exprs.head)))
+  }
+}

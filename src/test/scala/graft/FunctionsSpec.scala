@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+import graft.ext.TextAnalysis
+
+/** Custom Catalyst function semantics: the imperative distinct-count agg
+  * against collect_set, the codegen'd fingerprint against the declarative
+  * formulation, SQL registration, and window use. */
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("distinct_count_exact equals size(collect_set) as plain aggregate") {
+    GraftFunctions.register(spark)
+    val df = Seq((1, "a"), (1, "b"), (1, "a"), (2, "z")).toDF("k", "v")
+    val got = df.groupBy($"k")
+      .agg(GraftFunctions.distinctCountExact($"v").as("d"))
+      .orderBy($"k").select($"d").as[Long].collect()
+    assert(got.toSeq == Seq(2L, 1L))
+  }
+
+  test("distinct_count_exact over a range frame equals collect_set size") {
+    GraftFunctions.register(spark)
+    val ev = Tables.events(spark, sf)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts_us")
+      .rangeBetween(-86400000000L, 0)
+    val both = ev.select($"user_id", $"event_id",
+      GraftFunctions.distinctCountExact($"props").over(w).as("custom"),
+      size(collect_set($"props").over(w)).cast("long").as("builtin"))
+    assert(both.filter($"custom" =!= $"builtin").count() == 0)
+  }
+
+  test("distinct_count_exact ignores nulls") {
+    GraftFunctions.register(spark)
+    val df = Seq(Some("a"), None, Some("a"), Some("b")).toDF("v")
+    val got = df.agg(GraftFunctions.distinctCountExact($"v")).as[Long].collect()
+    assert(got.toSeq == Seq(2L))
+  }
+
+  test("ascii_fingerprint (codegen) equals the declarative fingerprint") {
+    GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, sf)
+    val native = docs.select($"doc_id",
+      GraftFunctions.asciiFingerprint($"text").as("fp"))
+    val decl = TextAnalysis.fingerprint(docs).withColumnRenamed("fp", "fp2")
+    assert(native.join(decl, Seq("doc_id"))
+      .filter($"fp" =!= $"fp2").count() == 0)
+  }
+
+  test("custom functions are callable from SQL after registration") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT ascii_fingerprint('hello') AS fp").as[Long].collect()(0)
+    assert(r > 0)
+    // and via the extensions class on a fresh-config path: the builder hook
+    // exists and is well-formed
+    assert(new graft.functions.GraftExtensions() != null)
+  }
+}
