@@ -314,6 +314,47 @@ object SparkEntry {
              |  CAST(sum(vc) AS BIGINT) / 100.0 AS value_sum
              |FROM s2 GROUP BY user_id, session_id""".stripMargin)),
 
+    // Ranking/analytic window functions (beyond-reference surface, free in
+    // Spark: rank, dense_rank, lag, lead over the per-user event sequence)
+    Q("q37_rank_funcs",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+        Tables.events(s, d).select(
+          col("user_id"), col("event_id"), col("ts_us"),
+          row_number().over(w).cast("long").as("rn"),
+          rank().over(w).cast("long").as("rnk"),
+          dense_rank().over(w).cast("long").as("drnk"),
+          lag(col("ts_us"), 1).over(w).as("prev_ts"),
+          lead(col("ts_us"), 1).over(w).as("next_ts"),
+          (col("ts_us") - lag(col("ts_us"), 1).over(w)).as("gap_us"))
+      },
+      Some("""SELECT user_id, event_id, ts_us,
+             |  row_number() OVER w AS rn,
+             |  rank() OVER w AS rnk,
+             |  dense_rank() OVER w AS drnk,
+             |  lag(ts_us) OVER w AS prev_ts,
+             |  lead(ts_us) OVER w AS next_ts,
+             |  ts_us - lag(ts_us) OVER w AS gap_us
+             |FROM (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events)
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)""".stripMargin)),
+
+    // ROLLUP grouping sets (beyond-reference; subtotal rows with NULL keys)
+    Q("q38_rollup",
+      (s, d) => Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .withColumn("price_c", round(col("o_totalprice") * 100).cast("long"))
+        .rollup(col("n_name"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          (sum(col("price_c")) / lit(100.0)).as("revenue")),
+      Some("""SELECT n_name, o_orderstatus, count(*) AS n_orders,
+             |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS revenue
+             |FROM orders
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY ROLLUP (n_name, o_orderstatus)""".stripMargin)),
+
     // Range join: clicks in the hour strictly before each purchase
     Q("q18_range_join",
       (s, d) => {

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.ops.{Features, Labels, Snapshots}
+
+/** Property tests (SURVEY.md §5.3): the distributed operators against
+  * brute-force O(n²) reimplementations of the reference semantics on random
+  * event sets. Generators driven manually (no scalatestplus bridge in the
+  * offline cache) with fixed seeds → deterministic. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](gen: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i =>
+      gen.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private def forAll[A](gen: Gen[A])(body: A => Unit): Unit =
+    samples(gen, 8).foreach(body)
+
+  private def forAll[A, B](g1: Gen[A], g2: Gen[B])(body: (A, B) => Unit): Unit =
+    samples(g1.flatMap(a => g2.map(b => (a, b))), 8)
+      .foreach { case (a, b) => body(a, b) }
+
+  private val eventsGen: Gen[List[(Long, Long, Long, Long)]] = for {
+    n <- Gen.choose(1, 60)
+    rows <- Gen.listOfN(n, for {
+      user <- Gen.choose(1L, 4L)
+      ts <- Gen.choose(0L, 3L * Features.DayUs)
+      cents <- Gen.choose(0L, 10000L)
+    } yield (user, ts, cents))
+  } yield rows.zipWithIndex.map { case ((u, t, c), i) => (u, i.toLong, t, c) }
+
+  test("windowed sum over [t-w, t] equals brute-force recompute") {
+    forAll(eventsGen) { rows =>
+      val w = Features.DayUs
+      val df = rows.toDF("user_id", "event_id", "ts_us", "cents")
+      val got = df.withColumn("s",
+        sum($"cents").over(org.apache.spark.sql.expressions.Window
+          .partitionBy($"user_id").orderBy($"ts_us").rangeBetween(-w, 0)))
+        .select($"event_id", $"s").as[(Long, Long)].collect().toMap
+      rows.foreach { case (u, id, t, _) =>
+        val expect = rows.filter { case (u2, _, t2, _) =>
+          u2 == u && t2 >= t - w && t2 <= t
+        }.map(_._4).sum
+        assert(got(id) == expect, s"event $id")
+      }
+    }
+  }
+
+  test("churn label equals naive interval scan (strict lower, incl. upper)") {
+    forAll(eventsGen) { rows =>
+      val h = Features.DayUs
+      val df = rows.toDF("user_id", "event_id", "ts_us", "cents")
+      val got = Labels.churnLabelsWindow(df, h)
+        .select($"event_id", $"churn").as[(Long, Int)].collect().toMap
+      rows.foreach { case (u, id, t, _) =>
+        val rescued = rows.exists { case (u2, _, t2, _) =>
+          u2 == u && t2 > t && t2 <= t + h
+        }
+        assert(got(id) == (if (rescued) 0 else 1), s"event $id")
+      }
+    }
+  }
+
+  test("asOf snapshot equals naive filtered max") {
+    forAll(eventsGen, Gen.choose(0L, 3L * Features.DayUs)) { (rows, asOf) =>
+      val df = rows.toDF("user_id", "event_id", "ts_us", "cents")
+      val got = Snapshots.asOf(df, "user_id", "ts_us", "event_id", asOf)
+        .select($"user_id", $"event_id").as[(Long, Long)].collect().toMap
+      val byUser = rows.filter(_._3 <= asOf).groupBy(_._1)
+      assert(got.keySet == byUser.keySet)
+      byUser.foreach { case (u, rs) =>
+        val expect = rs.maxBy(r => (r._3, r._2))._2 // ts desc, event_id desc
+        assert(got(u) == expect, s"user $u")
+      }
+    }
+  }
+}
