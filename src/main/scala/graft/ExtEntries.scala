@@ -170,7 +170,10 @@ object ExtEntries {
 
     // Embedding near-dup pairs via sign-random-projection buckets + exact cos
     Q("q26_embed_neardup",
-      (s, d) => Similarity.embeddingNearDupPairs(Tables.embeddings(s, d), 8, 0.4),
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        Similarity.embeddingNearDupPairs(Tables.embeddings(s, d), 8, 0.4)
+      },
       Some(s"""WITH b AS (
               |  SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings)
               |SELECT x.vec_id AS v1, y.vec_id AS v2,
@@ -180,7 +183,10 @@ object ExtEntries {
 
     // Exact brute-force cosine top-5 for 20 query vectors
     Q("q27_ann_topk",
-      (s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d), 20, 5),
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        Similarity.bruteForceTopK(Tables.embeddings(s, d), 20, 5)
+      },
       Some(s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
               |          FROM embeddings WHERE vec_id < 20),
               |c AS (SELECT vec_id AS n_id, embedding AS n_emb FROM embeddings),
@@ -194,7 +200,10 @@ object ExtEntries {
 
     // IVF top-5: deterministic coarse centroids (vec_id % 100 == 0), nprobe=2
     Q("q28_ann_ivf",
-      (s, d) => Similarity.ivfTopK(Tables.embeddings(s, d), 20, 5, 100, 2),
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        Similarity.ivfTopK(Tables.embeddings(s, d), 20, 5, 100, 2)
+      },
       Some(s"""WITH cent AS (SELECT vec_id AS c_id, embedding AS c_emb
               |             FROM embeddings WHERE vec_id % 100 = 0),
               |assigned AS (

@@ -24,8 +24,18 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two float-array columns (as doubles). */
+  /** Sequential-fold dot product of two float-array columns (as doubles),
+    * via the native codegen'd ArrayDot expression — identical fold order to
+    * the declarative `aggregate(zip_with(...))` form (kept below for
+    * reference/tests) but compiled instead of interpreted.
+    * Callers must have run `GraftFunctions.register(spark)` (all SparkEntry
+    * queries and the FeatureStore paths do). */
   def dot(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.graftDot(a, b)
+
+  /** Declarative formulation (interpreted higher-order functions); retained
+    * as the semantic reference for ArrayDot parity tests. */
+  def dotDeclarative(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 
@@ -104,11 +114,8 @@ object Similarity {
   /** Sign-random-projection bucket id over nPlanes hyperplanes. */
   def lshBucket(emb: Column, nPlanes: Int): Column =
     (0 until nPlanes).map { j =>
-      val proj = aggregate(
-        zip_with(emb,
-          array((0 until 64).map(d => lit(planeComponent(j, d))): _*),
-          (x, p) => x.cast("double") * p),
-        lit(0.0), (acc, x) => acc + x)
+      val proj = dot(emb,
+        array((0 until 64).map(d => lit(planeComponent(j, d))): _*))
       when(proj > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 

@@ -18,7 +18,8 @@ object GraftFunctions {
 
   private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "distinct_count_exact" -> (exprs => DistinctCountAgg(exprs.head)),
-    "ascii_fingerprint" -> (exprs => AsciiFingerprint(exprs.head)))
+    "ascii_fingerprint" -> (exprs => AsciiFingerprint(exprs.head)),
+    "graft_dot" -> (exprs => ArrayDot(exprs(0), exprs(1))))
 
   def register(spark: SparkSession): Unit =
     fns.foreach { case (name, builder) =>
@@ -31,6 +32,9 @@ object GraftFunctions {
 
   def asciiFingerprint(c: Column): Column =
     org.apache.spark.sql.functions.call_function("ascii_fingerprint", c)
+
+  def graftDot(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_dot", a, b)
 }
 
 /** `spark.sql.extensions` entry point. */
@@ -44,5 +48,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("ascii_fingerprint"),
       new ExpressionInfo(classOf[AsciiFingerprint].getName, "ascii_fingerprint"),
       (exprs: Seq[Expression]) => AsciiFingerprint(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[ArrayDot].getName, "graft_dot"),
+      (exprs: Seq[Expression]) => ArrayDot(exprs(0), exprs(1))))
   }
 }

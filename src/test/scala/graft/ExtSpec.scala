@@ -54,6 +54,7 @@ class ExtSpec extends SparkSpec {
   }
 
   test("brute-force top-k: identical vector ranks first with cos ~ 1") {
+    graft.functions.GraftFunctions.register(spark)
     val e = Seq(
       (0L, Array(1.0f, 0.0f), 0), (1L, Array(1.0f, 0.0f), 0),
       (2L, Array(0.0f, 1.0f), 1), (3L, Array(-1.0f, 0.1f), 1))
@@ -66,6 +67,7 @@ class ExtSpec extends SparkSpec {
   }
 
   test("IVF with full probing equals brute force (recall sanity)") {
+    graft.functions.GraftFunctions.register(spark)
     val emb = Tables.embeddings(spark, sf).limit(200).cache()
     val bf = Similarity.bruteForceTopK(emb, 5, 3)
       .select($"q_id", $"rank", $"n_id")

@@ -48,6 +48,22 @@ class FunctionsSpec extends SparkSpec {
       .filter($"fp" =!= $"fp2").count() == 0)
   }
 
+  test("graft_dot (codegen) is bit-identical to the declarative fold, mixed types") {
+    GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, sf).limit(100)
+    val both = emb.select(
+      GraftFunctions.graftDot($"embedding", $"embedding").as("native"),
+      graft.ext.Similarity.dotDeclarative($"embedding", $"embedding").as("decl"))
+    assert(both.filter($"native" =!= $"decl").count() == 0)
+    // mixed float-array × double-array (the hyperplane case)
+    val planes = emb.select($"embedding",
+      array((0 until 64).map(i => lit(i * 0.01 - 0.3)): _*).as("plane"))
+    val mixed = planes.select(
+      GraftFunctions.graftDot($"embedding", $"plane").as("native"),
+      graft.ext.Similarity.dotDeclarative($"embedding", $"plane").as("decl"))
+    assert(mixed.filter($"native" =!= $"decl").count() == 0)
+  }
+
   test("custom functions are callable from SQL after registration") {
     GraftFunctions.register(spark)
     val r = spark.sql(
