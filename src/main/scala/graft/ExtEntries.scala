@@ -272,7 +272,10 @@ object ExtEntries {
     Q("q32_text_langid",
       (s, d) => TextAnalysis.langId(Tables.documents(s, d)),
       Some("""WITH tri AS (
-             |  SELECT DISTINCT doc_id, lang, substr(text, CAST(i AS INT), 3) AS tg
+             |  SELECT DISTINCT doc_id, lang,
+             |    CAST(ord(substr(text, CAST(i AS INT), 1)) * 65536
+             |       + ord(substr(text, CAST(i AS INT) + 1, 1)) * 256
+             |       + ord(substr(text, CAST(i AS INT) + 2, 1)) AS BIGINT) AS tg
              |  FROM documents, (SELECT unnest(range(1, 700)) AS i) t
              |  WHERE len(text) >= 3 AND i <= len(text) - 2),
              |dict AS (

@@ -355,6 +355,103 @@ object SparkEntry {
              |JOIN nation ON c_nationkey = n_nationkey
              |GROUP BY ROLLUP (n_name, o_orderstatus)""".stripMargin)),
 
+    // AS-OF JOIN between two tables (union-window formulation, one shuffle);
+    // oracle = DuckDB's NATIVE ASOF JOIN — an independent implementation of
+    // the same semantics, so this cross-checks the operator, not the SQL
+    Q("q39_asof_join",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts_us"), col("event_id"))
+        val views = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id"), col("ts_us"))
+          .agg(max(col("value")).as("r_value"))
+        Snapshots.asOfJoin(purchases, views, "user_id", "ts_us", Seq("r_value"))
+      },
+      Some("""WITH p AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us
+             |          FROM events WHERE event_type = 'purchase'),
+             |v AS (SELECT user_id, epoch_us(ts) AS ts_us, max(value) AS r_value
+             |      FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+             |SELECT p.user_id, p.ts_us, p.event_id, v.r_value
+             |FROM p ASOF LEFT JOIN v
+             |  ON p.user_id = v.user_id AND p.ts_us >= v.ts_us""".stripMargin)),
+
+    // Two-phase salted distinct count (hot-key skew mitigation shape;
+    // result identical to a plain distinct count)
+    Q("q40_salted_distinct",
+      (s, d) => graft.ops.Skew.saltedDistinctCount(
+        lineitem(s, d), "l_suppkey", "l_partkey", 8),
+      Some("""SELECT l_suppkey, CAST(count(DISTINCT l_partkey) AS BIGINT) AS distinct_cnt
+             |FROM lineitem GROUP BY l_suppkey""".stripMargin)),
+
+    // Statistical aggregates from integer sufficient statistics — built-in
+    // stddev/corr use different streaming algorithms per engine (Welford
+    // vs naive) and won't bit-match; the sufficient-statistic formulation
+    // is exact in both AND is how you'd compute them at 100 TB anyway
+    // (one pass, partial-aggregable sums)
+    Q("q41_stats_summary",
+      (s, d) => lineitem(s, d)
+        .withColumn("q", col("l_quantity").cast("long"))
+        .withColumn("p", round(col("l_extendedprice")).cast("long"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(col("q")).as("sq"),
+          sum(col("q") * col("q")).as("sqq"), sum(col("p")).as("sp"),
+          sum(col("p") * col("p")).as("spp"), sum(col("q") * col("p")).as("sqp"))
+        .select(col("l_returnflag"), col("n"),
+          ((col("sqq") - col("sq") * col("sq") / col("n").cast("double"))
+            / (col("n") - 1)).as("var_qty"),
+          sqrt((col("sqq") - col("sq") * col("sq") / col("n").cast("double"))
+            / (col("n") - 1)).as("std_qty"),
+          ((col("sqp") - col("sq") * col("sp") / col("n").cast("double"))
+            / sqrt((col("sqq") - col("sq") * col("sq") / col("n").cast("double"))
+              * (col("spp") - col("sp") * col("sp") / col("n").cast("double"))))
+            .as("corr_qty_price")),
+      Some("""SELECT l_returnflag, n,
+             |  (sqq - sq * sq / CAST(n AS DOUBLE)) / (n - 1) AS var_qty,
+             |  sqrt((sqq - sq * sq / CAST(n AS DOUBLE)) / (n - 1)) AS std_qty,
+             |  (sqp - sq * sp / CAST(n AS DOUBLE)) /
+             |    sqrt((sqq - sq * sq / CAST(n AS DOUBLE))
+             |       * (spp - sp * sp / CAST(n AS DOUBLE))) AS corr_qty_price
+             |FROM (
+             |  SELECT l_returnflag, count(*) AS n,
+             |    CAST(sum(q) AS BIGINT) AS sq, CAST(sum(q * q) AS BIGINT) AS sqq,
+             |    CAST(sum(p) AS BIGINT) AS sp, CAST(sum(p * p) AS BIGINT) AS spp,
+             |    CAST(sum(q * p) AS BIGINT) AS sqp
+             |  FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q,
+             |          CAST(round(l_extendedprice) AS BIGINT) AS p
+             |        FROM lineitem)
+             |  GROUP BY l_returnflag)""".stripMargin)),
+
+    // Exact median via row_number (deterministic middle-pair average; the
+    // scale path is approx_percentile, which has no cross-engine oracle)
+    Q("q42_exact_median",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("l_returnflag")).orderBy(col("q"), col("rid"))
+        val base = lineitem(s, d)
+          .withColumn("q", col("l_quantity").cast("long"))
+          .withColumn("rid", col("l_orderkey") * 10 + col("l_linenumber"))
+          .withColumn("rn", row_number().over(w))
+        val cnt = base.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+        base.join(cnt, Seq("l_returnflag"))
+          .filter(col("rn") === expr("(n + 1) DIV 2") ||
+            col("rn") === expr("n DIV 2 + 1"))
+          .groupBy(col("l_returnflag"))
+          .agg((sum(col("q")) / count(lit(1)).cast("double")).as("median_qty"))
+      },
+      Some("""WITH base AS (
+             |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q,
+             |    row_number() OVER (PARTITION BY l_returnflag
+             |      ORDER BY CAST(l_quantity AS BIGINT),
+             |               l_orderkey * 10 + l_linenumber) AS rn
+             |  FROM lineitem),
+             |cnt AS (SELECT l_returnflag, count(*) AS n FROM base GROUP BY 1)
+             |SELECT b.l_returnflag,
+             |  CAST(sum(q) AS BIGINT) / CAST(count(*) AS DOUBLE) AS median_qty
+             |FROM base b JOIN cnt c ON b.l_returnflag = c.l_returnflag
+             |WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
+             |GROUP BY b.l_returnflag""".stripMargin)),
+
     // Range join: clicks in the hour strictly before each purchase
     Q("q18_range_join",
       (s, d) => {

@@ -70,14 +70,21 @@ object TextAnalysis {
     * is a broadcast-sized dimension at any corpus scale.
     */
   def langId(documents: DataFrame): DataFrame = {
-    // cached: the exploded trigram set feeds both dictionary training and
-    // the per-document vote (avoids a second full explode pass)
+    // explode(sequence) + substr instead of transform(...)+array_distinct:
+    // sequence/substr/explode are codegen'd, while transform lambdas are
+    // CodegenFallback (interpreted, one materialized array per row). The
+    // per-doc distinct moves into the (cached) aggregate below.
+    // trigram encoded as an int (injective for ASCII: c1·2^16 + c2·2^8 + c3)
+    // so every downstream shuffle moves longs, not 3-char strings
     val tri = documents
       .filter(length(col("text")) >= 3)
+      .select(col("doc_id"), col("lang"), col("text"),
+        explode(sequence(lit(1), length(col("text")) - 2)).as("i"))
       .select(col("doc_id"), col("lang"),
-        explode(array_distinct(transform(
-          sequence(lit(1), length(col("text")) - 2),
-          i => col("text").substr(i, lit(3))))).as("tg"))
+        (ascii(col("text").substr(col("i"), lit(1))) * 65536 +
+          ascii(col("text").substr(col("i") + 1, lit(1))) * 256 +
+          ascii(col("text").substr(col("i") + 2, lit(1)))).cast("long").as("tg"))
+      .distinct()
       .cache()
     val dictW = Window.partitionBy(col("tg"))
       .orderBy(col("cnt").desc, col("lang").asc)

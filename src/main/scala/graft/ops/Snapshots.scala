@@ -35,4 +35,47 @@ object Snapshots {
   def asOf(df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
            asOfUs: Long): DataFrame =
     latestPerKey(df.filter(col(tsCol) <= lit(asOfUs)), keyCol, tsCol, tieCol)
+
+  /** Backward AS-OF JOIN between two tables: for every left row, the latest
+    * right row with the same key and `right.ts <= left.ts`.
+    *
+    * Union-window formulation (composition, per the custom-operator
+    * preference order — no custom SparkPlan needed): tag both sides, union,
+    * then `last_value(right value, ignoreNulls) OVER (partition key ORDER BY
+    * ts, side rows unbounded preceding..current)` — right rows sort before
+    * left rows at equal ts (side 0 < 1) so an exact-timestamp match IS
+    * taken, matching standard ASOF semantics (DuckDB `ASOF JOIN` uses >=).
+    *
+    * Scale shape: ONE shuffle on the key, one sort — no range-join
+    * explosion, no per-key skew beyond the window itself. This is the plan
+    * a dedicated AsOfJoinExec would produce.
+    *
+    * `rightVals` are the right-side value columns to carry; left columns
+    * pass through unchanged.
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, keyCol: String,
+               tsCol: String, rightVals: Seq[String]): DataFrame = {
+    val leftCols = left.columns
+    val lTagged = left
+      .withColumn("__side", lit(1))
+      .select(Seq(col(keyCol), col(tsCol), col("__side")) ++
+        leftCols.filterNot(Seq(keyCol, tsCol).contains).map(col) ++
+        rightVals.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")): _*)
+    val rTagged = right
+      .withColumn("__side", lit(0))
+      .select(Seq(col(keyCol), col(tsCol), col("__side")) ++
+        leftCols.filterNot(Seq(keyCol, tsCol).contains)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        rightVals.map(c => col(c).as(s"__r_$c")): _*)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    lTagged.unionByName(rTagged)
+      .select(Seq(col(keyCol), col(tsCol), col("__side")) ++
+        leftCols.filterNot(Seq(keyCol, tsCol).contains).map(col) ++
+        rightVals.map(c =>
+          last(col(s"__r_$c"), ignoreNulls = true).over(w).as(c)): _*)
+      .filter(col("__side") === 1)
+      .drop("__side")
+  }
 }
