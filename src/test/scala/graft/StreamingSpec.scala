@@ -8,6 +8,60 @@ import graft.streaming.StreamingFeatures
   * construction). */
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  private def stageEventsDir(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("events_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("part-000.parquet"))
+    dir.toString
+  }
+
+  test("incremental online materialization converges to the batch store") {
+    import graft.store.{FeatureStore, KvSink}
+    KvSink.InMemoryKvClient.clear()
+    val q = graft.streaming.StreamingFeatures.streamOnlineMaterialize(
+      spark, stageEventsDir(), () => new KvSink.InMemoryKvClient)
+    q.processAllAvailable(); q.stop()
+    val streamed = KvSink.InMemoryKvClient.snapshot
+
+    val gold = FeatureStore.buildGold(spark, sf)
+    KvSink.InMemoryKvClient.clear()
+    KvSink.materializeOnline(FeatureStore.latestSnapshots(gold),
+      () => new KvSink.InMemoryKvClient)
+    val batch = KvSink.InMemoryKvClient.snapshot
+
+    assert(streamed.keySet == batch.keySet && streamed.nonEmpty)
+    streamed.foreach { case (k, fields) => assert(fields == batch(k), k) }
+  }
+
+  test("mapGroupsWithState running totals equal batch aggregation") {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val totals = graft.streaming.StreamingFeatures
+      .statefulUserTotals(spark, stageEventsDir())
+    val q = totals.writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("user_totals")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    // Update mode: keep each user's LAST emitted row (max n_events)
+    val streamed = spark.table("user_totals")
+      .groupBy($"user_id")
+      .agg(max(struct($"n_events", $"spend_cents", $"last_ts_us")).as("s"))
+      .select($"user_id", $"s.n_events", $"s.spend_cents", $"s.last_ts_us")
+    val batch = Tables.events(spark, sf)
+      .withColumn("cents",
+        when($"event_type" =!= "error",
+          round(coalesce($"value", lit(0.0)) * 100).cast("long")).otherwise(0L))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"), sum($"cents").as("spend_cents"),
+        max($"ts_us").as("last_ts_us"))
+    assert(streamed.join(batch, Seq("user_id"), "full")
+      .filter(streamed("n_events") =!= batch("n_events") ||
+        streamed("spend_cents") =!= batch("spend_cents") ||
+        streamed("last_ts_us") =!= batch("last_ts_us")).count() == 0)
+    assert(streamed.count() == batch.count() && batch.count() > 0)
+  }
 
   test("streaming tumbling agg equals batch tumbling agg") {
     // FileStreamSource wants a directory of appends; stage the fixture file
