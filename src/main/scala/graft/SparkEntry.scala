@@ -452,6 +452,45 @@ object SparkEntry {
              |WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
              |GROUP BY b.l_returnflag""".stripMargin)),
 
+    // String-function battery (common engine surface beyond the reference's
+    // trim/upper: pad, replace, reverse, split-index, position, repeat)
+    Q("q44_string_funcs",
+      (s, d) => Tables.customer(s, d).select(
+        col("c_custkey"),
+        lpad(col("c_custkey").cast("string"), 10, "0").as("padded"),
+        regexp_replace(col("c_name"), "Customer#", "C-").as("renamed"),
+        reverse(col("c_mktsegment")).as("rev_seg"),
+        split(col("c_name"), "#").getItem(1).as("num_part"),
+        instr(col("c_name"), "#").cast("long").as("hash_pos"),
+        substring(col("c_mktsegment"), 1, 3).as("seg3"),
+        concat_ws("|", col("c_mktsegment"), col("c_nationkey")).as("joined"),
+        length(col("c_name")).cast("long").as("name_len"),
+        translate(col("c_mktsegment"), "AEIOU", "aeiou").as("lower_vowels")),
+      Some("""SELECT c_custkey,
+             |  lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded,
+             |  regexp_replace(c_name, 'Customer#', 'C-') AS renamed,
+             |  reverse(c_mktsegment) AS rev_seg,
+             |  string_split(c_name, '#')[2] AS num_part,
+             |  CAST(instr(c_name, '#') AS BIGINT) AS hash_pos,
+             |  substring(c_mktsegment, 1, 3) AS seg3,
+             |  concat_ws('|', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS joined,
+             |  CAST(length(c_name) AS BIGINT) AS name_len,
+             |  translate(c_mktsegment, 'AEIOU', 'aeiou') AS lower_vowels
+             |FROM customer""".stripMargin)),
+
+    // JSON extraction from the events.props payload column
+    Q("q45_json_funcs",
+      (s, d) => Tables.events(s, d).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_val"),
+        (get_json_object(col("props"), "$.k").cast("long") % 10).as("k_mod"),
+        get_json_object(col("props"), "$.missing").as("absent")),
+      Some("""SELECT event_id,
+             |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+             |  CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+             |  json_extract_string(props, '$.missing') AS absent
+             |FROM events""".stripMargin)),
+
     // Range join: clicks in the hour strictly before each purchase
     Q("q18_range_join",
       (s, d) => {
