@@ -491,6 +491,26 @@ object SparkEntry {
              |  json_extract_string(props, '$.missing') AS absent
              |FROM events""".stripMargin)),
 
+    // SQL-text entry point: the same engine drives spark.sql() strings over
+    // registered temp views (the full Catalyst SQL front-end)
+    Q("q46_sql_api",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("v_orders")
+        Tables.customer(s, d).createOrReplaceTempView("v_customer")
+        s.sql("""
+          SELECT c_mktsegment,
+                 count(*) AS n_orders,
+                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS revenue,
+                 CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+          FROM v_orders JOIN v_customer ON o_custkey = c_custkey
+          GROUP BY c_mktsegment""")
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n_orders,
+             |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS revenue,
+             |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_mktsegment""".stripMargin)),
+
     // Range join: clicks in the hour strictly before each purchase
     Q("q18_range_join",
       (s, d) => {

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Proof points for the 100 TB posture claims (README / SURVEY §4): bucketed
+  * co-located joins eliminate the join exchange; date-partitioned gold reads
+  * prune partitions at the scan. */
+class ScalePostureSpec extends SparkSpec {
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(FormattedMode)
+
+  test("bucketed tables join without a shuffle exchange") {
+    val spark0 = spark
+    import spark0.implicits._
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val ev = Tables.events(spark, sf)
+        .select($"user_id", $"event_id", $"ts_us", $"value")
+      ev.write.mode("overwrite")
+        .bucketBy(8, "user_id").sortBy("user_id")
+        .saveAsTable("ev_bucketed_a")
+      ev.groupBy($"user_id").agg(count(lit(1)).as("n"))
+        .write.mode("overwrite")
+        .bucketBy(8, "user_id").sortBy("user_id")
+        .saveAsTable("ev_bucketed_b")
+      val joined = spark.table("ev_bucketed_a")
+        .join(spark.table("ev_bucketed_b"), "user_id")
+      val plan = planOf(joined)
+      // co-located: SortMergeJoin directly over the bucketed scans — the
+      // only acceptable Exchange would be none at all
+      assert(plan.contains("SortMergeJoin"), plan.take(500))
+      assert(!plan.contains("Exchange"), "bucketed join must not shuffle:\n" +
+        plan.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+      assert(joined.count() == Tables.events(spark, sf).count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS ev_bucketed_a")
+      spark.sql("DROP TABLE IF EXISTS ev_bucketed_b")
+    }
+  }
+
+  test("date-partitioned gold read prunes partitions at the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("gold_prune").toString
+    val gold = graft.store.FeatureStore.buildGold(spark, sf)
+    graft.store.FeatureStore.writeGold(gold, dir)
+    val oneDay = spark.read.parquet(dir)
+      .filter(col("date") === lit(java.sql.Date.valueOf("2024-01-05")))
+    val plan = planOf(oneDay)
+    assert(plan.contains("PartitionFilters"), plan.take(800))
+    assert(plan.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && l.contains("date")),
+      "date filter must reach PartitionFilters")
+    // and the pruned read touches far fewer rows than the full table
+    assert(oneDay.count() < gold.count() / 5)
+  }
+}
