@@ -376,6 +376,28 @@ object SparkEntry {
              |FROM p ASOF LEFT JOIN v
              |  ON p.user_id = v.user_id AND p.ts_us >= v.ts_us""".stripMargin)),
 
+    // The same AS-OF JOIN through the CUSTOM PHYSICAL OPERATOR
+    // (plans/AsOfJoin.scala: LogicalPlan + Strategy + BinaryExecNode
+    // two-pointer merge) — a custom Catalyst plan node hash-matched against
+    // DuckDB's independent native ASOF JOIN
+    Q("q47_asof_join_native",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts_us"), col("event_id"))
+        val views = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id"), col("ts_us"))
+          .agg(max(col("value")).as("r_value"))
+        Snapshots.asOfJoinNative(purchases, views, "user_id", "ts_us", Seq("r_value"))
+      },
+      Some("""WITH p AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us
+             |          FROM events WHERE event_type = 'purchase'),
+             |v AS (SELECT user_id, epoch_us(ts) AS ts_us, max(value) AS r_value
+             |      FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+             |SELECT p.user_id, p.ts_us, p.event_id, v.r_value
+             |FROM p ASOF LEFT JOIN v
+             |  ON p.user_id = v.user_id AND p.ts_us >= v.ts_us""".stripMargin)),
+
     // Two-phase salted distinct count (hot-key skew mitigation shape;
     // result identical to a plain distinct count)
     Q("q40_salted_distinct",

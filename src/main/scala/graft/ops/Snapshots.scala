@@ -78,4 +78,37 @@ object Snapshots {
       .filter(col("__side") === 1)
       .drop("__side")
   }
+
+  /** The same as-of join through the custom physical operator
+    * (plans/AsOfJoin.scala): builds the AsOfJoinNode over the analyzed child
+    * plans and registers the planner strategy. Key/ts must be LongType.
+    * Semantics identical to `asOfJoin`; exists to exercise and measure the
+    * full custom-plan path. */
+  def asOfJoinNative(left: DataFrame, right: DataFrame, keyCol: String,
+                     tsCol: String, rightVals: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.GraftInternal
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    val lPlan = GraftInternal.analyzed(left)
+    // Fresh-alias the right side: when both inputs share lineage they carry
+    // IDENTICAL exprIds; the analyzer's DeduplicateRelations re-ids the right
+    // subtree but does not rewrite attributes stored inside a custom node.
+    // Referencing brand-new alias ids keeps the node stable under dedup.
+    val rRaw = GraftInternal.analyzed(right)
+    val rAliases = rRaw.output.map(a => Alias(a, a.name)())
+    val rPlan = Project(rAliases, rRaw)
+    val rAttrs = rAliases.map(_.toAttribute)
+    def lAttr(n: String) = lPlan.output.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(s"column $n not found in left"))
+    def rAttr(n: String) = rAttrs.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(s"column $n not found in right"))
+    val node = graft.plans.AsOfJoinNode(lPlan, rPlan,
+      lAttr(keyCol), lAttr(tsCol), rAttr(keyCol), rAttr(tsCol),
+      rightVals.map(rAttr))
+    GraftInternal.ofRows(spark, node)
+  }
 }
