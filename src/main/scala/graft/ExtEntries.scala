@@ -152,6 +152,26 @@ object ExtEntries {
               |JOIN shcnt cb ON c.d2 = cb.doc_id
               |WHERE CAST(ix AS DOUBLE) / (ca.n + cb.n - ix) >= 0.5""".stripMargin)),
 
+    // Near-dup clusters: connected components of the Jaccard>=0.5 pair graph
+    // (iterative min-label propagation; oracle = recursive-CTE transitive
+    // closure — different algorithm, same fixpoint)
+    Q("q48_neardup_clusters",
+      (s, d) => Dedup.nearDupClusters(Tables.documents(s, d),
+        Dedup.ngramJaccardPairs(Tables.documents(s, d), 3, 0.5)),
+      Some(s"""WITH RECURSIVE $shinglesCte, $shingleCountCte, $shingleInterCte,
+              |pairs AS (
+              |  SELECT d1, d2 FROM shint
+              |  JOIN shcnt ca ON d1 = ca.doc_id
+              |  JOIN shcnt cb ON d2 = cb.doc_id
+              |  WHERE CAST(ix AS DOUBLE) / (ca.n + cb.n - ix) >= 0.5),
+              |edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+              |          UNION ALL SELECT d2, d1 FROM pairs),
+              |reach(doc_id, r) AS (
+              |  SELECT doc_id, doc_id FROM documents
+              |  UNION
+              |  SELECT reach.doc_id, e.b FROM reach JOIN edges e ON e.a = reach.r)
+              |SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id""".stripMargin)),
+
     // SimHash 16-bit signatures
     Q("q24_simhash_sigs",
       (s, d) => Dedup.simhash(Tables.documents(s, d)),

@@ -420,20 +420,23 @@ object SparkEntry {
           sum(col("q") * col("q")).as("sqq"), sum(col("p")).as("sp"),
           sum(col("p") * col("p")).as("spp"), sum(col("q") * col("p")).as("sqp"))
         .select(col("l_returnflag"), col("n"),
-          ((col("sqq") - col("sq") * col("sq") / col("n").cast("double"))
+          // sums are widened to double BEFORE multiplying: sp*sp as int64
+          // overflows at sf>=0.1 (caught by the sf0.1 safety check); every
+          // sum is < 2^53 so the double is exact and engine-identical
+          ((col("sqq") - col("sq").cast("double") * col("sq") / col("n"))
             / (col("n") - 1)).as("var_qty"),
-          sqrt((col("sqq") - col("sq") * col("sq") / col("n").cast("double"))
+          sqrt((col("sqq") - col("sq").cast("double") * col("sq") / col("n"))
             / (col("n") - 1)).as("std_qty"),
-          ((col("sqp") - col("sq") * col("sp") / col("n").cast("double"))
-            / sqrt((col("sqq") - col("sq") * col("sq") / col("n").cast("double"))
-              * (col("spp") - col("sp") * col("sp") / col("n").cast("double"))))
+          ((col("sqp") - col("sq").cast("double") * col("sp") / col("n"))
+            / sqrt((col("sqq") - col("sq").cast("double") * col("sq") / col("n"))
+              * (col("spp") - col("sp").cast("double") * col("sp") / col("n"))))
             .as("corr_qty_price")),
       Some("""SELECT l_returnflag, n,
-             |  (sqq - sq * sq / CAST(n AS DOUBLE)) / (n - 1) AS var_qty,
-             |  sqrt((sqq - sq * sq / CAST(n AS DOUBLE)) / (n - 1)) AS std_qty,
-             |  (sqp - sq * sp / CAST(n AS DOUBLE)) /
-             |    sqrt((sqq - sq * sq / CAST(n AS DOUBLE))
-             |       * (spp - sp * sp / CAST(n AS DOUBLE))) AS corr_qty_price
+             |  (sqq - CAST(sq AS DOUBLE) * sq / n) / (n - 1) AS var_qty,
+             |  sqrt((sqq - CAST(sq AS DOUBLE) * sq / n) / (n - 1)) AS std_qty,
+             |  (sqp - CAST(sq AS DOUBLE) * sp / n) /
+             |    sqrt((sqq - CAST(sq AS DOUBLE) * sq / n)
+             |       * (spp - CAST(sp AS DOUBLE) * sp / n)) AS corr_qty_price
              |FROM (
              |  SELECT l_returnflag, count(*) AS n,
              |    CAST(sum(q) AS BIGINT) AS sq, CAST(sum(q * q) AS BIGINT) AS sqq,

@@ -124,6 +124,39 @@ object Dedup {
       .select(col("doc_id").as("d1"), col("doc_id2").as("d2"), col("jaccard"))
   }
 
+  /** Near-dup CLUSTER formation: connected components over the similarity
+    * pair graph via iterative min-label propagation (cluster id = smallest
+    * doc_id in the component — the row you keep). Deterministic, converges
+    * in O(component diameter) joins; each iteration is one shuffle. This is
+    * the step that turns pairwise dedup output into "keep one per cluster"
+    * at corpus scale (a bounded-iteration driver loop, NOT a driver-side
+    * algorithm — all data stays distributed).
+    */
+  def nearDupClusters(documents: DataFrame, pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
+      .unionByName(pairs.select(col("d2").as("a"), col("d1").as("b")))
+      .cache()
+    var labels = documents.select(col("doc_id"), col("doc_id").as("cluster_id"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 20) {
+      val viaEdges = edges
+        .join(labels.withColumnRenamed("doc_id", "b2"),
+          col("b") === col("b2"))
+        .select(col("a").as("doc_id"), col("cluster_id"))
+      val next = labels.unionByName(viaEdges)
+        .groupBy(col("doc_id"))
+        .agg(min(col("cluster_id")).as("cluster_id"))
+        .cache()
+      val changed = next.join(labels.withColumnRenamed("cluster_id", "old"),
+        Seq("doc_id")).filter(col("cluster_id") =!= col("old")).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
   /** 64-bit SimHash over the word multiset: bit_j = sign of
     * Σ_words count(word) · (2·((A_j·wid + B_j) mod P mod 2) − 1).
     * Deterministic via the word-rank dictionary. Bit 63 contributes −2^63
