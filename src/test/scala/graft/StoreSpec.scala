@@ -53,6 +53,20 @@ class StoreSpec extends SparkSpec {
     assert(fields("spend_7d").toDouble >= 0.0) // stringified numeric
   }
 
+  test("upsertGold: updated keys replaced, new keys appended, others intact") {
+    import graft.store.FeatureStore
+    val dir = java.nio.file.Files.createTempDirectory("gold_upsert").toString
+    val base = Seq((1L, 100L, 1705276800000000L, 10.0), (2L, 200L, 1705276800000000L, 20.0))
+      .toDF("user_id", "event_id", "ts_us", "spend_7d")
+    FeatureStore.writeGold(base, dir)
+    val updates = Seq((2L, 201L, 1705363200000000L, 99.0), (3L, 300L, 1705363200000000L, 30.0))
+      .toDF("user_id", "event_id", "ts_us", "spend_7d")
+    FeatureStore.upsertGold(spark, dir, updates, Seq("user_id"))
+    val got = spark.read.parquet(dir)
+      .select($"user_id", $"spend_7d").as[(Long, Double)].collect().toMap
+    assert(got == Map(1L -> 10.0, 2L -> 99.0, 3L -> 30.0)) // replace, keep, add
+  }
+
   test("prediction log appends (never clobbers) under date partitions") {
     val dir = java.nio.file.Files.createTempDirectory("predlog").toString
     val preds = Seq((1L, 1705276800000000L, 0.9, 1))
