@@ -536,6 +536,44 @@ object SparkEntry {
              |FROM orders JOIN customer ON o_custkey = c_custkey
              |GROUP BY c_mktsegment""".stripMargin)),
 
+    // Explicit semi/anti joins (the reference's J2 is semantically an anti
+    // join; here as first-class operators over the star schema)
+    Q("q49_semi_anti_join",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val highOrders = Tables.orders(s, d)
+          .filter(col("o_totalprice") > 300000.0)
+          .select(col("o_custkey").as("c_custkey"))
+        val withHigh = c.join(highOrders, Seq("c_custkey"), "left_semi")
+          .select(col("c_custkey"), lit("has_high").as("bucket"))
+        val withoutHigh = c.join(highOrders, Seq("c_custkey"), "left_anti")
+          .select(col("c_custkey"), lit("no_high").as("bucket"))
+        withHigh.unionByName(withoutHigh)
+      },
+      Some("""SELECT c_custkey, 'has_high' AS bucket FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders
+             |              WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+             |UNION ALL
+             |SELECT c_custkey, 'no_high' AS bucket FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders
+             |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)""".stripMargin)),
+
+    // Pivot: event-type counts as named columns per user (dynamic pivot with
+    // a pinned vocabulary, so the schema is stable and oracle-expressible)
+    Q("q50_pivot",
+      (s, d) => Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L),
+      Some("""SELECT user_id,
+             |  CAST(sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS click,
+             |  CAST(sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS error,
+             |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+             |  CAST(sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+             |  CAST(sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS view
+             |FROM events GROUP BY user_id""".stripMargin)),
+
     // Range join: clicks in the hour strictly before each purchase
     Q("q18_range_join",
       (s, d) => {
