@@ -18,12 +18,14 @@ object ExtEntries {
 
   // ---------------------------------------------------------------- SQL CTEs
 
-  /** 3-word shingles, distinct per doc (mirror of Dedup.shingles(k=3)). */
+  /** 3-word shingles, distinct per doc (mirror of Dedup.shingles(k=3)).
+    * Position bound 1000 ≫ the fixtures' ≤100 words; the Spark side is
+    * uncapped, so the bound must stay comfortably above any fixture. */
   private val shinglesCte =
     """shd AS (
       |  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS sh
       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) d,
-      |       (SELECT unnest(range(1, 200)) AS i) t
+      |       (SELECT unnest(range(1, 1000)) AS i) t
       |  WHERE len(w) >= 3 AND i <= len(w) - 2)""".stripMargin
 
   private val shingleCountCte =
@@ -249,18 +251,73 @@ object ExtEntries {
               |        WHERE p.q_id <> a.n_id))
               |WHERE rank <= 5""".stripMargin)),
 
+    // Per-label embedding centroids (k-means building block): integerized
+    // exact vector aggregation, one row per (label, dim)
+    Q("q51_label_centroids",
+      (s, d) => Similarity.labelCentroids(Tables.embeddings(s, d)),
+      Some("""SELECT label, CAST(dim - 1 AS INT) AS dim,
+             |  CAST(sum(CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT)
+             |    / 1000000.0 / count(*) AS c,
+             |  count(*) AS n_vectors
+             |FROM (SELECT label, unnest(embedding) AS x,
+             |        generate_subscripts(embedding, 1) AS dim
+             |      FROM embeddings)
+             |GROUP BY label, dim""".stripMargin)),
+
+    // Time-series gap fill + forward fill: hourly grid per user between
+    // first and last event, value carried forward over empty hours
+    Q("q52_gap_fill",
+      (s, d) => {
+        val hourly = Tables.events(s, d)
+          .withColumn("hb", expr("ts_us DIV 3600000000"))
+          .withColumn("vc", round(coalesce(col("value"), lit(0.0)) * 100).cast("long"))
+          .groupBy(col("user_id"), col("hb"))
+          .agg(count(lit(1)).as("n_events"), max(col("vc")).as("max_vc"))
+          .cache() // feeds both the grid min/max and the left join
+        val grid = hourly.groupBy(col("user_id"))
+          .agg(min(col("hb")).as("h0"), max(col("hb")).as("h1"))
+          .select(col("user_id"),
+            explode(sequence(col("h0"), col("h1"))).as("hb"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("hb"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        grid.join(hourly, Seq("user_id", "hb"), "left")
+          .select(col("user_id"), col("hb"),
+            coalesce(col("n_events"), lit(0L)).as("n_events"),
+            (last(col("max_vc"), ignoreNulls = true).over(w) / lit(100.0))
+              .as("ffill_value"))
+      },
+      Some("""WITH hourly AS (
+             |  SELECT user_id, epoch_us(ts) // 3600000000 AS hb,
+             |    count(*) AS n_events,
+             |    max(CAST(round(coalesce(value, 0) * 100) AS BIGINT)) AS max_vc
+             |  FROM events GROUP BY 1, 2),
+             |grid AS (
+             |  SELECT user_id, unnest(range(h0, h1 + 1)) AS hb
+             |  FROM (SELECT user_id, min(hb) AS h0, max(hb) AS h1
+             |        FROM hourly GROUP BY user_id)),
+             |joined AS (
+             |  SELECT g.user_id, g.hb,
+             |    coalesce(h.n_events, 0) AS n_events, h.max_vc
+             |  FROM grid g LEFT JOIN hourly h
+             |    ON g.user_id = h.user_id AND g.hb = h.hb)
+             |SELECT user_id, hb, n_events,
+             |  CAST(last_value(max_vc IGNORE NULLS) OVER (PARTITION BY user_id
+             |    ORDER BY hb ROWS UNBOUNDED PRECEDING) AS BIGINT) / 100.0 AS ffill_value
+             |FROM joined""".stripMargin)),
+
     // Multimodal: binary payload decode (stubbed codec, real plumbing)
     Q("q29_multimodal_decode",
       (s, d) => Multimodal.decodeFeatures(s, Tables.documents(s, d)).toDF(),
       Some(s"""SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
-              |  CAST(sum(ord(substr(text, CAST(i AS INT), 1)) *
-              |    ((${TextAnalysis.FpA} * i + ${TextAnalysis.FpB}) % ${TextAnalysis.FpP}))
+              |  CAST(coalesce(sum(ord(substr(text, CAST(i AS INT), 1)) *
+              |    ((${TextAnalysis.FpA} * i + ${TextAnalysis.FpB}) % ${TextAnalysis.FpP})), 0)
               |    % ${TextAnalysis.FpP} AS BIGINT) AS checksum,
               |  CAST(strlen(text) % 640 AS INT) AS width,
               |  CAST(strlen(text) * 7 % 480 AS INT) AS height,
               |  3 AS channels
-              |FROM documents, (SELECT unnest(range(1, 700)) AS i) t
-              |WHERE i <= strlen(text)
+              |FROM documents LEFT JOIN (SELECT unnest(range(1, 2000)) AS i) t
+              |  ON i <= strlen(text)
               |GROUP BY doc_id, text""".stripMargin)),
 
     // Token statistics (whitespace tokenization)
@@ -296,7 +353,7 @@ object ExtEntries {
              |    CAST(ord(substr(text, CAST(i AS INT), 1)) * 65536
              |       + ord(substr(text, CAST(i AS INT) + 1, 1)) * 256
              |       + ord(substr(text, CAST(i AS INT) + 2, 1)) AS BIGINT) AS tg
-             |  FROM documents, (SELECT unnest(range(1, 700)) AS i) t
+             |  FROM documents, (SELECT unnest(range(1, 2000)) AS i) t
              |  WHERE len(text) >= 3 AND i <= len(text) - 2),
              |dict AS (
              |  SELECT tg, lang AS tg_lang FROM (
@@ -318,11 +375,11 @@ object ExtEntries {
     Q("q33_text_fingerprint",
       (s, d) => TextAnalysis.fingerprint(Tables.documents(s, d)),
       Some(s"""SELECT doc_id,
-              |  CAST(sum(ord(substr(text, CAST(i AS INT), 1)) *
-              |    ((${TextAnalysis.FpA} * i + ${TextAnalysis.FpB}) % ${TextAnalysis.FpP}))
+              |  CAST(coalesce(sum(ord(substr(text, CAST(i AS INT), 1)) *
+              |    ((${TextAnalysis.FpA} * i + ${TextAnalysis.FpB}) % ${TextAnalysis.FpP})), 0)
               |    % ${TextAnalysis.FpP} AS BIGINT) AS fp
-              |FROM documents, (SELECT unnest(range(1, 700)) AS i) t
-              |WHERE i <= len(text)
+              |FROM documents LEFT JOIN (SELECT unnest(range(1, 2000)) AS i) t
+              |  ON i <= len(text)
               |GROUP BY doc_id""".stripMargin)),
 
     // Custom TypedImperativeAggregate: exact distinct count over a range
@@ -354,11 +411,11 @@ object ExtEntries {
           graft.functions.GraftFunctions.asciiFingerprint(col("text")).as("fp"))
       },
       Some(s"""SELECT doc_id,
-              |  CAST(sum(ord(substr(text, CAST(i AS INT), 1)) *
-              |    ((${TextAnalysis.FpA} * i + ${TextAnalysis.FpB}) % ${TextAnalysis.FpP}))
+              |  CAST(coalesce(sum(ord(substr(text, CAST(i AS INT), 1)) *
+              |    ((${TextAnalysis.FpA} * i + ${TextAnalysis.FpB}) % ${TextAnalysis.FpP})), 0)
               |    % ${TextAnalysis.FpP} AS BIGINT) AS fp
-              |FROM documents, (SELECT unnest(range(1, 700)) AS i) t
-              |WHERE i <= len(text)
+              |FROM documents LEFT JOIN (SELECT unnest(range(1, 2000)) AS i) t
+              |  ON i <= len(text)
               |GROUP BY doc_id""".stripMargin)),
 
     // The 100 TB scale path for distinct counting: HLL++ sketches (mergeable

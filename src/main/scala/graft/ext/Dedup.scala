@@ -108,13 +108,16 @@ object Dedup {
       .join(bands.withColumnRenamed("doc_id", "doc_id2").as("y"), Seq("band", "sig"))
       .filter(col("doc_id") < col("doc_id2"))
       .select(col("doc_id"), col("doc_id2")).distinct()
-    // exact-verify candidates (Jaccard only for candidate pairs)
+    // exact-verify ONLY candidate pairs: join candidates to their shingle
+    // sets first — computing the full co-shingle self-join here would be the
+    // same quadratic blowup LSH exists to avoid
     val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = sh.as("a")
-      .join(sh.withColumnRenamed("doc_id", "doc_id2").as("b"), Seq("sh"))
-      .filter(col("doc_id") < col("doc_id2"))
+    val inter = cands
+      .join(sh, Seq("doc_id"))
+      .join(sh.select(col("doc_id").as("doc_id2"), col("sh")),
+        Seq("doc_id2", "sh"))
       .groupBy(col("doc_id"), col("doc_id2")).agg(count(lit(1)).as("ix"))
-    cands.join(inter, Seq("doc_id", "doc_id2"))
+    inter
       .join(cnt.withColumnRenamed("n", "na"), Seq("doc_id"))
       .join(cnt.withColumnRenamed("n", "nb")
         .withColumnRenamed("doc_id", "doc_id2"), Seq("doc_id2"))
@@ -132,14 +135,16 @@ object Dedup {
     * at corpus scale (a bounded-iteration driver loop, NOT a driver-side
     * algorithm — all data stays distributed).
     */
-  def nearDupClusters(documents: DataFrame, pairs: DataFrame): DataFrame = {
+  def nearDupClusters(documents: DataFrame, pairs: DataFrame,
+                      maxIters: Int = 50): DataFrame = {
     val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
       .unionByName(pairs.select(col("d2").as("a"), col("d1").as("b")))
       .cache()
     var labels = documents.select(col("doc_id"), col("doc_id").as("cluster_id"))
+    var prev: Option[DataFrame] = None
     var converged = false
     var iter = 0
-    while (!converged && iter < 20) {
+    while (!converged && iter < maxIters) {
       val viaEdges = edges
         .join(labels.withColumnRenamed("doc_id", "b2"),
           col("b") === col("b2"))
@@ -150,10 +155,19 @@ object Dedup {
         .cache()
       val changed = next.join(labels.withColumnRenamed("cluster_id", "old"),
         Seq("doc_id")).filter(col("cluster_id") =!= col("old")).count()
+      prev.foreach(_.unpersist())   // release the superseded iteration
+      prev = Some(labels)
       labels = next
       converged = changed == 0
       iter += 1
     }
+    edges.unpersist()
+    prev.foreach(_.unpersist())
+    // a silent cap would return WRONG cluster ids for components whose
+    // diameter exceeds the iteration budget — fail loudly instead
+    if (!converged) throw new IllegalStateException(
+      s"nearDupClusters did not converge in $maxIters iterations " +
+        "(similarity-chain diameter exceeds budget); raise maxIters")
     labels
   }
 

@@ -104,6 +104,22 @@ object Similarity {
         col("n_id"), col("cos"))
   }
 
+  /** Per-label centroids: element-wise mean over each label's vectors —
+    * the vector-aggregation building block of k-means / IVF training.
+    *
+    * Determinism: float components are integerized (×10^6, rounded) BEFORE
+    * the grouped sum — grouped float sums are order-nondeterministic, integer
+    * sums aren't — then divided back. explode(posexplode) + two-level
+    * aggregation: one shuffle on (label, dim), one on label; fully
+    * partial-aggregable (the 100 TB shape for centroid updates). */
+  def labelCentroids(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .withColumn("xi", round(col("x").cast("double") * 1000000).cast("long"))
+      .groupBy(col("label"), col("dim"))
+      .agg((sum(col("xi")) / lit(1000000.0) / count(lit(1))).as("c"),
+        count(lit(1)).as("n_vectors"))
+
   val PlaneP = 2000003L
 
   /** Deterministic pseudo-random hyperplane component for (plane j, dim d):

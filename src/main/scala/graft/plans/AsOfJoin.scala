@@ -96,7 +96,11 @@ case class AsOfJoinExec(
         val g = new GenericInternalRow(valOrds.length)
         var i = 0
         while (i < valOrds.length) {
-          g.update(i, if (r.isNullAt(valOrds(i))) null else r.get(valOrds(i), valTypes(i)))
+          // copyValue: the upstream SortExec reuses UnsafeRow buffers, so
+          // UTF8String/ArrayData values must be deep-copied before the
+          // buffered match outlives rBuf.next()
+          g.update(i, if (r.isNullAt(valOrds(i))) null
+            else InternalRow.copyValue(r.get(valOrds(i), valTypes(i))))
           i += 1
         }
         g

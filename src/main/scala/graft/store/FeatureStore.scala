@@ -108,9 +108,13 @@ object FeatureStore {
     * date filter derived from `updates`). */
   def upsertGold(spark: SparkSession, path: String, updates: DataFrame,
                  keyCols: Seq[String]): Unit = {
+    // only a MISSING table means bootstrap; any other read failure must
+    // surface (a swallowed transient error would merge against an empty
+    // table and leave duplicate keys in untouched partitions)
     val existing =
-      try spark.read.parquet(path).drop("date")
-      catch { case _: Throwable => spark.emptyDataFrame }
+      if (new java.io.File(path).exists())
+        spark.read.parquet(path).drop("date")
+      else spark.emptyDataFrame
     val merged =
       if (existing.columns.isEmpty) updates
       else existing.join(updates.select(keyCols.map(col): _*), keyCols, "left_anti")

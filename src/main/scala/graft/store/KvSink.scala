@@ -21,6 +21,13 @@ object KvSink {
   /** Minimal hash-set client surface (what the reference uses of Redis). */
   trait KvClient extends Serializable {
     def hset(key: String, fields: Map[String, String]): Unit
+
+    /** Upsert only if the incoming row is at least as fresh (by
+      * `meta:ts_us`) as the stored one — REQUIRED of every implementation:
+      * incremental materialization relies on it for replay/out-of-order
+      * safety (a Redis client implements it as a small Lua compare-and-set;
+      * a client that cannot must not be used with the streaming sink). */
+    def hsetIfNewer(key: String, fields: Map[String, String]): Unit
     def close(): Unit = ()
   }
 
@@ -30,10 +37,6 @@ object KvSink {
     def hset(key: String, fields: Map[String, String]): Unit =
       InMemoryKvClient.store.merge(key, fields, (a, b) => a ++ b)
 
-    /** Upsert only if the incoming row is at least as fresh (by `meta:ts_us`)
-      * as the stored one — what incremental materialization needs when
-      * micro-batches may replay or arrive out of order. A Redis client
-      * implements this as a small Lua compare-and-set. */
     def hsetIfNewer(key: String, fields: Map[String, String]): Unit =
       InMemoryKvClient.store.merge(key, fields, (old, nw) => {
         val oldTs = old.get("meta:ts_us").map(_.toLong).getOrElse(Long.MinValue)

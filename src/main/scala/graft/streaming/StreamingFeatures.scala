@@ -101,11 +101,10 @@ object StreamingFeatures {
           val client = newClient()
           try it.foreach { row =>
             val fields = graft.store.KvSink.rowToFields(row, featureCols, Seq("ts_us"))
-            client match {
-              case c: graft.store.KvSink.InMemoryKvClient =>
-                c.hsetIfNewer(row.getAs[String]("__key"), fields)
-              case c => c.hset(row.getAs[String]("__key"), fields)
-            }
+            // freshness-guarded for EVERY client implementation — the
+            // replay/out-of-order guarantee must not depend on which
+            // KvClient is plugged in
+            client.hsetIfNewer(row.getAs[String]("__key"), fields)
           } finally client.close()
         }
         ()
