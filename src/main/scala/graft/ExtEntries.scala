@@ -306,6 +306,41 @@ object ExtEntries {
              |    ORDER BY hb ROWS UNBOUNDED PRECEDING) AS BIGINT) / 100.0 AS ffill_value
              |FROM joined""".stripMargin)),
 
+    // Deterministic distributed k-means (2 Lloyd iterations, cosine
+    // assignment, integerized-exact centroid means) — the oracle replays the
+    // identical trajectory as two unrolled SQL iterations
+    Q("q53_kmeans",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        Similarity.kmeans(Tables.embeddings(s, d), 100, 2)
+      },
+      Some {
+        def assignSql(cent: String, out: String) =
+          s"""$out AS (
+             |  SELECT vec_id, embedding, cluster FROM (
+             |    SELECT e.vec_id, e.embedding, c.cluster,
+             |      row_number() OVER (PARTITION BY e.vec_id
+             |        ORDER BY ${cosSql("e.embedding", "c.centroid")} DESC, c.cluster ASC) AS rn
+             |    FROM embeddings e, $cent c)
+             |  WHERE rn = 1)""".stripMargin
+        s"""WITH cent0 AS (
+           |  SELECT vec_id AS cluster,
+           |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
+           |  FROM embeddings WHERE vec_id % 100 = 0),
+           |${assignSql("cent0", "a0")},
+           |cent1 AS (
+           |  SELECT cluster, array_agg(c ORDER BY dim) AS centroid FROM (
+           |    SELECT cluster, dim,
+           |      CAST(sum(CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT)
+           |        / 1000000.0 / count(*) AS c
+           |    FROM (SELECT cluster, unnest(embedding) AS x,
+           |            generate_subscripts(embedding, 1) AS dim FROM a0)
+           |    GROUP BY cluster, dim)
+           |  GROUP BY cluster),
+           |${assignSql("cent1", "a1")}
+           |SELECT vec_id, cluster FROM a1""".stripMargin
+      }),
+
     // Multimodal: binary payload decode (stubbed codec, real plumbing)
     Q("q29_multimodal_decode",
       (s, d) => Multimodal.decodeFeatures(s, Tables.documents(s, d)).toDF(),

@@ -120,6 +120,49 @@ object Similarity {
       .agg((sum(col("xi")) / lit(1000000.0) / count(lit(1))).as("c"),
         count(lit(1)).as("n_vectors"))
 
+  /** Deterministic distributed k-means (Lloyd's algorithm, cosine
+    * assignment): seeds = vectors with vec_id ≡ 0 (mod seedEvery), then
+    * `iters` rounds of {assign to nearest centroid (cos desc, cluster asc
+    * tie-break) → recompute centroids as integerized-exact element means}.
+    *
+    * Every step is engine-exact: means from ×10^6-integerized sums (grouped
+    * integer sums are order-free), cosines via the sequential-fold dot on
+    * bit-identical double centroids — so a SQL oracle replays the identical
+    * trajectory. Each iteration = one broadcast of k centroids + one shuffle
+    * for the centroid update: the textbook scale shape (vectors never move,
+    * only k×dim centroids do).
+    *
+    * Returns final (vec_id, cluster) assignments. */
+  def kmeans(embeddings: DataFrame, seedEvery: Int, iters: Int): DataFrame = {
+    // centroid frame: (cluster, centroid: array<double>)
+    var centroids = embeddings.filter(col("vec_id") % seedEvery === 0)
+      .select(col("vec_id").as("cluster"),
+        transform(col("embedding"), x => x.cast("double")).as("centroid"))
+    def assign(cent: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("ccos").desc, col("cluster").asc)
+      embeddings.select(col("vec_id"), col("embedding"))
+        .join(broadcast(cent), lit(true))
+        .withColumn("ccos", cosine(col("embedding"), col("centroid")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("cluster"))
+    }
+    var assigned = assign(centroids)
+    for (_ <- 1 until iters) {
+      centroids = assigned
+        .select(col("cluster"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .withColumn("xi", round(col("x").cast("double") * 1000000).cast("long"))
+        .groupBy(col("cluster"), col("dim"))
+        .agg((sum(col("xi")) / lit(1000000.0) / count(lit(1))).as("c"))
+        .groupBy(col("cluster"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("c"))))
+          .getField("c").as("centroid"))
+      assigned = assign(centroids)
+    }
+    assigned.select(col("vec_id"), col("cluster"))
+  }
+
   val PlaneP = 2000003L
 
   /** Deterministic pseudo-random hyperplane component for (plane j, dim d):
