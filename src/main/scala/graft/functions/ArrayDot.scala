@@ -37,15 +37,22 @@ case class ArrayDot(left: Expression, right: Expression) extends BinaryExpressio
     case _ => arr.getDouble(i)
   }
 
+  // result is null on null input, length mismatch, or a null element —
+  // exactly like the declarative reference (zip_with pads the shorter
+  // array with nulls; null * x and acc + null are null-propagating)
+  override def nullable: Boolean = true
+
   override def nullSafeEval(l: Any, r: Any): Any = {
     val la = l.asInstanceOf[ArrayData]
     val ra = r.asInstanceOf[ArrayData]
     val lt = elemType(left).get
     val rt = elemType(right).get
-    val n = math.min(la.numElements(), ra.numElements())
+    val n = la.numElements()
+    if (n != ra.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (la.isNullAt(i) || ra.isNullAt(i)) return null
       acc += get(la, lt, i) * get(ra, rt, i)
       i += 1
     }
@@ -62,10 +69,15 @@ case class ArrayDot(left: Expression, right: Expression) extends BinaryExpressio
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($l.numElements(), $r.numElements());
+         |int $n = $l.numElements();
          |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += (${getter(elemType(left).get, l, i)}) * (${getter(elemType(right).get, r, i)});
+         |if ($n != $r.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($l.isNullAt($i) || $r.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += (${getter(elemType(left).get, l, i)}) * (${getter(elemType(right).get, r, i)});
+         |  }
          |}
          |${ev.value} = $acc;
        """.stripMargin

@@ -56,27 +56,33 @@ object Snapshots {
   def asOfJoin(left: DataFrame, right: DataFrame, keyCol: String,
                tsCol: String, rightVals: Seq[String]): DataFrame = {
     val leftCols = left.columns
+    // the right payload travels as ONE non-null struct: a matched right row
+    // whose value columns are genuinely NULL stays distinguishable from the
+    // left-row placeholder (which is a NULL struct), and all carried columns
+    // come from the SAME right row — per-column last() could mix rows when
+    // values are independently null (DuckDB ASOF parity)
+    val rStructType = org.apache.spark.sql.types.StructType(
+      rightVals.map(c => right.schema(c).copy(name = c)))
     val lTagged = left
       .withColumn("__side", lit(1))
       .select(Seq(col(keyCol), col(tsCol), col("__side")) ++
         leftCols.filterNot(Seq(keyCol, tsCol).contains).map(col) ++
-        rightVals.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")): _*)
+        Seq(lit(null).cast(rStructType).as("__r")): _*)
     val rTagged = right
       .withColumn("__side", lit(0))
       .select(Seq(col(keyCol), col(tsCol), col("__side")) ++
         leftCols.filterNot(Seq(keyCol, tsCol).contains)
           .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightVals.map(c => col(c).as(s"__r_$c")): _*)
+        Seq(struct(rightVals.map(col): _*).as("__r")): _*)
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(tsCol).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, 0)
     lTagged.unionByName(rTagged)
-      .select(Seq(col(keyCol), col(tsCol), col("__side")) ++
-        leftCols.filterNot(Seq(keyCol, tsCol).contains).map(col) ++
-        rightVals.map(c =>
-          last(col(s"__r_$c"), ignoreNulls = true).over(w).as(c)): _*)
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .drop("__side")
+      .select(Seq(col(keyCol), col(tsCol)) ++
+        leftCols.filterNot(Seq(keyCol, tsCol).contains).map(col) ++
+        rightVals.map(c => col(s"__m.$c").as(c)): _*)
   }
 
   /** The same as-of join through the custom physical operator

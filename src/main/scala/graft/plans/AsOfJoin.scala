@@ -32,6 +32,12 @@ case class AsOfJoinNode(
     rightKey: Attribute,
     rightTs: Attribute,
     rightVals: Seq[Attribute]) extends BinaryNode {
+  // fail fast at construction: the merge loop reads key/ts as primitive
+  // longs; NULLs are handled (no-match / skip) but only for LongType
+  for ((a, role) <- Seq(leftKey -> "left key", leftTs -> "left ts",
+                        rightKey -> "right key", rightTs -> "right ts"))
+    require(a.dataType == org.apache.spark.sql.types.LongType,
+      s"AsOfJoinNode: $role must be LongType, got ${a.dataType} (${a.name})")
   override def output: Seq[Attribute] =
     left.output ++ rightVals.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -107,22 +113,33 @@ case class AsOfJoinExec(
       }
 
       lIt.map { lRow =>
-        val lk = lRow.getLong(lKeyOrd)
-        val lts = lRow.getLong(lTsOrd)
-        if (hasMatch && matchKey != lk) hasMatch = false
-        // advance the right side through every row with (key, ts) <= (lk, lts)
-        var advancing = true
-        while (advancing && rBuf.hasNext) {
-          val r = rBuf.head
-          val rk = r.getLong(rKeyOrd)
-          val rts = r.getLong(rTsOrd)
-          if (rk < lk || (rk == lk && rts <= lts)) {
-            if (rk == lk) { matchKey = rk; matchVals = rightValsOf(r); hasMatch = true }
-            rBuf.next()
-          } else advancing = false
+        // SQL null semantics: a NULL key/ts compares unknown → no match.
+        // (getLong on a null slot would read 0 and alias the key-0 group.)
+        if (lRow.isNullAt(lKeyOrd) || lRow.isNullAt(lTsOrd)) {
+          joined(lRow, nullVals)
+          outProj(joined)
+        } else {
+          val lk = lRow.getLong(lKeyOrd)
+          val lts = lRow.getLong(lTsOrd)
+          if (hasMatch && matchKey != lk) hasMatch = false
+          // advance the right side through every row with (key, ts) <= (lk, lts)
+          var advancing = true
+          while (advancing && rBuf.hasNext) {
+            val r = rBuf.head
+            if (r.isNullAt(rKeyOrd) || r.isNullAt(rTsOrd)) {
+              rBuf.next() // null-keyed right rows match nothing; sorted first
+            } else {
+              val rk = r.getLong(rKeyOrd)
+              val rts = r.getLong(rTsOrd)
+              if (rk < lk || (rk == lk && rts <= lts)) {
+                if (rk == lk) { matchKey = rk; matchVals = rightValsOf(r); hasMatch = true }
+                rBuf.next()
+              } else advancing = false
+            }
+          }
+          joined(lRow, if (hasMatch) matchVals else nullVals)
+          outProj(joined)
         }
-        joined(lRow, if (hasMatch) matchVals else nullVals)
-        outProj(joined)
       }
     }
   }

@@ -99,30 +99,42 @@ object FeatureStore {
   /** MERGE-style upsert into the gold table (the Delta-Lake MERGE pattern on
     * plain parquet — Delta jars aren't shipped in this environment; swap
     * `writeGold` for `deltaTable.merge` when they are): rows in `updates`
-    * replace same-key rows in the existing table, new keys append. One
-    * full-outer-shaped pass (left-anti + union), rewritten atomically per
-    * touched date partition via dynamic overwrite.
+    * replace same-key rows in the existing table, new keys append.
     *
-    * At 100 TB only the partitions present in `updates` are rewritten —
-    * the anti-join reads just those partitions (partition-pruned by the
-    * date filter derived from `updates`). */
+    * At 100 TB only the AFFECTED date partitions are rewritten: the ones
+    * `updates` lands in, plus any partition holding a stale version of an
+    * updated key (a key whose `ts_us` moved across dates). Untouched
+    * partitions are never read for the merge (partition-pruned `isin`
+    * filter) and never rewritten (dynamic partition overwrite only touches
+    * partitions present in `merged`) — the same file-pruning a Delta MERGE
+    * gets from min/max stats. */
   def upsertGold(spark: SparkSession, path: String, updates: DataFrame,
                  keyCols: Seq[String]): Unit = {
-    // only a MISSING table means bootstrap; any other read failure must
-    // surface (a swallowed transient error would merge against an empty
-    // table and leave duplicate keys in untouched partitions)
-    val existing =
-      if (new java.io.File(path).exists())
-        spark.read.parquet(path).drop("date")
-      else spark.emptyDataFrame
-    val merged =
-      if (existing.columns.isEmpty) updates
-      else existing.join(updates.select(keyCols.map(col): _*), keyCols, "left_anti")
-        .unionByName(updates)
-        // break lineage from the files about to be overwritten: the write
-        // job must not scan partitions the overwrite is deleting (Delta
-        // solves this with MVCC; on plain parquet we materialize first)
-        .localCheckpoint()
+    // Hadoop FileSystem existence check — works on HDFS/S3, not just the
+    // local FS. Only a MISSING table means bootstrap; any other read failure
+    // must surface (a swallowed transient error would merge against an empty
+    // table and leave duplicate keys in untouched partitions).
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(hPath)) { writeGold(updates, path); return }
+    val existing = spark.read.parquet(path) // partition column `date` included
+    val updKeys = updates.select(keyCols.map(col): _*)
+    // driver-side list of affected dates (small: one row per distinct date)
+    val updDates = updates
+      .select(to_date(timestamp_micros(col("ts_us"))).as("date"))
+    val staleDates = existing.join(updKeys, keyCols, "left_semi")
+      .select(col("date"))
+    val dates = updDates.unionByName(staleDates).distinct()
+      .collect().map(_.getAs[java.sql.Date]("date"))
+    val merged = existing
+      .filter(col("date").isin(dates: _*)) // partition-pruned scan
+      .drop("date")
+      .join(updKeys, keyCols, "left_anti")
+      .unionByName(updates)
+      // break lineage from the files about to be overwritten: the write
+      // job must not scan partitions the overwrite is deleting (Delta
+      // solves this with MVCC; on plain parquet we materialize first)
+      .localCheckpoint()
     writeGold(merged, path)
   }
 

@@ -23,6 +23,31 @@ class AsOfJoinNativeSpec extends SparkSpec {
     assert(rows(2).getString(0) == "early" && rows(2).isNullAt(1))
   }
 
+  test("native exec: NULL key/ts rows never match (no key-0 aliasing)") {
+    val left = Seq((Some(1L), Some(100L), "ok"), (None, Some(100L), "nullkey"),
+      (Some(0L), Some(100L), "zerokey"), (Some(1L), None, "nullts"))
+      .toDF("user_id", "ts_us", "tag")
+    val right = Seq((Some(0L), Some(50L), 7.0), (Some(1L), Some(50L), 1.0),
+      (None, Some(10L), 99.0))
+      .toDF("user_id", "ts_us", "v")
+    val got = Snapshots.asOfJoinNative(left, right, "user_id", "ts_us", Seq("v"))
+      .select($"tag", $"v").collect().map(r =>
+        r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got("ok") == Some(1.0))       // normal match
+    assert(got("zerokey") == Some(7.0))  // key 0 matches only key 0
+    assert(got("nullkey") == None)       // null key matches nothing
+    assert(got("nullts") == None)        // null ts matches nothing
+  }
+
+  test("native exec rejects non-long key/ts at construction") {
+    val l = Seq(("a", 1L, 1.0)).toDF("k", "ts_us", "x")
+    val r = Seq(("a", 1L, 2.0)).toDF("k", "ts_us", "v")
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.asOfJoinNative(l, r, "k", "ts_us", Seq("v"))
+    }
+    assert(e.getMessage.contains("LongType"))
+  }
+
   test("native operator equals the union-window composition on real data") {
     val ev = Tables.events(spark, sf)
     val l = ev.filter($"event_type" === "purchase")

@@ -36,6 +36,18 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got(0).isNullAt(0))
   }
 
+  test("a matched right row with a NULL value yields NULL, not a stale value") {
+    // right@100 has v=null; left@150 must see NULL (the match), not the
+    // earlier non-null v=1.0 — and both carried columns must come from the
+    // same right row
+    val left = frame((1L, 150L, "l1"))
+    val right = Seq((1L, 50L, Some(1.0), Some("a")), (1L, 100L, None, Some("b")))
+      .toDF("user_id", "ts_us", "v", "s")
+    val got = Snapshots.asOfJoin(left, right, "user_id", "ts_us", Seq("v", "s"))
+      .select($"v", $"s").collect()(0)
+    assert(got.isNullAt(0) && got.getString(1) == "b")
+  }
+
   test("left row count is always preserved (no fan-out)") {
     val ev = Tables.events(spark, sf)
     import org.apache.spark.sql.functions._

@@ -64,6 +64,23 @@ class FunctionsSpec extends SparkSpec {
     assert(mixed.filter($"native" =!= $"decl").count() == 0)
   }
 
+  test("graft_dot null semantics match the declarative fold") {
+    GraftFunctions.register(spark)
+    // length mismatch → null; null element → null; null array → null —
+    // exactly what aggregate(zip_with(...)) produces
+    val df = Seq(
+      (Array[Double](1, 2), Array[Double](3, 4)),   // ok → 11.0
+      (Array[Double](1, 2), Array[Double](3))       // mismatch → null
+    ).toDF("a", "b")
+    val got = df.select(GraftFunctions.graftDot($"a", $"b").as("d"),
+      graft.ext.Similarity.dotDeclarative($"a", $"b").as("decl")).collect()
+    assert(got(0).getDouble(0) == 11.0 && !got(0).isNullAt(1))
+    assert(got(1).isNullAt(0) && got(1).isNullAt(1))
+    val withNullElem = spark.sql(
+      "SELECT graft_dot(array(1.0D, CAST(NULL AS DOUBLE)), array(1.0D, 2.0D)) AS d")
+    assert(withNullElem.collect()(0).isNullAt(0))
+  }
+
   test("custom functions are callable from SQL after registration") {
     GraftFunctions.register(spark)
     val r = spark.sql(

@@ -67,6 +67,24 @@ class StoreSpec extends SparkSpec {
     assert(got == Map(1L -> 10.0, 2L -> 99.0, 3L -> 30.0)) // replace, keep, add
   }
 
+  test("upsertGold removes stale rows when a key moves to a new date partition") {
+    import graft.store.FeatureStore
+    val dir = java.nio.file.Files.createTempDirectory("gold_move").toString
+    val day1 = 1705276800000000L // 2024-01-15
+    val day2 = day1 + 86400000000L
+    val base = Seq((1L, 100L, day1, 10.0), (2L, 200L, day1, 20.0))
+      .toDF("user_id", "event_id", "ts_us", "spend_7d")
+    FeatureStore.writeGold(base, dir)
+    // key 2's update lands on day2 — the stale day1 row must be rewritten away
+    val updates = Seq((2L, 201L, day2, 99.0))
+      .toDF("user_id", "event_id", "ts_us", "spend_7d")
+    FeatureStore.upsertGold(spark, dir, updates, Seq("user_id"))
+    val got = spark.read.parquet(dir)
+      .select($"user_id", $"spend_7d").as[(Long, Double)].collect().toMap
+    assert(got == Map(1L -> 10.0, 2L -> 99.0))
+    assert(spark.read.parquet(dir).count() == 2)
+  }
+
   test("prediction log appends (never clobbers) under date partitions") {
     val dir = java.nio.file.Files.createTempDirectory("predlog").toString
     val preds = Seq((1L, 1705276800000000L, 0.9, 1))
