@@ -8,6 +8,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // optional dev filter: bench only queries whose name matches args(0)
+    // (regex, substring-anchored); the driver passes no args = all queries
+    val nameFilter: String => Boolean =
+      if (args.isEmpty) _ => true
+      else { val re = args(0).r; n => re.findFirstIn(n).isDefined }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -22,14 +27,14 @@ object Bench {
     // same source at any data size — so this pre-compiles every plan for
     // pennies and the timed pass below measures execution, not javac.
     val warmDir = "/root/testdata/sf0.001"
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+    SparkEntry.queries.toSeq.filter(q => nameFilter(q._1)).sortBy(_._1).foreach { case (_, fn) =>
       try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
     // min of 2 timed passes: single-JVM local mode shares GC/page-cache with
     // whatever else runs on the box; the min is the steady-state execution
     // time of the plan, which is what the engine is accountable for
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.filter(q => nameFilter(q._1)).sortBy(_._1).map { case (name, fn) =>
       var failed = false
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()

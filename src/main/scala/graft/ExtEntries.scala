@@ -6,7 +6,7 @@ import graft.ext._
 
 /** Extension queries (M5): dedup, similarity search, text analysis,
   * multimodal, streaming-twin — each with a DuckDB oracle that replays the
-  * *identical deterministic pipeline* (rank dictionaries + affine hash
+  * *identical deterministic pipeline* (md5-prefix content ids + affine hash
   * families + sequential-fold float math), so even LSH candidate generation
   * hash-matches. See ext/Dedup.scala scaladoc for the determinism contract.
   */
@@ -37,36 +37,34 @@ object ExtEntries {
       |  FROM shd a JOIN shd b ON a.sh = b.sh AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2)""".stripMargin
 
-  /** minhash signatures in long format (mirror of Dedup.minhashLong). */
+  /** minhash signatures in long format (mirror of Dedup.minhashLong;
+    * sid = 48-bit md5-prefix content id, same as Dedup.contentId). */
   private val minhashLongCte =
-    s"""dict AS (
-       |  SELECT sh, CAST(dense_rank() OVER (ORDER BY sh) AS BIGINT) AS sid
-       |  FROM (SELECT DISTINCT sh FROM shd)),
-       |ids AS (SELECT s.doc_id, d.sid FROM shd s JOIN dict d USING (sh)),
+    s"""ids AS (
+       |  SELECT doc_id, ('0x' || substr(md5(sh), 1, 12))::BIGINT AS sid
+       |  FROM shd),
        |hj AS (SELECT unnest(range(0, ${Dedup.NumHashes})) AS j),
        |sigs AS (
        |  SELECT doc_id, j,
        |    min(((101 * j + 37) * sid + (577 * j + 89)) % ${Dedup.P}) AS minh
        |  FROM ids, hj GROUP BY doc_id, j)""".stripMargin
 
-  /** simhash signatures (mirror of Dedup.simhash). */
+  /** simhash signatures (mirror of Dedup.simhash; wid = 48-bit md5-prefix
+    * content id, one sign term per word occurrence). */
   private val simhashCte =
     s"""words AS (
-       |  SELECT doc_id, w, count(*) AS wcnt
-       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
-       |  GROUP BY doc_id, w),
-       |wdict AS (
-       |  SELECT w, CAST(dense_rank() OVER (ORDER BY w) AS BIGINT) AS wid
-       |  FROM (SELECT DISTINCT w FROM words)),
+       |  SELECT doc_id, ('0x' || substr(md5(w), 1, 12))::BIGINT AS wid
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)),
        |bits AS (
        |  SELECT doc_id, j,
-       |    sum(wcnt * ((((101 * j + 37) * wid + (577 * j + 89)) % ${Dedup.P} % 2) * 2 - 1)) AS s
-       |  FROM (SELECT doc_id, wcnt, wid FROM words JOIN wdict USING (w)),
-       |       (SELECT unnest(range(0, 64)) AS j)
+       |    sum((((101 * j + 37) * wid + (577 * j + 89)) % ${Dedup.P} % 2) * 2 - 1) AS s
+       |  FROM words, (SELECT unnest(range(0, 64)) AS j)
        |  GROUP BY doc_id, j),
        |simsigs AS (
        |  SELECT doc_id,
-       |    CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+       |    CAST(sum(CASE WHEN s <= 0 THEN 0
+       |             WHEN j = 63 THEN -9223372036854775808::HUGEINT
+       |             ELSE (1::BIGINT << CAST(j AS INT))::HUGEINT END) AS BIGINT) AS simhash
        |  FROM bits GROUP BY doc_id)""".stripMargin
 
   /** Sequential-fold dot product over 64-dim float lists (mirror of
@@ -123,7 +121,7 @@ object ExtEntries {
               |JOIN shcnt cb ON d2 = cb.doc_id
               |WHERE CAST(ix AS DOUBLE) / (ca.n + cb.n - ix) >= 0.5""".stripMargin)),
 
-    // MinHash signatures (16 affine hashes over the shingle rank dictionary)
+    // MinHash signatures (16 affine hashes over the md5-prefix shingle id)
     Q("q22_minhash_sigs",
       (s, d) => Dedup.minhashLong(Tables.documents(s, d), 3)
         .select(col("doc_id"), col("j").cast("long").as("j"), col("minh")),

@@ -525,13 +525,13 @@ object SparkEntry {
         s.sql("""
           SELECT c_mktsegment,
                  count(*) AS n_orders,
-                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue,
+                 sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_cents,
                  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
           FROM v_orders JOIN v_customer ON o_custkey = c_custkey
           GROUP BY c_mktsegment""")
       },
       Some("""SELECT c_mktsegment, count(*) AS n_orders,
-             |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue,
+             |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
              |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
              |FROM orders JOIN customer ON o_custkey = c_custkey
              |GROUP BY c_mktsegment""".stripMargin)),

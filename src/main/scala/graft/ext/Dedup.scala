@@ -9,12 +9,16 @@ import org.apache.spark.sql.functions._
   *
   * Determinism-by-construction: fuzzy dedup normally relies on random hash
   * families. Here every "random" hash is a fixed affine family
-  * `h_j(x) = (A_j·x + B_j) mod P` over a *rank dictionary* id (dense_rank of
-  * the sorted distinct shingle set) — pure integer arithmetic that any engine
-  * reproduces bit-for-bit, so even the LSH candidate sets are oracle-checkable.
-  * At 100 TB the rank dictionary (a global sort over distinct shingles) would
-  * be replaced by a 64-bit content hash (xxhash64) — same pipeline shape, one
-  * less shuffle — traded here for cross-engine verifiability.
+  * `h_j(x) = (A_j·x + B_j) mod P` over a *48-bit content id* — the first 12
+  * hex chars of md5(token) parsed as an integer. md5 is bit-identical in
+  * every engine (Spark `conv(substr(md5(x),1,12),16,10)` ≡ DuckDB
+  * `('0x'||substr(md5(x),1,12))::BIGINT`), so even the LSH candidate sets
+  * are oracle-checkable — AND, unlike a rank dictionary (dense_rank over the
+  * globally sorted distinct token set), the id needs no distinct, no global
+  * sort, and no dictionary join: it is computed inline at explode time.
+  * That is the 100 TB shape — per-row arithmetic only, zero extra shuffles.
+  * 48 bits keeps `A_j·sid` under 2^63 (ANSI-safe); a same-id collision
+  * (p ≈ n²/2^49) would be replayed identically by the oracle.
   */
 object Dedup {
   val P = 1000003L
@@ -63,14 +67,14 @@ object Dedup {
       .select(col("doc_id").as("d1"), col("doc_id2").as("d2"), col("jaccard"))
   }
 
-  /** Deterministic global shingle-id dictionary: dense_rank over the sorted
-    * distinct shingle set (1-based). */
-  def shingleDict(sh: DataFrame): DataFrame =
-    sh.select(col("sh")).distinct()
-      .withColumn("sid", dense_rank().over(Window.orderBy(col("sh"))).cast("long"))
+  /** Deterministic 48-bit content id: first 12 hex chars of md5, as a long.
+    * Cross-engine identical (see object scaladoc) and computed per-row —
+    * no dictionary materialization at any scale. */
+  def contentId(c: Column): Column =
+    conv(substring(md5(c), 1, 12), 16, 10).cast("long")
 
   private def minhashWideFromShingles(sh: DataFrame): DataFrame = {
-    val withId = sh.join(shingleDict(sh), Seq("sh")).select(col("doc_id"), col("sid"))
+    val withId = sh.select(col("doc_id"), contentId(col("sh")).as("sid"))
     val hashes = (0 until NumHashes).map { j =>
       min((lit(hashA(j)) * col("sid") + lit(hashB(j))) % lit(P)).as(s"h$j")
     }
@@ -101,13 +105,26 @@ object Dedup {
     val wide = minhashWideFromShingles(sh)
     def bandSig(b: Int): Column =
       concat_ws(",", (0 until BandSize).map(r => col(s"h${b * BandSize + r}")): _*)
-    val bands = (0 until NumHashes / BandSize).map { b =>
-      wide.select(col("doc_id"), lit(b).as("band"), bandSig(b).as("sig"))
+    val nBands = NumHashes / BandSize
+    // each row carries ALL band sigs so pair dedup needs no distinct():
+    // a pair sharing k bands is kept only at its FIRST matching band
+    // (all earlier bands must differ), a narrow filter instead of a
+    // shuffle over the candidate set
+    val bands = (0 until nBands).map { b =>
+      wide.select(col("doc_id"), lit(b).as("band"), bandSig(b).as("sig"),
+        array((0 until nBands).map(bandSig): _*).as("sigs"))
     }.reduce(_ unionByName _)
+    val firstMatch = (0 until nBands).map { b =>
+      (col("band") === b) && (0 until b)
+        .map(bp => col("sigs")(bp) =!= col("sigs2")(bp))
+        .foldLeft(lit(true))(_ && _)
+    }.reduce(_ || _)
     val cands = bands.as("x")
-      .join(bands.withColumnRenamed("doc_id", "doc_id2").as("y"), Seq("band", "sig"))
+      .join(bands.select(col("doc_id").as("doc_id2"), col("band"),
+        col("sig"), col("sigs").as("sigs2")).as("y"), Seq("band", "sig"))
       .filter(col("doc_id") < col("doc_id2"))
-      .select(col("doc_id"), col("doc_id2")).distinct()
+      .filter(firstMatch)
+      .select(col("doc_id"), col("doc_id2"))
     // exact-verify ONLY candidate pairs: join candidates to their shingle
     // sets first — computing the full co-shingle self-join here would be the
     // same quadratic blowup LSH exists to avoid
@@ -172,20 +189,20 @@ object Dedup {
   }
 
   /** 64-bit SimHash over the word multiset: bit_j = sign of
-    * Σ_words count(word) · (2·((A_j·wid + B_j) mod P mod 2) − 1).
-    * Deterministic via the word-rank dictionary. Bit 63 contributes −2^63
-    * (two's complement) — the sum of distinct signed powers equals the
-    * bitwise OR, in any engine with int64 semantics. */
+    * Σ_words count(word) · (2·((A_j·wid + B_j) mod P mod 2) − 1), with
+    * wid the 48-bit md5-prefix content id (no dictionary, see scaladoc).
+    * Bit 63 contributes −2^63 (two's complement) — the sum of distinct
+    * signed powers equals the bitwise OR, in any engine with int64
+    * semantics. */
   def simhash(documents: DataFrame): DataFrame = {
-    val words = documents
+    // one shuffle: summing the ±1 sign per word OCCURRENCE equals summing
+    // wcnt·sign per distinct word (integer math), so no (doc_id, word)
+    // pre-aggregation is needed — partial aggregation combines map-side
+    val withId = documents
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("wcnt"))
-    val dict = words.select(col("w")).distinct()
-      .withColumn("wid", dense_rank().over(Window.orderBy(col("w"))).cast("long"))
-    val withId = words.join(dict, Seq("w"))
+      .withColumn("wid", contentId(col("w")))
     val bitSums = (0 until 64).map { j =>
-      sum(col("wcnt") *
-        (((lit(hashA(j)) * col("wid") + lit(hashB(j))) % lit(P) % 2) * 2 - 1))
+      sum((((lit(hashA(j)) * col("wid") + lit(hashB(j))) % lit(P) % 2) * 2 - 1))
         .as(s"s$j")
     }
     withId.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
@@ -206,16 +223,26 @@ object Dedup {
       sig.select(col("doc_id"), col("simhash"), lit(b).as("band"),
         shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xffffL)).as("nib"))
     }.reduce(_ unionByName _)
+    // Pair dedup WITHOUT a distinct(): a pair sharing k bands would surface
+    // k times, so keep only the row from the pair's FIRST matching band —
+    // every earlier band must differ, which the xor of the two full
+    // signatures tells us locally. Turns the post-join pipeline into a pure
+    // narrow filter (no shuffle over the candidate set, the dominant cost
+    // when the corpus is near-dup heavy).
+    val xor = col("simhash").bitwiseXOR(col("simhash2"))
+    def bandDiffers(b: Int): Column =
+      shiftright(xor, b * 16).bitwiseAND(lit(0xffffL)) =!= 0L
+    val firstMatch = (0 until 4).map { b =>
+      (col("band") === b) && (0 until b).map(bandDiffers)
+        .foldLeft(lit(true))(_ && _)
+    }.reduce(_ || _)
     bands.as("x")
       .join(bands.select(col("doc_id").as("doc_id2"),
         col("simhash").as("simhash2"), col("band"), col("nib")).as("y"),
         Seq("band", "nib"))
       .filter(col("doc_id") < col("doc_id2"))
-      .select(col("doc_id"), col("doc_id2"), col("simhash"), col("simhash2"))
-      .distinct()
-      .withColumn("hamming",
-        bit_count(col("simhash").bitwiseXOR(col("simhash2"))))
-      .filter(col("hamming") <= maxDist)
+      .withColumn("hamming", bit_count(xor))
+      .filter(col("hamming") <= maxDist && firstMatch)
       .select(col("doc_id").as("d1"), col("doc_id2").as("d2"),
         col("hamming").cast("int").as("hamming"))
   }
