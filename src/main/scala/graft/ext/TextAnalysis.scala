@@ -114,7 +114,14 @@ object TextAnalysis {
   val FpP = 1000003L
   val FpA = 8191L
   val FpB = 524287L
-  def fingerprint(documents: DataFrame): DataFrame =
+
+  /** Declarative formulation (higher-order built-ins). Spark evaluates
+    * transform/aggregate lambdas INTERPRETED (CodegenFallback) with one
+    * materialized array per row — measured 16× slower than the native
+    * expression at sf0.1 — so `fingerprint` routes through the codegen'd
+    * AsciiFingerprint; this form is kept (and parity-tested in
+    * FunctionsSpec) as the executable spec of the semantics. */
+  def fingerprintDeclarative(documents: DataFrame): DataFrame =
     documents.select(
       col("doc_id"),
       (aggregate(
@@ -122,4 +129,11 @@ object TextAnalysis {
           i => ascii(col("text").substr(i, lit(1)))
             * ((lit(FpA) * i + lit(FpB)) % lit(FpP))),
         lit(0L), (acc, x) => acc + x.cast("long")) % lit(FpP)).as("fp"))
+
+  def fingerprint(documents: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    documents.select(
+      col("doc_id"),
+      graft.functions.GraftFunctions.asciiFingerprint(col("text")).as("fp"))
+  }
 }

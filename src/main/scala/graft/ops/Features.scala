@@ -65,6 +65,8 @@ object Features {
   /** The full 17-column feature view; one output row per input event row
     * (reference grain — duplicate (customer, t) rows are preserved, SURVEY §7.6). */
   def featureView(events: DataFrame): DataFrame = {
+    // idempotent; needed for the distinct_count_exact window aggregate below
+    graft.functions.GraftFunctions.register(events.sparkSession)
     val base = eventFrame(events)
     val byUser = Window.partitionBy(col("user_id"))
     def frame(us: Long) =
@@ -78,7 +80,10 @@ object Features {
       Seq(
         txnCnt.as(s"txn_count_$lbl"),
         spendW.as(s"spend_$lbl"),
-        size(collect_set(col("sku")).over(w)).cast("long").as(s"unique_skus_$lbl"),
+        // imperative exact-distinct aggregate: counts without materializing
+        // a per-row set array the way size(collect_set()) would
+        graft.functions.GraftFunctions.distinctCountExact(col("sku"))
+          .over(w).as(s"unique_skus_$lbl"),
         // No round(): numerator/denominator are bit-identical integers in
         // both engines, so the double quotient is bit-identical — rounding
         // would only INTRODUCE divergence on exact .5 decimal boundaries

@@ -43,7 +43,8 @@ class FunctionsSpec extends SparkSpec {
     val docs = Tables.documents(spark, sf)
     val native = docs.select($"doc_id",
       GraftFunctions.asciiFingerprint($"text").as("fp"))
-    val decl = TextAnalysis.fingerprint(docs).withColumnRenamed("fp", "fp2")
+    val decl = TextAnalysis.fingerprintDeclarative(docs)
+      .withColumnRenamed("fp", "fp2")
     assert(native.join(decl, Seq("doc_id"))
       .filter($"fp" =!= $"fp2").count() == 0)
   }
