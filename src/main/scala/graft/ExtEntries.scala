@@ -467,6 +467,174 @@ object ExtEntries {
       (s, d) => TextAnalysis.tokenCountRegex(Tables.documents(s, d)),
       Some("""SELECT doc_id,
              |  CAST(list_sum(list_transform(w, x -> CAST(floor((len(x) + 3) / 4.0) AS BIGINT))) AS BIGINT) AS n_subword_tokens
-             |FROM (SELECT doc_id, regexp_split_to_array(text, '[^a-zA-Z0-9]+') AS w FROM documents)""".stripMargin))
+             |FROM (SELECT doc_id, regexp_split_to_array(text, '[^a-zA-Z0-9]+') AS w FROM documents)""".stripMargin)),
+
+    // ------------------------------------------------ training-prep surface
+
+    // Deterministic leakage-free train/val/test split by key content hash
+    Q("q54_hash_split",
+      (s, d) => TrainPrep.hashSplit(Tables.customer(s, d), "c_custkey")
+        .select(col("c_custkey"), col("bucket"), col("split")),
+      Some("""SELECT c_custkey,
+             |  ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 12))::BIGINT % 10 AS bucket,
+             |  CASE WHEN ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 12))::BIGINT % 10 < 8 THEN 'train'
+             |       WHEN ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 12))::BIGINT % 10 = 8 THEN 'val'
+             |       ELSE 'test' END AS split
+             |FROM customer""".stripMargin)),
+
+    // Deterministic stratified sample: first 100 per segment in md5 order
+    Q("q55_stratified_sample",
+      (s, d) => TrainPrep.stratifiedSample(
+        Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment")),
+        "c_mktsegment", "c_custkey", 100),
+      Some("""SELECT c_custkey, c_mktsegment, rn FROM (
+             |  SELECT c_custkey, c_mktsegment,
+             |    CAST(row_number() OVER (PARTITION BY c_mktsegment
+             |      ORDER BY md5(CAST(c_custkey AS VARCHAR)), c_custkey) AS BIGINT) AS rn
+             |  FROM customer)
+             |WHERE rn <= 100""".stripMargin)),
+
+    // Group-limit: top-3 orders by value per customer (deterministic ties)
+    Q("q56_group_topk",
+      (s, d) => TrainPrep.topKPerGroup(
+        Tables.orders(s, d).select(col("o_custkey"), col("o_orderkey"),
+          col("o_totalprice")),
+        "o_custkey", "o_totalprice", "o_orderkey", 3),
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+             |  SELECT o_custkey, o_orderkey, o_totalprice,
+             |    CAST(row_number() OVER (PARTITION BY o_custkey
+             |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rn
+             |  FROM orders)
+             |WHERE rn <= 3""".stripMargin)),
+
+    // Decile statistics of order value (ntile over a deterministic total order)
+    Q("q57_quantile_bins",
+      (s, d) => TrainPrep.quantileBins(Tables.orders(s, d), 10),
+      Some("""SELECT bin, count(*) AS n,
+             |  min(price_cents) AS min_cents, max(price_cents) AS max_cents,
+             |  CAST(sum(price_cents) AS BIGINT) AS sum_cents
+             |FROM (
+             |  SELECT CAST(ntile(10) OVER (ORDER BY price_cents, o_orderkey) AS BIGINT) AS bin,
+             |         price_cents
+             |  FROM (SELECT o_orderkey,
+             |          CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+             |        FROM orders))
+             |GROUP BY bin""".stripMargin)),
+
+    // Pairwise Pearson correlation from integer sufficient statistics
+    Q("q58_corr_matrix",
+      (s, d) => TrainPrep.corrMatrix(Tables.lineitem(s, d)),
+      Some("""WITH b AS (
+             |  SELECT CAST(l_quantity AS BIGINT) AS q,
+             |         CAST(round(l_extendedprice) AS BIGINT) AS p,
+             |         CAST(round(l_discount * 100) AS BIGINT) AS d
+             |  FROM lineitem),
+             |s AS (
+             |  SELECT count(*) AS n,
+             |    CAST(sum(q) AS BIGINT) AS sq, CAST(sum(p) AS BIGINT) AS sp,
+             |    CAST(sum(d) AS BIGINT) AS sd, CAST(sum(q*q) AS BIGINT) AS sqq,
+             |    CAST(sum(p*p) AS BIGINT) AS spp, CAST(sum(d*d) AS BIGINT) AS sdd,
+             |    CAST(sum(q*p) AS BIGINT) AS sqp, CAST(sum(q*d) AS BIGINT) AS sqd,
+             |    CAST(sum(p*d) AS BIGINT) AS spd
+             |  FROM b)
+             |SELECT n,
+             |  (CAST(n AS DOUBLE) * CAST(sqp AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE))
+             |    / (sqrt(CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+             |     * sqrt(CAST(n AS DOUBLE) * CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))) AS corr_qty_price,
+             |  (CAST(n AS DOUBLE) * CAST(sqd AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sd AS DOUBLE))
+             |    / (sqrt(CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+             |     * sqrt(CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))) AS corr_qty_disc,
+             |  (CAST(n AS DOUBLE) * CAST(spd AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sd AS DOUBLE))
+             |    / (sqrt(CAST(n AS DOUBLE) * CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))
+             |     * sqrt(CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))) AS corr_price_disc
+             |FROM s""".stripMargin)),
+
+    // TF-IDF-style scoring with a log-free idf (transcendental-free parity)
+    Q("q59_tfidf",
+      (s, d) => TrainPrep.tfidf(Tables.documents(s, d)),
+      Some("""WITH wrds AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+             |tf AS (SELECT doc_id, w, count(*) AS tf FROM wrds GROUP BY 1, 2),
+             |dfx AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+             |n AS (SELECT count(*) AS n_docs FROM documents)
+             |SELECT doc_id, tf.w AS w, tf, df,
+             |  (CAST(tf AS DOUBLE) * (CAST(n_docs - df AS DOUBLE) + 0.5))
+             |    / (CAST(df AS DOUBLE) + 0.5) AS score
+             |FROM tf JOIN dfx USING (w), n""".stripMargin)),
+
+    // Token-budget sequence packing within content-hash shards
+    Q("q60_pack_sequences",
+      (s, d) => TrainPrep.packSequences(Tables.documents(s, d), 2048L, 8),
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |    CAST(list_sum(list_transform(regexp_split_to_array(text, '[^a-zA-Z0-9]+'),
+             |      x -> CAST(floor((len(x) + 3) / 4.0) AS BIGINT))) AS BIGINT) AS n_subword_tokens
+             |  FROM documents),
+             |sh AS (
+             |  SELECT doc_id, n_subword_tokens,
+             |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 8 AS shard
+             |  FROM toks),
+             |c AS (
+             |  SELECT *, sum(n_subword_tokens) OVER (PARTITION BY shard
+             |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             |  FROM sh)
+             |SELECT doc_id, shard, n_subword_tokens,
+             |  CAST((cum - n_subword_tokens) // 2048 AS BIGINT) AS bin
+             |FROM c""".stripMargin)),
+
+    // Set operators: INTERSECT / EXCEPT over two customer predicates
+    Q("q61_set_ops",
+      (s, d) => {
+        val orders = Tables.orders(s, d)
+        val high = orders.filter(col("o_totalprice") > 300000.0)
+          .select(col("o_custkey"))
+        val urgent = orders.filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey"))
+        high.intersect(urgent).select(col("o_custkey"), lit("both").as("tag"))
+          .unionByName(high.except(urgent)
+            .select(col("o_custkey"), lit("high_only").as("tag")))
+      },
+      Some("""SELECT o_custkey, 'both' AS tag FROM (
+             |  SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0
+             |  INTERSECT
+             |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+             |UNION ALL
+             |SELECT o_custkey, 'high_only' AS tag FROM (
+             |  SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0
+             |  EXCEPT
+             |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')""".stripMargin)),
+
+    // Text normalization: lowercase, strip punctuation, collapse whitespace
+    Q("q62_text_normalize",
+      (s, d) => TrainPrep.normalizeText(Tables.documents(s, d)),
+      Some("""SELECT doc_id,
+             |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g')) AS norm_text,
+             |  regexp_matches(text, '^[ -~]*$') AS is_ascii,
+             |  CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))) AS BIGINT) AS norm_len
+             |FROM documents""".stripMargin)),
+
+    // Inverse-frequency class weights over the language label
+    Q("q63_class_weights",
+      (s, d) => TrainPrep.classWeights(Tables.documents(s, d), "lang"),
+      Some("""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+             |t AS (SELECT CAST(sum(n) AS BIGINT) AS total, count(*) AS k FROM c)
+             |SELECT lang, n,
+             |  CAST(total AS DOUBLE) / CAST(k * n AS DOUBLE) AS weight
+             |FROM c, t""".stripMargin)),
+
+    // CUBE grouping-sets aggregation with an explicit grouping id
+    Q("q64_cube",
+      (s, d) => Tables.events(s, d)
+        .select(col("event_type"),
+          pmod(expr("ts_us DIV 86400000000"), lit(7L)).as("dow"))
+        .cube(col("event_type"), col("dow"))
+        .agg(count(lit(1)).as("n_events"),
+          (grouping(col("event_type")) * 2 + grouping(col("dow")))
+            .cast("long").as("gid")),
+      Some("""SELECT event_type, dow, count(*) AS n_events,
+             |  CAST(GROUPING(event_type) * 2 + GROUPING(dow) AS BIGINT) AS gid
+             |FROM (SELECT event_type, (epoch_us(ts) // 86400000000) % 7 AS dow
+             |      FROM events)
+             |GROUP BY CUBE(event_type, dow)""".stripMargin))
   )
 }

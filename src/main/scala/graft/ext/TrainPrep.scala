@@ -1,0 +1,177 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data preparation operators — the sampling / splitting / weighting
+  * / statistics surface a large-scale training pipeline needs on top of the
+  * reference's feature engineering (BASELINE.json north-star; the reference's
+  * own split is the ordered 80/20 prefix, SURVEY §2.5 T3).
+  *
+  * Determinism contract: every "random" choice is a deterministic function of
+  * the data — md5-prefix content ids ([[Dedup.contentId]]) for hash splits
+  * and sample ordering — so the DuckDB oracle replays the identical pipeline
+  * and results hash-match bit-for-bit. At 100 TB every operator here is
+  * per-row arithmetic + one shuffle (or zero): no global sorts except where
+  * the semantics require one (deciles), and those are flagged.
+  */
+object TrainPrep {
+
+  /** Deterministic train/val/test assignment: bucket = content-hash of the
+    * key mod 10 → 0-7 train, 8 val, 9 test. The assignment is a pure
+    * function of the key — stable across runs, machines, and engines; rows
+    * with the same key always land in the same split (no leakage between
+    * splits when the key is the entity id). Zero shuffles: a projection. */
+  def hashSplit(df: DataFrame, keyCol: String): DataFrame = {
+    val bucket = pmod(Dedup.contentId(col(keyCol).cast("string")), lit(10L))
+    df.withColumn("bucket", bucket)
+      .withColumn("split",
+        when(col("bucket") < 8, lit("train"))
+          .when(col("bucket") === 8, lit("val"))
+          .otherwise(lit("test")))
+  }
+
+  /** Deterministic stratified sample: the first `n` rows per stratum in
+    * content-hash order (md5 of the key = a fixed random permutation).
+    * One shuffle on the stratum key; the per-stratum sort is bounded by
+    * stratum size (at 100 TB: top-n per group via partial top-k in AQE,
+    * not a global sort). */
+  def stratifiedSample(df: DataFrame, strataCol: String, keyCol: String,
+                       n: Int): DataFrame = {
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(md5(col(keyCol).cast("string")).asc, col(keyCol).asc)
+    df.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= n)
+  }
+
+  /** Top-k rows per group by `ordCol` descending (ties broken by `tieCol`
+    * ascending, so the result is a deterministic set). The group-limit
+    * pattern: one shuffle on the group key, per-group heap — never a global
+    * sort. */
+  def topKPerGroup(df: DataFrame, grpCol: String, ordCol: String,
+                   tieCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(col(grpCol))
+      .orderBy(col(ordCol).desc, col(tieCol).asc)
+    df.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+  }
+
+  /** Decile (n-bin) statistics of order value: ntile over the total order
+    * (cents, then key — fully deterministic), then per-bin count/min/max/sum.
+    * ntile needs a GLOBAL sort (single-partition window) — correct up to
+    * ~10^8 rows; the 100 TB path replaces it with approx-quantile boundaries
+    * + a broadcast range join, same output schema. */
+  def quantileBins(orders: DataFrame, nBins: Int): DataFrame = {
+    val cents = round(col("o_totalprice") * 100).cast("long")
+    val w = Window.orderBy(col("price_cents").asc, col("o_orderkey").asc)
+    orders.select(col("o_orderkey"), cents.as("price_cents"))
+      .withColumn("bin", ntile(nBins).over(w).cast("long"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        min(col("price_cents")).as("min_cents"),
+        max(col("price_cents")).as("max_cents"),
+        sum(col("price_cents")).as("sum_cents"))
+  }
+
+  /** Pairwise Pearson correlation of (quantity, price, discount) from
+    * integer sufficient statistics — one pass, partial-aggregable, exact
+    * operands. Units chosen so every int64 sum of products stays in range
+    * at sf ≥ 1 (dollars not cents, q41's lesson); the derived doubles are
+    * bit-identical cross-engine because every operand and operation-order
+    * matches. Built-in corr() streams Welford-style and would NOT match. */
+  def corrMatrix(lineitem: DataFrame): DataFrame = {
+    val base = lineitem.select(
+      col("l_quantity").cast("long").as("q"),
+      round(col("l_extendedprice")).cast("long").as("p"), // dollars
+      round(col("l_discount") * 100).cast("long").as("d")) // percent
+    val stats = base.agg(
+      count(lit(1)).as("n"),
+      sum(col("q")).as("sq"), sum(col("p")).as("sp"), sum(col("d")).as("sd"),
+      sum(col("q") * col("q")).as("sqq"), sum(col("p") * col("p")).as("spp"),
+      sum(col("d") * col("d")).as("sdd"), sum(col("q") * col("p")).as("sqp"),
+      sum(col("q") * col("d")).as("sqd"), sum(col("p") * col("d")).as("spd"))
+    def corr(n: Column, sx: Column, sy: Column, sxy: Column,
+             sxx: Column, syy: Column): Column = {
+      val nd = n.cast("double")
+      val cov = nd * sxy.cast("double") - sx.cast("double") * sy.cast("double")
+      val vx = nd * sxx.cast("double") - sx.cast("double") * sx.cast("double")
+      val vy = nd * syy.cast("double") - sy.cast("double") * sy.cast("double")
+      cov / (sqrt(vx) * sqrt(vy))
+    }
+    stats.select(
+      col("n"),
+      corr(col("n"), col("sq"), col("sp"), col("sqp"), col("sqq"), col("spp"))
+        .as("corr_qty_price"),
+      corr(col("n"), col("sq"), col("sd"), col("sqd"), col("sqq"), col("sdd"))
+        .as("corr_qty_disc"),
+      corr(col("n"), col("sp"), col("sd"), col("spd"), col("spp"), col("sdd"))
+        .as("corr_price_disc"))
+  }
+
+  /** TF-IDF-style term scoring with a LOG-FREE idf,
+    * score = tf · (N − df + 0.5) / (df + 0.5)  (BM25's idf ratio without the
+    * ln): JVM Math.log and libm log disagree by 1 ulp on ~0.1% of inputs
+    * (measured), so a cross-engine-exact pipeline must avoid transcendental
+    * functions; the ratio preserves the ranking. Two shuffles: tf by
+    * (doc, term), df by term; N broadcasts. */
+  def tfidf(documents: DataFrame): DataFrame = {
+    val words = documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val tf = words.groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val n = documents.agg(count(lit(1)).as("n_docs"))
+    tf.join(df, Seq("w")).crossJoin(broadcast(n))
+      .select(col("doc_id"), col("w"), col("tf"), col("df"),
+        (col("tf").cast("double") *
+          ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5))).as("score"))
+  }
+
+  /** Sequence packing: assign documents to fixed token-budget bins, greedily
+    * in doc_id order WITHIN a content-hash shard — bin = exclusive running
+    * token sum div budget. Sharding keeps the running sum a per-shard window
+    * (one shuffle, no global sort) — exactly how you'd pack 100 TB: pack
+    * within partitions, never across. */
+  def packSequences(documents: DataFrame, budgetTokens: Long,
+                    shards: Int): DataFrame = {
+    val toks = TextAnalysis.tokenCountRegex(documents)
+      .withColumn("shard", pmod(Dedup.contentId(col("doc_id").cast("string")),
+        lit(shards.toLong)))
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    toks
+      .withColumn("cum", sum(col("n_subword_tokens")).over(w))
+      .select(col("doc_id"), col("shard"), col("n_subword_tokens"),
+        ((col("cum") - col("n_subword_tokens")) / lit(budgetTokens))
+          .cast("long").as("bin"))
+  }
+
+  /** Unicode-free text normalization: lowercase, non-alphanumeric → space,
+    * collapse runs, trim; plus printable-ASCII flag and normalized length.
+    * Pure per-row projection. */
+  def normalizeText(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9]+", " "),
+        " +", " ")).as("norm_text"),
+      col("text").rlike("^[ -~]*$").as("is_ascii"),
+      length(trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9]+", " "),
+        " +", " "))).cast("long").as("norm_len"))
+
+  /** Inverse-frequency class weights: weight(c) = N / (K · n_c) — the
+    * standard balanced-class weighting, from one aggregation. Exact-operand
+    * doubles (bigint ratios). */
+  def classWeights(df: DataFrame, classCol: String): DataFrame = {
+    val counts = df.groupBy(col(classCol)).agg(count(lit(1)).as("n"))
+    val totals = counts.agg(sum(col("n")).as("total"),
+      count(lit(1)).as("k"))
+    counts.crossJoin(broadcast(totals))
+      .select(col(classCol), col("n"),
+        (col("total").cast("double") /
+          (col("k") * col("n")).cast("double")).as("weight"))
+  }
+}
