@@ -28,26 +28,30 @@ object ExtEntries {
       |       (SELECT unnest(range(1, 1000)) AS i) t
       |  WHERE len(w) >= 3 AND i <= len(w) - 2)""".stripMargin
 
+  /** shingle → 48-bit content id (mirror of Dedup.shingleIds; every
+    * count/intersection below runs on ids, exactly like the Spark side). */
+  private val shingleIdCte =
+    """shid AS (
+      |  SELECT doc_id, ('0x' || substr(md5(sh), 1, 12))::BIGINT AS sid
+      |  FROM shd)""".stripMargin
+
   private val shingleCountCte =
-    """shcnt AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id)""".stripMargin
+    """shcnt AS (SELECT doc_id, count(*) AS n FROM shid GROUP BY doc_id)""".stripMargin
 
   private val shingleInterCte =
     """shint AS (
       |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS ix
-      |  FROM shd a JOIN shd b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  FROM shid a JOIN shid b ON a.sid = b.sid AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2)""".stripMargin
 
   /** minhash signatures in long format (mirror of Dedup.minhashLong;
-    * sid = 48-bit md5-prefix content id, same as Dedup.contentId). */
+    * operates on shid's 48-bit content ids). */
   private val minhashLongCte =
-    s"""ids AS (
-       |  SELECT doc_id, ('0x' || substr(md5(sh), 1, 12))::BIGINT AS sid
-       |  FROM shd),
-       |hj AS (SELECT unnest(range(0, ${Dedup.NumHashes})) AS j),
+    s"""hj AS (SELECT unnest(range(0, ${Dedup.NumHashes})) AS j),
        |sigs AS (
        |  SELECT doc_id, j,
        |    min(((101 * j + 37) * sid + (577 * j + 89)) % ${Dedup.P}) AS minh
-       |  FROM ids, hj GROUP BY doc_id, j)""".stripMargin
+       |  FROM shid, hj GROUP BY doc_id, j)""".stripMargin
 
   /** simhash signatures (mirror of Dedup.simhash; wid = 48-bit md5-prefix
     * content id, one sign term per word occurrence). */
@@ -113,7 +117,7 @@ object ExtEntries {
     // Exact n-gram Jaccard near-dup pairs (3-word shingles, j >= 0.5)
     Q("q21_dedup_ngram",
       (s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d), 3, 0.5),
-      Some(s"""WITH $shinglesCte, $shingleCountCte, $shingleInterCte
+      Some(s"""WITH $shinglesCte, $shingleIdCte, $shingleCountCte, $shingleInterCte
               |SELECT d1, d2,
               |  CAST(ix AS DOUBLE) / (ca.n + cb.n - ix) AS jaccard
               |FROM shint
@@ -125,13 +129,13 @@ object ExtEntries {
     Q("q22_minhash_sigs",
       (s, d) => Dedup.minhashLong(Tables.documents(s, d), 3)
         .select(col("doc_id"), col("j").cast("long").as("j"), col("minh")),
-      Some(s"""WITH $shinglesCte, $minhashLongCte
+      Some(s"""WITH $shinglesCte, $shingleIdCte, $minhashLongCte
               |SELECT doc_id, j, CAST(minh AS BIGINT) AS minh FROM sigs""".stripMargin)),
 
     // MinHash-LSH candidate pairs (4×4 banding) + exact-Jaccard verify
     Q("q23_minhash_lsh_pairs",
       (s, d) => Dedup.minhashLshPairs(Tables.documents(s, d), 3, 0.5),
-      Some(s"""WITH $shinglesCte, $minhashLongCte, $shingleCountCte, $shingleInterCte,
+      Some(s"""WITH $shinglesCte, $shingleIdCte, $minhashLongCte, $shingleCountCte, $shingleInterCte,
               |wide AS (
               |  SELECT doc_id,
               |    ${(0 until 16).map(j => s"min(CASE WHEN j = $j THEN minh END) AS h$j").mkString(", ")}
@@ -158,7 +162,7 @@ object ExtEntries {
     Q("q48_neardup_clusters",
       (s, d) => Dedup.nearDupClusters(Tables.documents(s, d),
         Dedup.ngramJaccardPairs(Tables.documents(s, d), 3, 0.5)),
-      Some(s"""WITH RECURSIVE $shinglesCte, $shingleCountCte, $shingleInterCte,
+      Some(s"""WITH RECURSIVE $shinglesCte, $shingleIdCte, $shingleCountCte, $shingleInterCte,
               |pairs AS (
               |  SELECT d1, d2 FROM shint
               |  JOIN shcnt ca ON d1 = ca.doc_id

@@ -44,18 +44,40 @@ object Dedup {
           sequence(lit(1), size(col("w")) - (k - 1)),
           i => concat_ws(" ", slice(col("w"), i, lit(k)))))).as("sh"))
 
-  /** Exact n-gram Jaccard near-dup pairs: |A∩B| via self-join on shingle,
+  /** (doc_id, sid) pairs: the distinct word k-shingles of each doc projected
+    * to their 48-bit content ids — shingle strings never leave the mapper;
+    * every downstream shuffle and join key is an 8-byte long. */
+  def shingleIds(documents: DataFrame, k: Int = 3): DataFrame =
+    shingles(documents, k).select(col("doc_id"), contentId(col("sh")).as("sid"))
+
+  /** Exact n-gram Jaccard near-dup pairs: |A∩B| via self-join on shingle id,
     * |A∪B| = |A|+|B|−|A∩B|. The shingle self-join is the scalable exact
-    * formulation (shuffle on shingle value; ubiquitous shingles are the skew
+    * formulation (shuffle on shingle id; ubiquitous shingles are the skew
     * axis — at 100 TB, drop top-frequency shingles like stop-ngrams first).
     * Jaccard = int/int → bit-identical across engines. */
   def ngramJaccardPairs(documents: DataFrame, k: Int = 3,
-                        threshold: Double = 0.5): DataFrame = {
-    val sh = shingles(documents, k).cache()
+                        threshold: Double = 0.5): DataFrame =
+    jaccardFromShingleIds(shingleIds(documents, k).cache(), threshold)
+
+  /** Exact Jaccard pairs from a (doc_id, sid) table; `cands` = optional
+    * pre-filter of (doc_id, doc_id2) pairs to verify (the LSH path). */
+  private def jaccardFromShingleIds(sh: DataFrame, threshold: Double,
+                                    cands: Option[DataFrame] = None): DataFrame = {
     val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = sh.as("a")
-      .join(sh.withColumnRenamed("doc_id", "doc_id2").as("b"), Seq("sh"))
-      .filter(col("doc_id") < col("doc_id2"))
+    val left = cands match {
+      case Some(c) => c.join(sh, Seq("doc_id"))
+      case None => sh.as("a")
+    }
+    val inter = left
+      .join(sh.select(col("doc_id").as("doc_id2"), col("sid")),
+        cands match {
+          case Some(_) => Seq("doc_id2", "sid")
+          case None => Seq("sid")
+        })
+      .filter(cands match {
+        case Some(_) => lit(true)
+        case None => col("doc_id") < col("doc_id2")
+      })
       .groupBy(col("doc_id"), col("doc_id2")).agg(count(lit(1)).as("ix"))
     inter
       .join(cnt.withColumnRenamed("n", "na"), Seq("doc_id"))
@@ -73,18 +95,17 @@ object Dedup {
   def contentId(c: Column): Column =
     conv(substring(md5(c), 1, 12), 16, 10).cast("long")
 
-  private def minhashWideFromShingles(sh: DataFrame): DataFrame = {
-    val withId = sh.select(col("doc_id"), contentId(col("sh")).as("sid"))
+  private def minhashWideFromIds(ids: DataFrame): DataFrame = {
     val hashes = (0 until NumHashes).map { j =>
       min((lit(hashA(j)) * col("sid") + lit(hashB(j))) % lit(P)).as(s"h$j")
     }
-    withId.groupBy(col("doc_id")).agg(hashes.head, hashes.tail: _*)
+    ids.groupBy(col("doc_id")).agg(hashes.head, hashes.tail: _*)
   }
 
   /** MinHash signatures, LONG format: (doc_id, j, minh) for j in 0..15 with
     * minh_j = min over shingles of (A_j·sid + B_j) mod P. */
   def minhashLong(documents: DataFrame, k: Int = 3): DataFrame =
-    minhashWideFromShingles(shingles(documents, k))
+    minhashWideFromIds(shingleIds(documents, k))
       .select(col("doc_id"),
         explode(map((0 until NumHashes).flatMap(j =>
           Seq(lit(j), col(s"h$j"))): _*)).as(Seq("j", "minh")))
@@ -92,7 +113,7 @@ object Dedup {
   /** MinHash signatures, WIDE format (doc_id, h0..h15) — the materialized
     * signature table an incremental dedup service would maintain. */
   def minhashWide(documents: DataFrame, k: Int = 3): DataFrame =
-    minhashWideFromShingles(shingles(documents, k))
+    minhashWideFromIds(shingleIds(documents, k))
 
   /** MinHash-LSH near-dup pairs: band signatures (4 bands × 4 hashes) →
     * bucket self-join per band → distinct candidates → exact-Jaccard verify.
@@ -100,9 +121,9 @@ object Dedup {
     * final filter makes the output exact w.r.t. the candidate set. */
   def minhashLshPairs(documents: DataFrame, k: Int = 3,
                       threshold: Double = 0.5): DataFrame = {
-    // one cached shingle pass feeds signatures, counts AND the verify join
-    val sh = shingles(documents, k).cache()
-    val wide = minhashWideFromShingles(sh)
+    // one cached shingle-id pass feeds signatures, counts AND the verify join
+    val sh = shingleIds(documents, k).cache()
+    val wide = minhashWideFromIds(sh)
     def bandSig(b: Int): Column =
       concat_ws(",", (0 until BandSize).map(r => col(s"h${b * BandSize + r}")): _*)
     val nBands = NumHashes / BandSize
@@ -128,20 +149,7 @@ object Dedup {
     // exact-verify ONLY candidate pairs: join candidates to their shingle
     // sets first — computing the full co-shingle self-join here would be the
     // same quadratic blowup LSH exists to avoid
-    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = cands
-      .join(sh, Seq("doc_id"))
-      .join(sh.select(col("doc_id").as("doc_id2"), col("sh")),
-        Seq("doc_id2", "sh"))
-      .groupBy(col("doc_id"), col("doc_id2")).agg(count(lit(1)).as("ix"))
-    inter
-      .join(cnt.withColumnRenamed("n", "na"), Seq("doc_id"))
-      .join(cnt.withColumnRenamed("n", "nb")
-        .withColumnRenamed("doc_id", "doc_id2"), Seq("doc_id2"))
-      .withColumn("jaccard",
-        col("ix").cast("double") / (col("na") + col("nb") - col("ix")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_id").as("d1"), col("doc_id2").as("d2"), col("jaccard"))
+    jaccardFromShingleIds(sh, threshold, Some(cands))
   }
 
   /** Near-dup CLUSTER formation: connected components over the similarity
