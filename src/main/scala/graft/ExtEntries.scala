@@ -639,6 +639,33 @@ object ExtEntries {
              |  CAST(GROUPING(event_type) * 2 + GROUPING(dow) AS BIGINT) AS gid
              |FROM (SELECT event_type, (epoch_us(ts) // 86400000000) % 7 AS dow
              |      FROM events)
-             |GROUP BY CUBE(event_type, dow)""".stripMargin))
+             |GROUP BY CUBE(event_type, dow)""".stripMargin)),
+
+    // Multimodal frame sampling: every 4th 256-byte frame + per-frame checksum
+    Q("q65_frame_sample",
+      (s, d) => Multimodal.frameSample(s, Tables.documents(s, d)).toDF(),
+      Some(s"""SELECT doc_id, f AS frame_idx,
+              |  least(256, CAST(strlen(text) AS BIGINT) - f * 256) AS frame_bytes,
+              |  CAST(coalesce(sum(ord(substr(text, CAST(f * 256 + i AS INT), 1)) *
+              |    ((${TextAnalysis.FpA} * i + ${TextAnalysis.FpB}) % ${TextAnalysis.FpP})), 0)
+              |    % ${TextAnalysis.FpP} AS BIGINT) AS checksum
+              |FROM documents
+              |JOIN (SELECT unnest(range(0, 16)) AS f) tf
+              |  ON f * 256 < strlen(text) AND f % 4 = 0
+              |LEFT JOIN (SELECT unnest(range(1, 257)) AS i) ti
+              |  ON f * 256 + i <= strlen(text)
+              |GROUP BY doc_id, f, strlen(text)""".stripMargin)),
+
+    // Sliding event-time windows (1h length / 15min slide, 4 windows/event)
+    Q("q66_sliding_agg",
+      (s, d) => graft.streaming.StreamingFeatures.slidingAgg(Tables.events(s, d)),
+      Some("""SELECT window_start_us, event_type, count(*) AS n_events,
+             |  CAST(sum(vc) AS BIGINT) / 100.0 AS value_sum
+             |FROM (
+             |  SELECT event_type,
+             |    CAST(round(coalesce(value, 0) * 100) AS BIGINT) AS vc,
+             |    (epoch_us(ts) // 900000000 - k) * 900000000 AS window_start_us
+             |  FROM events, (SELECT unnest(range(0, 4)) AS k))
+             |GROUP BY 1, 2""".stripMargin))
   )
 }

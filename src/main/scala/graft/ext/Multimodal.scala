@@ -46,6 +46,42 @@ object Multimodal {
     documents.select(col("doc_id"),
       col("text").cast("binary").as("payload"))
 
+  /** One sampled "video frame": fixed-size byte slice of the payload with a
+    * per-frame checksum (what a real frame decoder + feature extractor would
+    * emit). */
+  case class FrameFeature(doc_id: Long, frame_idx: Long, frame_bytes: Long,
+                          checksum: Long)
+
+  /** Frame-sample the payload as a stand-in video: fixed `frameBytes` slices,
+    * keep every `every`-th frame, per-frame position-weighted checksum (same
+    * affine family as the fingerprint, positions 1-based WITHIN the frame, so
+    * the oracle replays it from the text). flatMap-partitions shape: one
+    * input row fans out to 0..n frame rows, decoder init amortizes per
+    * partition. */
+  def frameSample(spark: SparkSession, documents: DataFrame,
+                  frameBytes: Int = 256, every: Int = 4): Dataset[FrameFeature] = {
+    import spark.implicits._
+    val p = TextAnalysis.FpP
+    withPayload(documents)
+      .select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val nFrames = (bytes.length + frameBytes - 1) / frameBytes
+        (0 until nFrames by every).map { f =>
+          val start = f * frameBytes
+          val end = math.min(bytes.length, start + frameBytes)
+          var acc = 0L
+          var i = start
+          while (i < end) {
+            acc += (bytes(i) & 0xff).toLong *
+              ((TextAnalysis.FpA * (i - start + 1) + TextAnalysis.FpB) % p)
+            i += 1
+          }
+          FrameFeature(id, f.toLong, (end - start).toLong, acc % p)
+        }
+      }
+  }
+
   /** Decode + feature-extract via mapPartitions: batch-at-a-time iteration so
     * a real decoder could amortize codec/model init per partition (the
     * mapInPandas batch shape, Scala-native). */

@@ -30,6 +30,51 @@ object StreamingFeatures {
       .agg(count(lit(1)).as("n_events"),
         (sum(col("vc")) / lit(100.0)).as("value_sum"))
 
+  /** Batch twin: SLIDING event-time windows (1 h length, 15 min slide) via
+    * the window() API — each event contributes to 4 overlapping windows.
+    * Output key is the integer window start in epoch micros
+    * (unix_micros(window.start)) so the result is engine-comparable. */
+  def slidingAgg(events: DataFrame): DataFrame =
+    events
+      .withColumn("vc", round(coalesce(col("value"), lit(0.0)) * 100).cast("long"))
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(col("vc")) / lit(100.0)).as("value_sum"))
+      .select(expr("unix_micros(window.start)").as("window_start_us"),
+        col("event_type"), col("n_events"), col("value_sum"))
+
+  /** Streaming variant of `slidingAgg`: watermark + overlapping windows —
+    * state is one row per (window, type), dropped once the watermark passes
+    * window end. */
+  def streamSlidingAgg(spark: SparkSession, eventsDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(eventsDir).schema
+    val ev = spark.readStream.schema(schema).parquet(eventsDir)
+      .withColumn("ts_us", expr("ts DIV 1000L"))
+      .withColumn("ts_t", timestamp_micros(col("ts_us")))
+      .withWatermark("ts_t", "1 hour")
+      .withColumn("vc", round(coalesce(col("value"), lit(0.0)) * 100).cast("long"))
+    ev.groupBy(window(col("ts_t"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(col("vc")) / lit(100.0)).as("value_sum"))
+      .select(expr("unix_micros(window.start)").as("window_start_us"),
+        col("event_type"), col("n_events"), col("value_sum"))
+  }
+
+  /** Streaming exact dedup: dropDuplicates on event_id within the watermark
+    * horizon — the streaming twin of batch `distinct()`; state is one key
+    * per id, expired by the watermark. */
+  def streamDedup(spark: SparkSession, eventsDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(eventsDir).schema
+    spark.readStream.schema(schema).parquet(eventsDir)
+      .withColumn("ts_us", expr("ts DIV 1000L"))
+      .withColumn("ts_t", timestamp_micros(col("ts_us")))
+      .withWatermark("ts_t", "1 hour")
+      .dropDuplicates("event_id")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+  }
+
   /** Streaming variant of `tumblingAgg` from a file source. `eventsDir` must
     * be a DIRECTORY of events-schema parquet files (FileStreamSource rejects
     * bare files) — i.e. a bronze append directory; `complete` output into a

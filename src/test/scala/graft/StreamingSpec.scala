@@ -83,4 +83,33 @@ class StreamingSpec extends SparkSpec {
     assert(joined.filter($"n_events".isNull || $"n2".isNull ||
       $"n_events" =!= $"n2" || $"value_sum" =!= $"v2").count() == 0)
   }
+
+  test("streaming sliding agg equals batch sliding agg") {
+    import org.apache.spark.sql.streaming.Trigger
+    val q = StreamingFeatures.streamSlidingAgg(spark, stageEventsDir())
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("sliding_out").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("sliding_out")
+    val batch = StreamingFeatures.slidingAgg(Tables.events(spark, sf))
+    assert(streamed.count() == batch.count() && batch.count() > 0)
+    val joined = streamed
+      .withColumnRenamed("n_events", "n2")
+      .withColumnRenamed("value_sum", "v2")
+      .join(batch, Seq("event_type", "window_start_us"), "full")
+    assert(joined.filter($"n_events".isNull || $"n2".isNull ||
+      $"n_events" =!= $"n2" || $"value_sum" =!= $"v2").count() == 0)
+  }
+
+  test("streaming dropDuplicates keeps exactly the distinct event ids") {
+    import org.apache.spark.sql.streaming.Trigger
+    val q = StreamingFeatures.streamDedup(spark, stageEventsDir())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dedup_out").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("dedup_out")
+    val batchIds = Tables.events(spark, sf).select($"event_id").distinct()
+    assert(streamed.count() == batchIds.count())
+    assert(streamed.select($"event_id").except(batchIds).count() == 0)
+  }
 }
