@@ -16,17 +16,21 @@ import org.apache.spark.sql.functions._
 object TextAnalysis {
 
   /** Token statistics: whitespace tokenization (the BPE-ish regex variant is
-    * `tokenCountRegex` below). Integer-derived ratios → engine-exact. */
-  def tokenStats(documents: DataFrame): DataFrame =
+    * `tokenCountRegex` below). Integer-derived ratios → engine-exact.
+    * One compiled pass via the graft_word_stats expression — the equivalent
+    * size/aggregate/array_distinct formulation runs 4 interpreted lambda
+    * traversals (CodegenFallback) per row. */
+  def tokenStats(documents: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
     documents
-      .withColumn("w", split(col("text"), " "))
+      .withColumn("ws", graft.functions.GraftFunctions.wordStats(col("text"), Nil))
       .select(
         col("doc_id"),
-        size(col("w")).cast("long").as("n_tokens"),
-        size(array_distinct(col("w"))).cast("long").as("n_unique_tokens"),
-        (aggregate(transform(col("w"), x => length(x)), lit(0L),
-          (acc, x) => acc + x).cast("double") / size(col("w")))
+        col("ws.n_tokens").as("n_tokens"),
+        col("ws.n_unique").as("n_unique_tokens"),
+        (col("ws.sum_token_len").cast("double") / col("ws.n_tokens"))
           .as("avg_token_len"))
+  }
 
   /** BPE-ish sub-word token count: split on word boundaries, then count
     * ceil(len/4) sub-word units per word — a standard cheap token-count
@@ -43,14 +47,17 @@ object TextAnalysis {
   private val Stopwords = Seq("the", "a", "of", "and", "to")
 
   /** Quality scoring: length, stopword ratio, mean token length, vocabulary
-    * diversity — the standard pre-training quality-filter features. */
-  def qualityScore(documents: DataFrame): DataFrame =
+    * diversity — the standard pre-training quality-filter features. Single
+    * compiled pass (graft_word_stats), same values as the declarative
+    * size/filter/array_distinct formulation. */
+  def qualityScore(documents: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
     documents
-      .withColumn("w", split(col("text"), " "))
-      .withColumn("n_tokens", size(col("w")).cast("long"))
-      .withColumn("n_stop",
-        size(filter(col("w"), x => x.isin(Stopwords: _*))).cast("long"))
-      .withColumn("n_unique", size(array_distinct(col("w"))).cast("long"))
+      .withColumn("ws",
+        graft.functions.GraftFunctions.wordStats(col("text"), Stopwords))
+      .withColumn("n_tokens", col("ws.n_tokens"))
+      .withColumn("n_stop", col("ws.n_stop"))
+      .withColumn("n_unique", col("ws.n_unique"))
       .select(
         col("doc_id"),
         length(col("text")).cast("long").as("n_chars_calc"),
@@ -62,6 +69,7 @@ object TextAnalysis {
           (col("n_unique").cast("double") / col("n_tokens"))
             - lit(0.5) * (col("n_stop").cast("double") / col("n_tokens")),
           lit(0.0)), lit(1.0)).as("quality_score"))
+  }
 
   /** Language identification via corpus-trained character-trigram majority
     * vote: (1) per trigram, the modal language over the corpus (count desc,

@@ -19,7 +19,23 @@ object GraftFunctions {
   private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "distinct_count_exact" -> (exprs => DistinctCountAgg(exprs.head)),
     "ascii_fingerprint" -> (exprs => AsciiFingerprint(exprs.head)),
-    "graft_dot" -> (exprs => ArrayDot(exprs(0), exprs(1))))
+    "graft_dot" -> (exprs => ArrayDot(exprs(0), exprs(1))),
+    "graft_word_stats" -> (exprs => WordStats(exprs.head, stopwordArg(exprs))))
+
+  /** Second arg of graft_word_stats is a foldable array of string literals
+    * (the stopword vocabulary) — evaluated once at resolution time. */
+  private def stopwordArg(exprs: Seq[Expression]): Seq[String] =
+    if (exprs.length < 2) Seq.empty
+    else {
+      require(exprs(1).foldable,
+        "graft_word_stats stopword list must be a literal array")
+      exprs(1).eval() match {
+        case null => Seq.empty
+        case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+          (0 until a.numElements()).map(i =>
+            a.getUTF8String(i).toString)
+      }
+    }
 
   def register(spark: SparkSession): Unit =
     fns.foreach { case (name, builder) =>
@@ -35,6 +51,11 @@ object GraftFunctions {
 
   def graftDot(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function("graft_dot", a, b)
+
+  def wordStats(c: Column, stopwords: Seq[String]): Column =
+    org.apache.spark.sql.functions.call_function("graft_word_stats", c,
+      org.apache.spark.sql.functions.array(
+        stopwords.map(org.apache.spark.sql.functions.lit): _*))
 }
 
 /** `spark.sql.extensions` entry point. */

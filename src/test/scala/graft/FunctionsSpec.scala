@@ -49,6 +49,29 @@ class FunctionsSpec extends SparkSpec {
       .filter($"fp" =!= $"fp2").count() == 0)
   }
 
+  test("graft_word_stats equals the declarative size/aggregate/filter forms") {
+    GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, sf)
+      // adversarial extras: empty text, consecutive/trailing spaces, stopwords
+      .select($"doc_id", $"text").unionByName(Seq(
+        (90001L, ""), (90002L, "a  b "), (90003L, "the the a of"),
+        (90004L, "x")).toDF("doc_id", "text"))
+    val stops = Seq("the", "a", "of", "and", "to")
+    val native = docs.select($"doc_id",
+      GraftFunctions.wordStats($"text", stops).as("ws"))
+      .select($"doc_id", $"ws.n_tokens", $"ws.sum_token_len",
+        $"ws.n_unique", $"ws.n_stop")
+    val decl = docs.withColumn("w", split($"text", " ")).select(
+      $"doc_id",
+      size($"w").cast("long").as("n_tokens"),
+      aggregate(transform($"w", x => length(x)), lit(0L),
+        (acc, x) => acc + x).as("sum_token_len"),
+      size(array_distinct($"w")).cast("long").as("n_unique"),
+      size(filter($"w", x => x.isin(stops: _*))).cast("long").as("n_stop"))
+    assert(native.count() == decl.count())
+    assert(native.except(decl).count() == 0 && decl.except(native).count() == 0)
+  }
+
   test("graft_dot (codegen) is bit-identical to the declarative fold, mixed types") {
     GraftFunctions.register(spark)
     val emb = Tables.embeddings(spark, sf).limit(100)
