@@ -169,6 +169,10 @@ object Dedup {
     var prev: Option[DataFrame] = None
     var converged = false
     var iter = 0
+    // labels are monotone non-increasing per key, so Σ cluster_id strictly
+    // decreases iff ANY label changed — one aggregate on the cached frame
+    // detects convergence, no per-iteration diff join
+    var prevSum = Long.MaxValue
     while (!converged && iter < maxIters) {
       val viaEdges = edges
         .join(labels.withColumnRenamed("doc_id", "b2"),
@@ -178,12 +182,12 @@ object Dedup {
         .groupBy(col("doc_id"))
         .agg(min(col("cluster_id")).as("cluster_id"))
         .cache()
-      val changed = next.join(labels.withColumnRenamed("cluster_id", "old"),
-        Seq("doc_id")).filter(col("cluster_id") =!= col("old")).count()
+      val curSum = next.agg(sum(col("cluster_id"))).collect()(0).getLong(0)
       prev.foreach(_.unpersist())   // release the superseded iteration
       prev = Some(labels)
       labels = next
-      converged = changed == 0
+      converged = curSum == prevSum
+      prevSum = curSum
       iter += 1
     }
     edges.unpersist()
