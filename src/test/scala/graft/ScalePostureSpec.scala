@@ -11,6 +11,11 @@ class ScalePostureSpec extends SparkSpec {
   private def planOf(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.explainString(FormattedMode)
 
+  /** FormattedMode lists each operator once in the detail section as
+    * "(n) Exchange" — count those, not tree-drawing duplicates. */
+  private def countExchanges(plan: String): Int =
+    plan.linesIterator.count(_.matches("""\(\d+\) Exchange.*"""))
+
   test("bucketed tables join without a shuffle exchange") {
     val spark0 = spark
     import spark0.implicits._
@@ -54,5 +59,37 @@ class ScalePostureSpec extends SparkSpec {
       "date filter must reach PartitionFilters")
     // and the pruned read touches far fewer rows than the full table
     assert(oneDay.count() < gold.count() / 5)
+  }
+
+  test("hashSplit is a pure projection: zero exchanges") {
+    val plan = planOf(graft.ext.TrainPrep.hashSplit(
+      Tables.customer(spark, sf), "c_custkey"))
+    assert(!plan.contains("Exchange"),
+      "hash split must not shuffle:\n" + plan.take(600))
+  }
+
+  test("corrMatrix aggregates map-side: exactly one exchange") {
+    val plan = planOf(graft.ext.TrainPrep.corrMatrix(Tables.lineitem(spark, sf)))
+    assert(plan.linesIterator.count(_.trim.startsWith("(")) > 0)
+    assert("Exchange".r.findAllIn(plan).size >= 1)
+    // partial HashAggregate BELOW the exchange proves map-side combine
+    val lines = plan.linesIterator.toSeq
+    val exchangeIdx = lines.indexWhere(_.contains("Exchange"))
+    assert(lines.drop(exchangeIdx).exists(_.contains("HashAggregate")),
+      "expected partial aggregation under the exchange")
+  }
+
+  test("packSequences shuffles once, on the shard key") {
+    val plan = planOf(graft.ext.TrainPrep.packSequences(
+      Tables.documents(spark, sf), 2048L, 8))
+    assert(countExchanges(plan) == 1,
+      "packing must repartition exactly once (per-shard window):\n" +
+        plan.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+  }
+
+  test("simhash is one shuffle end-to-end (fused occurrence aggregation)") {
+    val plan = planOf(graft.ext.Dedup.simhash(Tables.documents(spark, sf)))
+    assert(countExchanges(plan) == 1,
+      plan.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
   }
 }
