@@ -27,6 +27,9 @@ object SparkEnv {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // engine functions + optimizer rewrites are part of the standard session
+    graft.functions.GraftFunctions.register(spark)
+    graft.functions.GraftFunctions.registerOptimizations(spark)
     spark
   }
 

@@ -56,6 +56,13 @@ object GraftFunctions {
     org.apache.spark.sql.functions.call_function("graft_word_stats", c,
       org.apache.spark.sql.functions.array(
         stopwords.map(org.apache.spark.sql.functions.lit): _*))
+
+  /** Runtime-session path for the optimizer rewrites (builder path =
+    * GraftExtensions). Idempotent. */
+  def registerOptimizations(spark: SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.RewriteSetSize))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.RewriteSetSize
 }
 
 /** `spark.sql.extensions` entry point. */
@@ -73,5 +80,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[ArrayDot].getName, "graft_dot"),
       (exprs: Seq[Expression]) => ArrayDot(exprs(0), exprs(1))))
+    // optimizer rewrite: size(collect_set(x)) -> distinct_count_exact(x)
+    ext.injectOptimizerRule(_ => graft.plans.RewriteSetSize)
   }
 }

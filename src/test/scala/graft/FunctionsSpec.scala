@@ -49,6 +49,29 @@ class FunctionsSpec extends SparkSpec {
       .filter($"fp" =!= $"fp2").count() == 0)
   }
 
+  test("RewriteSetSize: size(collect_set) plans as distinct_count_exact, same values") {
+    GraftFunctions.registerOptimizations(spark)
+    val ev = Tables.events(spark, sf)
+    val agg = ev.groupBy($"user_id")
+      .agg(size(collect_set($"event_type")).as("k"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts_us")
+      .rangeBetween(-3600000000L, 0)
+    val win = ev.select($"event_id", $"user_id",
+      size(collect_set($"props").over(w)).as("k"))
+    for (df <- Seq(agg, win)) {
+      val optimized = df.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("distinct_count_exact"), optimized.take(800))
+      assert(!optimized.contains("collect_set"), optimized.take(800))
+    }
+    // values must equal the unrewritten evaluation (rule disabled via
+    // excludedRules is not possible for extraOptimizations, so compare
+    // against the semantically-equal built-in count_distinct path)
+    val expect = ev.groupBy($"user_id")
+      .agg(countDistinct($"event_type").cast("int").as("k"))
+    assert(agg.except(expect).count() == 0 && expect.except(agg).count() == 0)
+  }
+
   test("graft_word_stats equals the declarative size/aggregate/filter forms") {
     GraftFunctions.register(spark)
     val docs = Tables.documents(spark, sf)
