@@ -656,6 +656,62 @@ object ExtEntries {
               |  ON f * 256 + i <= strlen(text)
               |GROUP BY doc_id, f, strlen(text)""".stripMargin)),
 
+    // Full outer join: reconcile per-customer spend across two periods
+    // (the snapshot-diff pattern; COALESCE completes the sparse sides)
+    Q("q67_full_outer_diff",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+          .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+        val median = lit(63072000000000L) // 1972-01-01 epoch us: period split
+        val a = o.filter(graft.ops.Relational.epochUs(col("o_orderdate")) < median)
+          .groupBy(col("o_custkey")).agg(sum(col("cents")).as("spend_a"))
+        val b = o.filter(graft.ops.Relational.epochUs(col("o_orderdate")) >= median)
+          .groupBy(col("o_custkey")).agg(sum(col("cents")).as("spend_b"))
+        a.join(b, Seq("o_custkey"), "full_outer")
+          .select(col("o_custkey"),
+            coalesce(col("spend_a"), lit(0L)).as("spend_a"),
+            coalesce(col("spend_b"), lit(0L)).as("spend_b"),
+            (coalesce(col("spend_b"), lit(0L)) -
+              coalesce(col("spend_a"), lit(0L))).as("delta_cents"))
+      },
+      Some("""WITH o AS (SELECT o_custkey, epoch_us(o_orderdate) AS ts,
+             |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+             |a AS (SELECT o_custkey, CAST(sum(cents) AS BIGINT) AS spend_a
+             |      FROM o WHERE ts < 63072000000000 GROUP BY o_custkey),
+             |b AS (SELECT o_custkey, CAST(sum(cents) AS BIGINT) AS spend_b
+             |      FROM o WHERE ts >= 63072000000000 GROUP BY o_custkey)
+             |SELECT COALESCE(a.o_custkey, b.o_custkey) AS o_custkey,
+             |  COALESCE(spend_a, 0) AS spend_a,
+             |  COALESCE(spend_b, 0) AS spend_b,
+             |  COALESCE(spend_b, 0) - COALESCE(spend_a, 0) AS delta_cents
+             |FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey""".stripMargin)),
+
+    // Array-function battery: sorted price list per customer, element access
+    Q("q68_array_funcs",
+      (s, d) => Tables.orders(s, d)
+        .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+        .groupBy(col("o_custkey"))
+        .agg(sort_array(collect_list(col("cents"))).as("prices"))
+        .select(col("o_custkey"),
+          size(col("prices")).cast("long").as("n"),
+          element_at(col("prices"), 1).as("cheapest"),
+          element_at(col("prices"), -1).as("priciest"),
+          when(size(col("prices")) >= 2, element_at(col("prices"), 2))
+            .as("second_cheapest"),
+          array_contains(col("prices"), 0L).as("has_zero"),
+          aggregate(slice(col("prices"), lit(1),
+            least(size(col("prices")), lit(3))), lit(0L), _ + _)
+            .as("sum_bottom3")),
+      Some("""SELECT o_custkey, CAST(len(prices) AS BIGINT) AS n,
+             |  prices[1] AS cheapest,
+             |  prices[-1] AS priciest,
+             |  CASE WHEN len(prices) >= 2 THEN prices[2] END AS second_cheapest,
+             |  list_contains(prices, 0) AS has_zero,
+             |  CAST(list_sum(prices[1:least(len(prices), 3)]) AS BIGINT) AS sum_bottom3
+             |FROM (SELECT o_custkey,
+             |        list_sort(list(CAST(round(o_totalprice * 100) AS BIGINT))) AS prices
+             |      FROM orders GROUP BY o_custkey)""".stripMargin)),
+
     // Sliding event-time windows (1h length / 15min slide, 4 windows/event)
     Q("q66_sliding_agg",
       (s, d) => graft.streaming.StreamingFeatures.slidingAgg(Tables.events(s, d)),
