@@ -712,6 +712,20 @@ object ExtEntries {
              |        list_sort(list(CAST(round(o_totalprice * 100) AS BIGINT))) AS prices
              |      FROM orders GROUP BY o_custkey)""".stripMargin)),
 
+    // Multimodal resize stub: nearest-neighbor byte downsampling (step 4)
+    Q("q69_resize",
+      (s, d) => Multimodal.resizeStub(s, Tables.documents(s, d)).toDF(),
+      Some(s"""SELECT doc_id, CAST(strlen(text) AS BIGINT) AS orig_bytes,
+              |  CAST(count(i) AS BIGINT) AS resized_bytes,
+              |  CAST(count(i) % 640 AS INT) AS new_width,
+              |  CAST(count(i) * 7 % 480 AS INT) AS new_height,
+              |  CAST(coalesce(sum(ord(substr(text, CAST((i - 1) * 4 + 1 AS INT), 1)) *
+              |    ((${TextAnalysis.FpA} * i + ${TextAnalysis.FpB}) % ${TextAnalysis.FpP})), 0)
+              |    % ${TextAnalysis.FpP} AS BIGINT) AS checksum
+              |FROM documents LEFT JOIN (SELECT unnest(range(1, 2000)) AS i) t
+              |  ON (i - 1) * 4 + 1 <= strlen(text)
+              |GROUP BY doc_id, strlen(text)""".stripMargin)),
+
     // Sliding event-time windows (1h length / 15min slide, 4 windows/event)
     Q("q66_sliding_agg",
       (s, d) => graft.streaming.StreamingFeatures.slidingAgg(Tables.events(s, d)),

@@ -82,6 +82,41 @@ object Multimodal {
       }
   }
 
+  /** One resized media record: metadata + checksum of the downsampled
+    * payload (what a real resize kernel would emit alongside the new blob). */
+  case class ResizedFeature(doc_id: Long, orig_bytes: Long, resized_bytes: Long,
+                            new_width: Int, new_height: Int, checksum: Long)
+
+  /** STUB resize: keep every `step`-th payload byte (nearest-neighbor
+    * downsampling on the fake byte "pixels"), emit the resized metadata and
+    * a position-weighted checksum of the KEPT bytes (1-based position within
+    * the resized sequence — the oracle replays it from the text). Swap the
+    * body for a real resize kernel; the mapPartitions shape stays. */
+  def resizeStub(spark: SparkSession, documents: DataFrame,
+                 step: Int = 4): Dataset[ResizedFeature] = {
+    import spark.implicits._
+    val p = TextAnalysis.FpP
+    withPayload(documents)
+      .select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          var acc = 0L
+          var j = 0L
+          var i = 0
+          while (i < bytes.length) {
+            j += 1
+            acc += (bytes(i) & 0xff).toLong *
+              ((TextAnalysis.FpA * j + TextAnalysis.FpB) % p)
+            i += step
+          }
+          ResizedFeature(id, bytes.length.toLong, j,
+            new_width = (j % 640).toInt, new_height = (j * 7 % 480).toInt,
+            checksum = acc % p)
+        }
+      }
+  }
+
   /** Decode + feature-extract via mapPartitions: batch-at-a-time iteration so
     * a real decoder could amortize codec/model init per partition (the
     * mapInPandas batch shape, Scala-native). */
