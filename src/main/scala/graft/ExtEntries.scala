@@ -726,6 +726,39 @@ object ExtEntries {
               |  ON (i - 1) * 4 + 1 <= strlen(text)
               |GROUP BY doc_id, strlen(text)""".stripMargin)),
 
+    // Native session_window operator (gap 30 min). Note the semantics
+    // difference vs the manual lag+cumsum sessionize (q17): session_window
+    // starts a NEW session when ts - prev >= gap (window [ts, ts+gap) no
+    // longer overlaps), while q17 breaks on ts - prev > gap — the oracle
+    // mirrors each exactly.
+    Q("q70_session_window",
+      (s, d) => Tables.events(s, d)
+        .withColumn("vc", round(coalesce(col("value"), lit(0.0)) * 100).cast("long"))
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          (sum(col("vc")) / lit(100.0)).as("value_sum"))
+        .select(col("user_id"),
+          expr("unix_micros(session_window.start)").as("session_start_us"),
+          expr("unix_micros(session_window.end)").as("session_end_us"),
+          col("n_events"), col("value_sum")),
+      Some("""WITH s1 AS (
+             |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             |    CAST(round(coalesce(value, 0) * 100) AS BIGINT) AS vc,
+             |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+             |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+             |         THEN 1 ELSE 0 END AS is_new
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+             |s2 AS (
+             |  SELECT *, sum(is_new) OVER (PARTITION BY user_id
+             |    ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM s1)
+             |SELECT user_id, min(ts_us) AS session_start_us,
+             |  max(ts_us) + 1800000000 AS session_end_us,
+             |  count(*) AS n_events,
+             |  CAST(sum(vc) AS BIGINT) / 100.0 AS value_sum
+             |FROM s2 GROUP BY user_id, sid""".stripMargin)),
+
     // Sliding event-time windows (1h length / 15min slide, 4 windows/event)
     Q("q66_sliding_agg",
       (s, d) => graft.streaming.StreamingFeatures.slidingAgg(Tables.events(s, d)),
