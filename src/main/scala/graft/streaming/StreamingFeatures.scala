@@ -61,6 +61,35 @@ object StreamingFeatures {
         col("event_type"), col("n_events"), col("value_sum"))
   }
 
+  /** Stream-stream INTERVAL JOIN: clicks in the hour strictly before each
+    * purchase (the streaming twin of the batch range join). Both sides are
+    * watermarked; the time-bound predicate (`c_ts` in [p_ts − 1h, p_ts))
+    * lets Spark expire click state once the watermark passes the bound —
+    * the canonical bounded-state stream join. Inner (not left) because an
+    * outer stream-stream join emits null rows only on watermark advance;
+    * the zero-click case is covered by the batch twin's left join. */
+  def streamStreamClicksBeforePurchase(spark: SparkSession,
+                                       eventsDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(eventsDir).schema
+    def src = spark.readStream.schema(schema).parquet(eventsDir)
+      .withColumn("ts_us", expr("ts DIV 1000L"))
+      .withColumn("ts_t", timestamp_micros(col("ts_us")))
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        col("ts_t").as("p_t"))
+      .withWatermark("p_t", "1 hour")
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts_us").as("c_ts"),
+        col("ts_t").as("c_t"))
+      .withWatermark("c_t", "2 hours")
+    purchases.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("c_t") >= col("p_t") - expr("INTERVAL 1 HOUR") &&
+        col("c_t") < col("p_t"))
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("c_ts"))
+  }
+
   /** Streaming exact dedup: dropDuplicates on event_id within the watermark
     * horizon — the streaming twin of batch `distinct()`; state is one key
     * per id, expired by the watermark. */

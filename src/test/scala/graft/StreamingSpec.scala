@@ -101,6 +101,26 @@ class StreamingSpec extends SparkSpec {
       $"n_events" =!= $"n2" || $"value_sum" =!= $"v2").count() == 0)
   }
 
+  test("stream-stream interval join equals the batch range join (matched pairs)") {
+    import org.apache.spark.sql.streaming.Trigger
+    val q = StreamingFeatures.streamStreamClicksBeforePurchase(spark, stageEventsDir())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ssj_out").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("ssj_out")
+    val ev = Tables.events(spark, sf)
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id", $"ts_us")
+    val c = ev.filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"ts_us".as("c_ts"))
+    val batch = p.join(c,
+      $"user_id" === $"c_user" &&
+        $"c_ts" >= $"ts_us" - 3600000000L && $"c_ts" < $"ts_us")
+      .select($"user_id", $"event_id", $"ts_us", $"c_ts")
+    assert(streamed.count() == batch.count() && batch.count() > 0)
+    assert(streamed.except(batch).count() == 0 && batch.except(streamed).count() == 0)
+  }
+
   test("streaming dropDuplicates keeps exactly the distinct event ids") {
     import org.apache.spark.sql.streaming.Trigger
     val q = StreamingFeatures.streamDedup(spark, stageEventsDir())
