@@ -35,6 +35,15 @@ object ExtEntries {
       |  SELECT doc_id, ('0x' || substr(md5(sh), 1, 12))::BIGINT AS sid
       |  FROM shd)""".stripMargin
 
+  /** BPE-ish sub-word token counts (mirror of TextAnalysis.tokenCountRegex)
+    * — shared by the q34 and q60 oracles so the heuristic lives in ONE place. */
+  private val subwordToksCte =
+    """toks AS (
+      |  SELECT doc_id,
+      |    CAST(list_sum(list_transform(regexp_split_to_array(text, '[^a-zA-Z0-9]+'),
+      |      x -> CAST(floor((len(x) + 3) / 4.0) AS BIGINT))) AS BIGINT) AS n_subword_tokens
+      |  FROM documents)""".stripMargin
+
   private val shingleCountCte =
     """shcnt AS (SELECT doc_id, count(*) AS n FROM shid GROUP BY doc_id)""".stripMargin
 
@@ -469,9 +478,8 @@ object ExtEntries {
     // BPE-ish sub-word token budget count
     Q("q34_token_count_bpe",
       (s, d) => TextAnalysis.tokenCountRegex(Tables.documents(s, d)),
-      Some("""SELECT doc_id,
-             |  CAST(list_sum(list_transform(w, x -> CAST(floor((len(x) + 3) / 4.0) AS BIGINT))) AS BIGINT) AS n_subword_tokens
-             |FROM (SELECT doc_id, regexp_split_to_array(text, '[^a-zA-Z0-9]+') AS w FROM documents)""".stripMargin)),
+      Some(s"""WITH $subwordToksCte
+              |SELECT doc_id, n_subword_tokens FROM toks""".stripMargin)),
 
     // ------------------------------------------------ training-prep surface
 
@@ -569,12 +577,8 @@ object ExtEntries {
     // Token-budget sequence packing within content-hash shards
     Q("q60_pack_sequences",
       (s, d) => TrainPrep.packSequences(Tables.documents(s, d), 2048L, 8),
-      Some("""WITH toks AS (
-             |  SELECT doc_id,
-             |    CAST(list_sum(list_transform(regexp_split_to_array(text, '[^a-zA-Z0-9]+'),
-             |      x -> CAST(floor((len(x) + 3) / 4.0) AS BIGINT))) AS BIGINT) AS n_subword_tokens
-             |  FROM documents),
-             |sh AS (
+      Some(s"""WITH $subwordToksCte,
+              |sh AS (
              |  SELECT doc_id, n_subword_tokens,
              |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 8 AS shard
              |  FROM toks),
@@ -641,7 +645,11 @@ object ExtEntries {
              |      FROM events)
              |GROUP BY CUBE(event_type, dow)""".stripMargin)),
 
-    // Multimodal frame sampling: every 4th 256-byte frame + per-frame checksum
+    // Multimodal frame sampling: every 4th 256-byte frame + per-frame
+    // checksum. Oracle generator bounds (16 frames = 4096 B; 256 positions)
+    // must stay comfortably above the fixtures' max doc length (577 B,
+    // ASCII-only — ord/substr are char-based and equal bytes only for
+    // ASCII); the Spark side is uncapped.
     Q("q65_frame_sample",
       (s, d) => Multimodal.frameSample(s, Tables.documents(s, d)).toDF(),
       Some(s"""SELECT doc_id, f AS frame_idx,
@@ -712,7 +720,9 @@ object ExtEntries {
              |        list_sort(list(CAST(round(o_totalprice * 100) AS BIGINT))) AS prices
              |      FROM orders GROUP BY o_custkey)""".stripMargin)),
 
-    // Multimodal resize stub: nearest-neighbor byte downsampling (step 4)
+    // Multimodal resize stub: nearest-neighbor byte downsampling (step 4).
+    // Oracle keeps positions via range(1, 2000) -> docs up to ~7996 B; the
+    // fixtures' max is 577 B (see q65 note on the ASCII/byte assumption).
     Q("q69_resize",
       (s, d) => Multimodal.resizeStub(s, Tables.documents(s, d)).toDF(),
       Some(s"""SELECT doc_id, CAST(strlen(text) AS BIGINT) AS orig_bytes,

@@ -182,7 +182,9 @@ object Dedup {
         .groupBy(col("doc_id"))
         .agg(min(col("cluster_id")).as("cluster_id"))
         .cache()
-      val curSum = next.agg(sum(col("cluster_id"))).collect()(0).getLong(0)
+      val sumRow = next.agg(sum(col("cluster_id"))).collect()(0)
+      // sum over ZERO rows is NULL (empty corpus): nothing to propagate
+      val curSum = if (sumRow.isNullAt(0)) prevSum else sumRow.getLong(0)
       prev.foreach(_.unpersist())   // release the superseded iteration
       prev = Some(labels)
       labels = next

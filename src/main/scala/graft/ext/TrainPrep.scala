@@ -143,9 +143,10 @@ object TrainPrep {
       .rowsBetween(Window.unboundedPreceding, 0)
     toks
       .withColumn("cum", sum(col("n_subword_tokens")).over(w))
+      // integer DIV, not double '/': above ~2^53/budget the IEEE quotient
+      // can round across a bin boundary while the oracle's exact `//` won't
       .select(col("doc_id"), col("shard"), col("n_subword_tokens"),
-        ((col("cum") - col("n_subword_tokens")) / lit(budgetTokens))
-          .cast("long").as("bin"))
+        expr(s"(cum - n_subword_tokens) DIV $budgetTokens").as("bin"))
   }
 
   /** Unicode-free text normalization: lowercase, non-alphanumeric → space,
@@ -157,7 +158,10 @@ object TrainPrep {
       trim(regexp_replace(
         regexp_replace(lower(col("text")), "[^a-z0-9]+", " "),
         " +", " ")).as("norm_text"),
-      col("text").rlike("^[ -~]*$").as("is_ascii"),
+      // \z (end of INPUT) not $: Java's $ matches before a final newline,
+      // so "abc\n" would wrongly count as printable-ASCII and diverge from
+      // the oracle's RE2 $ (end of text)
+      col("text").rlike("^[ -~]*\\z").as("is_ascii"),
       length(trim(regexp_replace(
         regexp_replace(lower(col("text")), "[^a-z0-9]+", " "),
         " +", " "))).cast("long").as("norm_len"))

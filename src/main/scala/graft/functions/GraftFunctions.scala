@@ -28,12 +28,16 @@ object GraftFunctions {
     if (exprs.length < 2) Seq.empty
     else {
       require(exprs(1).foldable,
-        "graft_word_stats stopword list must be a literal array")
+        "graft_word_stats stopword list must be a literal array of strings")
       exprs(1).eval() match {
         case null => Seq.empty
         case a: org.apache.spark.sql.catalyst.util.ArrayData =>
-          (0 until a.numElements()).map(i =>
-            a.getUTF8String(i).toString)
+          (0 until a.numElements())
+            .filterNot(a.isNullAt) // null entries can't be stopwords
+            .map(i => a.getUTF8String(i).toString)
+        case other => throw new IllegalArgumentException(
+          "graft_word_stats stopword list must be a literal array of " +
+            s"strings, got: $other")
       }
     }
 

@@ -70,13 +70,18 @@ class ScalePostureSpec extends SparkSpec {
 
   test("corrMatrix aggregates map-side: exactly one exchange") {
     val plan = planOf(graft.ext.TrainPrep.corrMatrix(Tables.lineitem(spark, sf)))
-    assert(plan.linesIterator.count(_.trim.startsWith("(")) > 0)
-    assert("Exchange".r.findAllIn(plan).size >= 1)
-    // partial HashAggregate BELOW the exchange proves map-side combine
-    val lines = plan.linesIterator.toSeq
-    val exchangeIdx = lines.indexWhere(_.contains("Exchange"))
-    assert(lines.drop(exchangeIdx).exists(_.contains("HashAggregate")),
-      "expected partial aggregation under the exchange")
+    assert(countExchanges(plan) == 1,
+      plan.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    // partial aggregation BELOW the exchange (map-side combine): in the TREE
+    // section the child renders on the line after its parent with deeper
+    // indentation — find the Exchange tree line and require a HashAggregate
+    // beneath it before the Scan
+    val tree = plan.linesIterator.takeWhile(l => !l.matches("""\(\d+\) .*""")).toSeq
+    val exIdx = tree.indexWhere(_.contains("Exchange"))
+    assert(exIdx >= 0, tree.mkString("\n"))
+    val below = tree.drop(exIdx + 1)
+    assert(below.exists(_.contains("HashAggregate")),
+      "expected partial aggregation under the exchange:\n" + tree.mkString("\n"))
   }
 
   test("packSequences shuffles once, on the shard key") {
