@@ -64,6 +64,80 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  private val docsGen: Gen[List[(Long, String)]] = for {
+    n <- Gen.choose(2, 25)
+    vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "the", "a")
+    rows <- Gen.listOfN(n, for {
+      len <- Gen.choose(0, 30)
+      ws <- Gen.listOfN(len, Gen.oneOf(vocab))
+    } yield ws.mkString(" "))
+  } yield rows.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+  test("simhash pairs (banded) equal brute-force hamming filter") {
+    forAll(docsGen) { rows =>
+      val df = rows.toDF("doc_id", "text")
+      val sigs = graft.ext.Dedup.simhash(df)
+        .as[(Long, Long)].collect().toMap
+      val got = graft.ext.Dedup.simhashPairs(df, 3)
+        .select($"d1", $"d2").as[(Long, Long)].collect().toSet
+      val expect = (for {
+        (a, sa) <- sigs; (b, sb) <- sigs
+        if a < b && java.lang.Long.bitCount(sa ^ sb) <= 3
+      } yield (a, b)).toSet
+      assert(got == expect)
+    }
+  }
+
+  test("minhash LSH pairs are a subset of exact Jaccard pairs, same jaccard") {
+    forAll(docsGen) { rows =>
+      val df = rows.toDF("doc_id", "text")
+      val exact = graft.ext.Dedup.ngramJaccardPairs(df, 3, 0.5)
+        .select($"d1", $"d2", $"jaccard")
+        .as[(Long, Long, Double)].collect()
+        .map { case (a, b, j) => (a, b) -> j }.toMap
+      val lsh = graft.ext.Dedup.minhashLshPairs(df, 3, 0.5)
+        .select($"d1", $"d2", $"jaccard")
+        .as[(Long, Long, Double)].collect()
+      lsh.foreach { case (a, b, j) =>
+        assert(exact.get((a, b)).contains(j),
+          s"LSH pair ($a,$b) must appear in exact pairs with equal jaccard")
+      }
+    }
+  }
+
+  test("hashSplit bucket is the md5 prefix mod 10 (engine-independent spec)") {
+    forAll(docsGen) { rows =>
+      val keys = rows.map(_._1)
+      val got = graft.ext.TrainPrep.hashSplit(
+        rows.toDF("doc_id", "text"), "doc_id")
+        .select($"doc_id", $"bucket").as[(Long, Long)].collect().toMap
+      keys.foreach { k =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(k.toString.getBytes("UTF-8"))
+        val hex = md.map("%02x".format(_)).mkString.take(12)
+        val expect = java.lang.Long.parseLong(hex, 16) % 10
+        assert(got(k) == expect, s"key $k")
+      }
+    }
+  }
+
+  test("packSequences: every bin except a shard's last holds > budget-doc slack") {
+    forAll(docsGen) { rows =>
+      val out = graft.ext.TrainPrep.packSequences(
+        rows.toDF("doc_id", "text"), 64L, 4)
+        .orderBy($"shard", $"doc_id")
+        .select($"shard", $"doc_id", $"n_subword_tokens", $"bin")
+        .as[(Long, Long, Long, Long)].collect()
+      out.groupBy(_._1).foreach { case (_, rws) =>
+        var cum = 0L
+        rws.foreach { case (_, _, n, bin) =>
+          assert(bin == cum / 64L)
+          cum += n
+        }
+      }
+    }
+  }
+
   test("asOf snapshot equals naive filtered max") {
     forAll(eventsGen, Gen.choose(0L, 3L * Features.DayUs)) { (rows, asOf) =>
       val df = rows.toDF("user_id", "event_id", "ts_us", "cents")
