@@ -78,7 +78,10 @@ class FunctionsSpec extends SparkSpec {
       // adversarial extras: empty text, consecutive/trailing spaces, stopwords
       .select($"doc_id", $"text").unionByName(Seq(
         (90001L, ""), (90002L, "a  b "), (90003L, "the the a of"),
-        (90004L, "x")).toDF("doc_id", "text"))
+        (90004L, "x"),
+        // multi-byte + surrogate-pair codepoints: length() counts
+        // codepoints, and the native pass must agree
+        (90005L, "héllo wörld 😀 café")).toDF("doc_id", "text"))
     val stops = Seq("the", "a", "of", "and", "to")
     val native = docs.select($"doc_id",
       GraftFunctions.wordStats($"text", stops).as("ws"))
