@@ -769,6 +769,72 @@ object ExtEntries {
              |  CAST(sum(vc) AS BIGINT) / 100.0 AS value_sum
              |FROM s2 GROUP BY user_id, sid""".stripMargin)),
 
+    // Per-group feature scaling: z-score + min-max from sufficient stats
+    Q("q71_standardize",
+      (s, d) => TrainPrep.standardize(
+        Tables.lineitem(s, d).select(col("l_returnflag"),
+          round(col("l_extendedprice")).cast("long").as("price_d")),
+        "l_returnflag", "price_d"),
+      Some("""WITH b AS (SELECT l_returnflag,
+             |    CAST(round(l_extendedprice) AS BIGINT) AS price_d FROM lineitem),
+             |s AS (SELECT l_returnflag, count(*) AS n,
+             |    CAST(sum(price_d) AS BIGINT) AS sx,
+             |    CAST(sum(price_d * price_d) AS BIGINT) AS sxx,
+             |    min(price_d) AS mn, max(price_d) AS mx
+             |  FROM b GROUP BY 1)
+             |SELECT b.l_returnflag, price_d,
+             |  CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             |         = CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) THEN 0.0
+             |    ELSE (CAST(price_d AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+             |      / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             |              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             |             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) END AS zscore,
+             |  CASE WHEN mx = mn THEN 0.0
+             |    ELSE CAST(price_d - mn AS DOUBLE) / CAST(mx - mn AS DOUBLE) END AS minmax
+             |FROM b JOIN s USING (l_returnflag)""".stripMargin)),
+
+    // Feature hashing (hashing trick): term -> content-hash bucket counts
+    Q("q72_feature_hashing",
+      (s, d) => TrainPrep.featureHashing(Tables.documents(s, d), 256),
+      Some("""SELECT doc_id,
+             |  ('0x' || substr(md5(w), 1, 12))::BIGINT % 256 AS bucket,
+             |  count(*) AS n
+             |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+             |GROUP BY 1, 2""".stripMargin)),
+
+    // Vocabulary encoding with OOV id 0 (StringIndexer semantics, frozen ties)
+    Q("q73_vocab_encode",
+      (s, d) => TrainPrep.vocabEncode(Tables.documents(s, d), 100),
+      Some("""WITH wrds AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+             |voc AS (SELECT w, vocab_id FROM (
+             |  SELECT w, CAST(row_number() OVER (ORDER BY count(*) DESC, w ASC) AS BIGINT) AS vocab_id
+             |  FROM wrds GROUP BY w) WHERE vocab_id <= 100),
+             |tf AS (SELECT doc_id, w, count(*) AS tf FROM wrds GROUP BY 1, 2)
+             |SELECT doc_id, tf.w AS w, tf, coalesce(vocab_id, 0) AS vocab_id
+             |FROM tf LEFT JOIN voc USING (w)""".stripMargin)),
+
+    // Exact per-group percentiles by index selection (no interpolation)
+    Q("q74_group_percentiles",
+      (s, d) => TrainPrep.groupPercentiles(
+        Tables.orders(s, d).select(col("o_orderpriority"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"),
+          col("o_orderkey")),
+        "o_orderpriority", "cents", "o_orderkey"),
+      Some("""WITH b AS (SELECT o_orderpriority,
+             |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents, o_orderkey
+             |  FROM orders),
+             |r AS (SELECT *,
+             |    CAST(row_number() OVER (PARTITION BY o_orderpriority
+             |      ORDER BY cents, o_orderkey) AS BIGINT) AS rn,
+             |    count(*) OVER (PARTITION BY o_orderpriority) AS n
+             |  FROM b)
+             |SELECT o_orderpriority, CAST(max(n) AS BIGINT) AS n,
+             |  max(CASE WHEN rn = (n + 1) // 2 THEN cents END) AS p50,
+             |  max(CASE WHEN rn = (n * 9 + 9) // 10 THEN cents END) AS p90,
+             |  max(CASE WHEN rn = (n * 99 + 99) // 100 THEN cents END) AS p99
+             |FROM r GROUP BY 1""".stripMargin)),
+
     // Sliding event-time windows (1h length / 15min slide, 4 windows/event)
     Q("q66_sliding_agg",
       (s, d) => graft.streaming.StreamingFeatures.slidingAgg(Tables.events(s, d)),

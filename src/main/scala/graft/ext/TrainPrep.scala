@@ -166,6 +166,80 @@ object TrainPrep {
         regexp_replace(lower(col("text")), "[^a-z0-9]+", " "),
         " +", " "))).cast("long").as("norm_len"))
 
+  /** Per-group feature scaling: population z-score AND min-max, both from
+    * one pass of integer sufficient statistics broadcast back onto the rows
+    * (two-phase standardization — the only way at 100 TB; built-in stddev
+    * streams Welford-style and would not cross-check). All derived doubles
+    * are division/sqrt chains over exact operands → bit-identical. */
+  def standardize(df: DataFrame, grpCol: String, valCol: String): DataFrame = {
+    val stats = df.groupBy(col(grpCol)).agg(
+      count(lit(1)).as("n"), sum(col(valCol)).as("sx"),
+      sum(col(valCol) * col(valCol)).as("sxx"),
+      min(col(valCol)).as("mn"), max(col(valCol)).as("mx"))
+    df.join(broadcast(stats), Seq(grpCol))
+      .select(col(grpCol), col(valCol),
+        // constant group → variance 0: define z = 0 rather than NaN/Inf
+        // (and keep the oracle's arithmetic identical). Compare as DOUBLES:
+        // the int64 product n·sxx overflows ANSI long at sf >= 0.1
+        when(col("n").cast("double") * col("sxx").cast("double") ===
+          col("sx").cast("double") * col("sx").cast("double"), lit(0.0))
+          .otherwise((col(valCol).cast("double") -
+            col("sx").cast("double") / col("n").cast("double")) /
+            sqrt((col("n").cast("double") * col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double")) /
+              (col("n").cast("double") * col("n").cast("double"))))
+          .as("zscore"),
+        when(col("mx") === col("mn"), lit(0.0))
+          .otherwise((col(valCol) - col("mn")).cast("double") /
+            (col("mx") - col("mn")).cast("double")).as("minmax"))
+  }
+
+  /** Feature hashing (the hashing trick): term → bucket = content-hash mod
+    * `buckets`, counts per (doc, bucket) — fixed-width sparse features with
+    * no vocabulary state at any scale. One shuffle. */
+  def featureHashing(documents: DataFrame, buckets: Int): DataFrame =
+    documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .select(col("doc_id"),
+        pmod(Dedup.contentId(col("w")), lit(buckets.toLong)).as("bucket"))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Vocabulary encoding with an OOV bucket (StringIndexer semantics,
+    * deterministic): ids 1..V by corpus frequency (count desc, term asc),
+    * everything else 0. The vocabulary is broadcast-sized by construction. */
+  def vocabEncode(documents: DataFrame, vocabSize: Int): DataFrame = {
+    val words = documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val vocab = words.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .withColumn("vocab_id", row_number().over(
+        Window.orderBy(col("cnt").desc, col("w").asc)).cast("long"))
+      .filter(col("vocab_id") <= vocabSize)
+      .select(col("w"), col("vocab_id"))
+    words.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      .join(broadcast(vocab), Seq("w"), "left")
+      .select(col("doc_id"), col("w"), col("tf"),
+        coalesce(col("vocab_id"), lit(0L)).as("vocab_id"))
+  }
+
+  /** Exact per-group percentiles by index selection: the value at row
+    * ceil(p·n) in (value, tie) order — integer index arithmetic, no
+    * interpolation, so any engine agrees exactly. One shuffle + per-group
+    * sort (never global). */
+  def groupPercentiles(df: DataFrame, grpCol: String, valCol: String,
+                       tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(grpCol))
+      .orderBy(col(valCol).asc, col(tieCol).asc)
+    val ranked = df
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col(grpCol))))
+    ranked.groupBy(col(grpCol))
+      .agg(max(col("n")).as("n"),
+        max(when(col("rn") === expr("(n + 1) DIV 2"), col(valCol))).as("p50"),
+        max(when(col("rn") === expr("(n * 9 + 9) DIV 10"), col(valCol))).as("p90"),
+        max(when(col("rn") === expr("(n * 99 + 99) DIV 100"), col(valCol))).as("p99"))
+  }
+
   /** Inverse-frequency class weights: weight(c) = N / (K · n_c) — the
     * standard balanced-class weighting, from one aggregation. Exact-operand
     * doubles (bigint ratios). */

@@ -97,6 +97,60 @@ class TrainPrepSpec extends SparkSpec {
     assert(out.getAs[Long]("norm_len") == 14L)
   }
 
+  test("standardize: z-scores have ~zero group mean; min-max lands in [0,1]") {
+    val base = Tables.lineitem(spark, sf).select($"l_returnflag",
+      round($"l_extendedprice").cast("long").as("price_d"))
+    val out = TrainPrep.standardize(base, "l_returnflag", "price_d")
+    val byGrp = out.groupBy($"l_returnflag")
+      .agg(avg($"zscore").as("mz"), min($"minmax").as("lo"), max($"minmax").as("hi"))
+      .collect()
+    byGrp.foreach { r =>
+      assert(math.abs(r.getAs[Double]("mz")) < 1e-9)
+      assert(r.getAs[Double]("lo") >= 0.0 && r.getAs[Double]("hi") <= 1.0)
+    }
+    // constant group: defined as 0, not NaN
+    val const = Seq(("x", 5L), ("x", 5L)).toDF("g", "v")
+    val z = TrainPrep.standardize(const, "g", "v").select($"zscore", $"minmax")
+      .as[(Double, Double)].collect()
+    assert(z.forall(_ == (0.0, 0.0)))
+  }
+
+  test("featureHashing: bucket counts preserve the total token count") {
+    val docs = Tables.documents(spark, sf)
+    val total = docs.select(size(split($"text", " ")).cast("long")).as[Long]
+      .collect().sum
+    val hashed = TrainPrep.featureHashing(docs, 64)
+    assert(hashed.agg(sum($"n")).as[Long].collect()(0) == total)
+    assert(hashed.filter($"bucket" < 0 || $"bucket" >= 64).count() == 0)
+  }
+
+  test("vocabEncode: top term gets id 1; OOV terms get 0; tf preserved") {
+    val docs = Seq((1L, "a a a b c"), (2L, "a b rare")).toDF("doc_id", "text")
+    val out = TrainPrep.vocabEncode(docs, 2).collect()
+    val ids = out.map(r => (r.getAs[String]("w"), r.getAs[Long]("vocab_id"))).toMap
+    assert(ids("a") == 1L && ids("b") == 2L) // freq 4 and 2
+    assert(ids("c") == 0L && ids("rare") == 0L) // beyond vocab -> OOV
+    val tfA = out.filter(r => r.getAs[Long]("doc_id") == 1L &&
+      r.getAs[String]("w") == "a").head.getAs[Long]("tf")
+    assert(tfA == 3L)
+  }
+
+  test("groupPercentiles equals a driver-side sort-and-index") {
+    val base = Tables.orders(spark, sf).select($"o_orderpriority",
+      round($"o_totalprice" * 100).cast("long").as("cents"), $"o_orderkey")
+    val got = TrainPrep.groupPercentiles(base, "o_orderpriority", "cents", "o_orderkey")
+      .collect().map(r => r.getAs[String]("o_orderpriority") ->
+        (r.getAs[Long]("p50"), r.getAs[Long]("p90"), r.getAs[Long]("p99"))).toMap
+    val local = base.as[(String, Long, Long)].collect()
+      .groupBy(_._1).map { case (g, rows) =>
+        val sorted = rows.sortBy(r => (r._2, r._3)).map(_._2)
+        val n = sorted.length
+        def at(num: Long, den: Long) = sorted((((n * num + num) / den) - 1).toInt)
+        g -> (sorted(((n + 1) / 2 - 1).toInt), at(9, 10), at(99, 100))
+      }
+    assert(got == local)
+  }
+
   test("classWeights: weighted class mass is equal across classes") {
     val df = (Seq.fill(30)("a") ++ Seq.fill(10)("b")).toDF("cls")
     // n_c * weight(c) = N / K for every class
