@@ -835,6 +835,75 @@ object ExtEntries {
              |  max(CASE WHEN rn = (n * 99 + 99) // 100 THEN cents END) AS p99
              |FROM r GROUP BY 1""".stripMargin)),
 
+    // Approximate percentiles — the 100 TB scale path beside q74's exact
+    // index selection. Sketch internals differ per engine, so rows-only
+    // (like q43); ApproxSpec bounds the error against the exact values.
+    Q("q75_approx_percentiles",
+      (s, d) => Tables.lineitem(s, d)
+        .withColumn("cents", round(col("l_extendedprice") * 100).cast("long"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          percentile_approx(col("cents"), lit(0.5), lit(10000)).as("p50"),
+          percentile_approx(col("cents"), lit(0.9), lit(10000)).as("p90"),
+          percentile_approx(col("cents"), lit(0.99), lit(10000)).as("p99")),
+      None),
+
+    // Generator with position: posexplode over the token array (first 5)
+    Q("q76_posexplode",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+        .filter(col("pos") < 5)
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("word")),
+      Some("""SELECT doc_id, i - 1 AS pos, w[CAST(i AS INT)] AS word
+             |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |     (SELECT unnest(range(1, 6)) AS i)
+             |WHERE i <= len(w)""".stripMargin)),
+
+    // Map-typed column construction + lookup (map stays internal; scalar
+    // outputs so the oracle is the equivalent conditional aggregation)
+    Q("q77_map_funcs",
+      (s, d) => Tables.events(s, d)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("user_id"))
+        .agg(map_from_entries(collect_list(struct(col("event_type"), col("cnt"))))
+          .as("m"))
+        .select(col("user_id"),
+          size(col("m")).cast("long").as("n_types"),
+          coalesce(element_at(col("m"), "click"), lit(0L)).as("clicks"),
+          coalesce(element_at(col("m"), "purchase"), lit(0L)).as("purchases")),
+      Some("""SELECT user_id,
+             |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+             |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+             |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases
+             |FROM events GROUP BY user_id""".stripMargin)),
+
+    // Calendar/datetime battery (dow aligned: Spark Sunday=1, DuckDB
+    // Sunday=0; add_months clamps to month end in both engines)
+    Q("q78_datetime_funcs",
+      (s, d) => {
+        val dt = col("o_orderdate").cast("date")
+        Tables.orders(s, d).select(
+          col("o_orderkey"),
+          date_format(date_trunc("month", dt), "yyyy-MM-dd").as("month_start"),
+          dayofweek(dt).cast("long").as("dow"),
+          year(dt).cast("long").as("yr"),
+          quarter(dt).cast("long").as("qtr"),
+          date_format(last_day(dt), "yyyy-MM-dd").as("month_end"),
+          date_format(add_months(dt, 1), "yyyy-MM-dd").as("next_month"),
+          datediff(lit("1995-01-01").cast("date"), dt).cast("long").as("days_to_95"))
+      },
+      Some("""SELECT o_orderkey,
+             |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+             |  CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
+             |  CAST(year(o_orderdate) AS BIGINT) AS yr,
+             |  CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+             |  strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+             |  strftime(o_orderdate + INTERVAL 1 MONTH, '%Y-%m-%d') AS next_month,
+             |  CAST(datediff('day', o_orderdate, TIMESTAMP '1995-01-01') AS BIGINT) AS days_to_95
+             |FROM orders""".stripMargin)),
+
     // Sliding event-time windows (1h length / 15min slide, 4 windows/event)
     Q("q66_sliding_agg",
       (s, d) => graft.streaming.StreamingFeatures.slidingAgg(Tables.events(s, d)),
