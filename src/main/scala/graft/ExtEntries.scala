@@ -904,6 +904,52 @@ object ExtEntries {
              |  CAST(datediff('day', o_orderdate, TIMESTAMP '1995-01-01') AS BIGINT) AS days_to_95
              |FROM orders""".stripMargin)),
 
+    // Data-quality profile: per-column null + distinct counts in ONE pass,
+    // melted to long format with stack() (the UNPIVOT operator)
+    Q("q79_dq_profile",
+      (s, d) => {
+        val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_totalprice", "o_orderdate", "o_orderpriority")
+        val aggs = cols.flatMap(c => Seq(
+          count(when(col(c).isNull, lit(1))).as(s"nn_$c"),
+          countDistinct(col(c)).as(s"nd_$c")))
+        val stackArgs = cols.map(c => s"'$c', nn_$c, nd_$c").mkString(", ")
+        Tables.orders(s, d).agg(aggs.head, aggs.tail: _*)
+          .selectExpr(s"stack(${cols.length}, $stackArgs) AS (col_name, n_nulls, n_distinct)")
+      },
+      Some(Seq("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_totalprice", "o_orderdate", "o_orderpriority").map(c =>
+        s"""SELECT '$c' AS col_name, count(*) - count($c) AS n_nulls,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct FROM orders""".stripMargin)
+        .mkString("\nUNION ALL\n"))),
+
+    // Value window functions: first/last/nth value, percent_rank, cume_dist
+    Q("q80_value_window_funcs",
+      (s, d) => {
+        val wo = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+        val wf = wo.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
+        Tables.events(s, d).select(
+          col("user_id"), col("event_id"), col("ts_us"),
+          first(col("value")).over(wf).as("first_val"),
+          last(col("value")).over(wf).as("last_val"),
+          nth_value(col("value"), 2).over(wf).as("second_val"),
+          percent_rank().over(wo).as("pct_rank"),
+          cume_dist().over(wo).as("cdist"))
+      },
+      Some("""SELECT user_id, event_id, ts_us,
+             |  first_value(value) OVER wf AS first_val,
+             |  last_value(value) OVER wf AS last_val,
+             |  nth_value(value, 2) OVER wf AS second_val,
+             |  percent_rank() OVER wo AS pct_rank,
+             |  cume_dist() OVER wo AS cdist
+             |FROM (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events)
+             |WINDOW
+             |  wo AS (PARTITION BY user_id ORDER BY ts_us, event_id),
+             |  wf AS (PARTITION BY user_id ORDER BY ts_us, event_id
+             |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin)),
+
     // Sliding event-time windows (1h length / 15min slide, 4 windows/event)
     Q("q66_sliding_agg",
       (s, d) => graft.streaming.StreamingFeatures.slidingAgg(Tables.events(s, d)),
