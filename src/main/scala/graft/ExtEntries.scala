@@ -103,6 +103,11 @@ object ExtEntries {
       s"(CASE WHEN $proj > 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString(" + ")
 
+  /** q79's profiled columns — ONE list drives both the Spark aggregation
+    * and the oracle's UNION ALL, so the twins cannot desynchronize. */
+  private val DqProfileCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderdate", "o_orderpriority")
+
   // ---------------------------------------------------------------- queries
 
   val all: Seq[Q] = Seq(
@@ -784,7 +789,7 @@ object ExtEntries {
              |  FROM b GROUP BY 1)
              |SELECT b.l_returnflag, price_d,
              |  CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-             |         = CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) THEN 0.0
+             |         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <= 0.0 THEN 0.0
              |    ELSE (CAST(price_d AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
              |      / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
              |              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
@@ -908,17 +913,14 @@ object ExtEntries {
     // melted to long format with stack() (the UNPIVOT operator)
     Q("q79_dq_profile",
       (s, d) => {
-        val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
-          "o_totalprice", "o_orderdate", "o_orderpriority")
-        val aggs = cols.flatMap(c => Seq(
+        val aggs = DqProfileCols.flatMap(c => Seq(
           count(when(col(c).isNull, lit(1))).as(s"nn_$c"),
           countDistinct(col(c)).as(s"nd_$c")))
-        val stackArgs = cols.map(c => s"'$c', nn_$c, nd_$c").mkString(", ")
+        val stackArgs = DqProfileCols.map(c => s"'$c', nn_$c, nd_$c").mkString(", ")
         Tables.orders(s, d).agg(aggs.head, aggs.tail: _*)
-          .selectExpr(s"stack(${cols.length}, $stackArgs) AS (col_name, n_nulls, n_distinct)")
+          .selectExpr(s"stack(${DqProfileCols.length}, $stackArgs) AS (col_name, n_nulls, n_distinct)")
       },
-      Some(Seq("o_orderkey", "o_custkey", "o_orderstatus",
-          "o_totalprice", "o_orderdate", "o_orderpriority").map(c =>
+      Some(DqProfileCols.map(c =>
         s"""SELECT '$c' AS col_name, count(*) - count($c) AS n_nulls,
            |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct FROM orders""".stripMargin)
         .mkString("\nUNION ALL\n"))),

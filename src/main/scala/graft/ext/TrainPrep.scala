@@ -178,11 +178,13 @@ object TrainPrep {
       min(col(valCol)).as("mn"), max(col(valCol)).as("mx"))
     df.join(broadcast(stats), Seq(grpCol))
       .select(col(grpCol), col(valCol),
-        // constant group → variance 0: define z = 0 rather than NaN/Inf
-        // (and keep the oracle's arithmetic identical). Compare as DOUBLES:
-        // the int64 product n·sxx overflows ANSI long at sf >= 0.1
-        when(col("n").cast("double") * col("sxx").cast("double") ===
-          col("sx").cast("double") * col("sx").cast("double"), lit(0.0))
+        // non-positive discriminant → variance 0: exact-zero variance, AND
+        // the near-constant high-magnitude case where double cancellation
+        // drives n·sxx − sx² slightly NEGATIVE (sqrt would be NaN here and a
+        // hard error in DuckDB). Compare as DOUBLES: the int64 product n·sxx
+        // overflows ANSI long at sf >= 0.1
+        when(col("n").cast("double") * col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double") <= 0.0, lit(0.0))
           .otherwise((col(valCol).cast("double") -
             col("sx").cast("double") / col("n").cast("double")) /
             sqrt((col("n").cast("double") * col("sxx").cast("double") -
@@ -209,15 +211,17 @@ object TrainPrep {
     * deterministic): ids 1..V by corpus frequency (count desc, term asc),
     * everything else 0. The vocabulary is broadcast-sized by construction. */
   def vocabEncode(documents: DataFrame, vocabSize: Int): DataFrame = {
-    val words = documents
+    // ONE explode pass: corpus frequencies derive from the tf aggregate
+    // (cnt = Σ tf), so the corpus is split and shuffled once, not twice
+    val tf = documents
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-    val vocab = words.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val vocab = tf.groupBy(col("w")).agg(sum(col("tf")).as("cnt"))
       .withColumn("vocab_id", row_number().over(
         Window.orderBy(col("cnt").desc, col("w").asc)).cast("long"))
       .filter(col("vocab_id") <= vocabSize)
       .select(col("w"), col("vocab_id"))
-    words.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
-      .join(broadcast(vocab), Seq("w"), "left")
+    tf.join(broadcast(vocab), Seq("w"), "left")
       .select(col("doc_id"), col("w"), col("tf"),
         coalesce(col("vocab_id"), lit(0L)).as("vocab_id"))
   }
@@ -228,8 +232,11 @@ object TrainPrep {
     * sort (never global). */
   def groupPercentiles(df: DataFrame, grpCol: String, valCol: String,
                        tieCol: String): DataFrame = {
+    // nulls LAST explicitly: Spark's bare asc is NULLS FIRST while SQL
+    // engines (incl. the DuckDB oracle) default ASC to NULLS LAST — pin
+    // the order so nullable inputs rank identically everywhere
     val w = Window.partitionBy(col(grpCol))
-      .orderBy(col(valCol).asc, col(tieCol).asc)
+      .orderBy(col(valCol).asc_nulls_last, col(tieCol).asc_nulls_last)
     val ranked = df
       .withColumn("rn", row_number().over(w).cast("long"))
       .withColumn("n", count(lit(1)).over(Window.partitionBy(col(grpCol))))

@@ -121,7 +121,7 @@ class PropertySpec extends SparkSpec {
     }
   }
 
-  test("packSequences: every bin except a shard's last holds > budget-doc slack") {
+  test("packSequences: bin = exclusive per-shard running sum div budget, in doc order") {
     forAll(docsGen) { rows =>
       val out = graft.ext.TrainPrep.packSequences(
         rows.toDF("doc_id", "text"), 64L, 4)

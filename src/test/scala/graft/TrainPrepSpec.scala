@@ -146,7 +146,7 @@ class TrainPrepSpec extends SparkSpec {
         val sorted = rows.sortBy(r => (r._2, r._3)).map(_._2)
         val n = sorted.length
         def at(num: Long, den: Long) = sorted((((n * num + num) / den) - 1).toInt)
-        g -> (sorted(((n + 1) / 2 - 1).toInt), at(9, 10), at(99, 100))
+        g -> (at(1, 2), at(9, 10), at(99, 100))
       }
     assert(got == local)
   }
