@@ -952,6 +952,80 @@ object ExtEntries {
              |  wf AS (PARTITION BY user_id ORDER BY ts_us, event_id
              |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin)),
 
+    // MULTISET set operators: EXCEPT ALL / INTERSECT ALL keep duplicates
+    // (q61 covers the distinct-set forms)
+    Q("q81_multiset_ops",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val high = o.filter(col("o_totalprice") > 200000.0)
+          .select(col("o_custkey"))
+        val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey"))
+        high.exceptAll(urgent)
+          .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+          .withColumn("op", lit("except_all"))
+          .unionByName(high.intersectAll(urgent)
+            .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+            .withColumn("op", lit("intersect_all")))
+      },
+      Some("""WITH high AS (SELECT o_custkey FROM orders WHERE o_totalprice > 200000.0),
+             |urgent AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+             |SELECT o_custkey, count(*) AS n, 'except_all' AS op
+             |FROM (SELECT * FROM high EXCEPT ALL SELECT * FROM urgent)
+             |GROUP BY o_custkey
+             |UNION ALL
+             |SELECT o_custkey, count(*) AS n, 'intersect_all' AS op
+             |FROM (SELECT * FROM high INTERSECT ALL SELECT * FROM urgent)
+             |GROUP BY o_custkey""".stripMargin)),
+
+    // Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys match
+    // each other instead of disappearing
+    Q("q82_null_safe_join",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          // % (sign of dividend), NOT pmod: DuckDB's % keeps the dividend
+          // sign, so pmod would silently diverge on negative values
+          .withColumn("vkey",
+            when(col("value").isNull, lit(null).cast("long"))
+              .otherwise(floor(col("value")).cast("long") % lit(5L)))
+        val a = ev.filter(col("event_type") === "click")
+          .groupBy(col("vkey")).agg(count(lit(1)).as("n_click"))
+        val b = ev.filter(col("event_type") === "purchase")
+          .groupBy(col("vkey").as("vkey2")).agg(count(lit(1)).as("n_buy"))
+        a.join(b, col("vkey") <=> col("vkey2"))
+          .select(col("vkey"), col("n_click"), col("n_buy"))
+      },
+      Some("""WITH ev AS (SELECT *,
+             |  CASE WHEN value IS NULL THEN NULL
+             |       ELSE CAST(floor(value) AS BIGINT) % 5 END AS vkey FROM events),
+             |a AS (SELECT vkey, count(*) AS n_click FROM ev
+             |      WHERE event_type = 'click' GROUP BY vkey),
+             |b AS (SELECT vkey AS vkey2, count(*) AS n_buy FROM ev
+             |      WHERE event_type = 'purchase' GROUP BY vkey)
+             |SELECT vkey, n_click, n_buy
+             |FROM a JOIN b ON vkey IS NOT DISTINCT FROM vkey2""".stripMargin)),
+
+    // Conditional + bitwise aggregate battery
+    Q("q83_cond_bitwise_aggs",
+      (s, d) => Tables.lineitem(s, d)
+        .withColumn("q", col("l_quantity").cast("long"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count_if(col("l_discount") > 0.05).as("n_discounted"),
+          bool_and(col("l_quantity") > 0).as("all_positive"),
+          bool_or(col("l_tax") > 0.07).as("any_high_tax"),
+          bit_and(col("q")).as("qty_bit_and"),
+          bit_or(col("q")).as("qty_bit_or"),
+          bit_xor(col("q")).as("qty_bit_xor")),
+      Some("""SELECT l_returnflag,
+             |  CAST(count(*) FILTER (WHERE l_discount > 0.05) AS BIGINT) AS n_discounted,
+             |  bool_and(l_quantity > 0) AS all_positive,
+             |  bool_or(l_tax > 0.07) AS any_high_tax,
+             |  bit_and(CAST(l_quantity AS BIGINT)) AS qty_bit_and,
+             |  bit_or(CAST(l_quantity AS BIGINT)) AS qty_bit_or,
+             |  bit_xor(CAST(l_quantity AS BIGINT)) AS qty_bit_xor
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
     // Sliding event-time windows (1h length / 15min slide, 4 windows/event)
     Q("q66_sliding_agg",
       (s, d) => graft.streaming.StreamingFeatures.slidingAgg(Tables.events(s, d)),
