@@ -1026,6 +1026,25 @@ object ExtEntries {
              |  bit_xor(CAST(l_quantity AS BIGINT)) AS qty_bit_xor
              |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
 
+    // Regex function battery: extract (group), extract-all count, match
+    // flag, global replace — common dialect subset (no lookaround/Java-isms)
+    Q("q84_regex_funcs",
+      (s, d) => Tables.documents(s, d).select(
+        col("doc_id"),
+        regexp_extract(col("text"), "[0-9]+", 0).as("first_num"),
+        size(expr("regexp_extract_all(text, '[0-9]+')")).cast("long").as("n_nums"),
+        col("text").rlike("[A-Z]").as("has_upper"),
+        length(regexp_replace(col("text"), "[aeiou]", "*")).cast("long")
+          .as("masked_len"),
+        regexp_extract(col("text"), "([a-z]+) ([0-9]+)", 2).as("num_after_word")),
+      Some("""SELECT doc_id,
+             |  regexp_extract(text, '[0-9]+') AS first_num,
+             |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_nums,
+             |  regexp_matches(text, '[A-Z]') AS has_upper,
+             |  CAST(length(regexp_replace(text, '[aeiou]', '*', 'g')) AS BIGINT) AS masked_len,
+             |  regexp_extract(text, '([a-z]+) ([0-9]+)', 2) AS num_after_word
+             |FROM documents""".stripMargin)),
+
     // Sliding event-time windows (1h length / 15min slide, 4 windows/event)
     Q("q66_sliding_agg",
       (s, d) => graft.streaming.StreamingFeatures.slidingAgg(Tables.events(s, d)),
