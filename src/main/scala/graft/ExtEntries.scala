@@ -638,8 +638,10 @@ object ExtEntries {
     // CUBE grouping-sets aggregation with an explicit grouping id
     Q("q64_cube",
       (s, d) => Tables.events(s, d)
+        // % not pmod: SQL % keeps the dividend sign, so pmod would diverge
+        // on pre-1970 (negative-epoch) timestamps
         .select(col("event_type"),
-          pmod(expr("ts_us DIV 86400000000"), lit(7L)).as("dow"))
+          (expr("ts_us DIV 86400000000") % lit(7L)).as("dow"))
         .cube(col("event_type"), col("dow"))
         .agg(count(lit(1)).as("n_events"),
           (grouping(col("event_type")) * 2 + grouping(col("dow")))
@@ -869,6 +871,9 @@ object ExtEntries {
     // outputs so the oracle is the equivalent conditional aggregation)
     Q("q77_map_funcs",
       (s, d) => Tables.events(s, d)
+        // a NULL map key is a runtime error in map_from_entries; drop null
+        // types in BOTH twins so the semantics stay parallel
+        .filter(col("event_type").isNotNull)
         .groupBy(col("user_id"), col("event_type"))
         .agg(count(lit(1)).as("cnt"))
         .groupBy(col("user_id"))
@@ -882,7 +887,7 @@ object ExtEntries {
              |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
              |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
              |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases
-             |FROM events GROUP BY user_id""".stripMargin)),
+             |FROM events WHERE event_type IS NOT NULL GROUP BY user_id""".stripMargin)),
 
     // Calendar/datetime battery (dow aligned: Spark Sunday=1, DuckDB
     // Sunday=0; add_months clamps to month end in both engines)
@@ -1032,7 +1037,9 @@ object ExtEntries {
       (s, d) => Tables.documents(s, d).select(
         col("doc_id"),
         regexp_extract(col("text"), "[0-9]+", 0).as("first_num"),
-        size(expr("regexp_extract_all(text, '[0-9]+')")).cast("long").as("n_nums"),
+        // explicit group 0 (full match): Spark defaults to group 1, which
+        // THROWS on a pattern with no capture groups; DuckDB defaults to 0
+        size(expr("regexp_extract_all(text, '[0-9]+', 0)")).cast("long").as("n_nums"),
         col("text").rlike("[A-Z]").as("has_upper"),
         length(regexp_replace(col("text"), "[aeiou]", "*")).cast("long")
           .as("masked_len"),

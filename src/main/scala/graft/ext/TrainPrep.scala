@@ -161,10 +161,9 @@ object TrainPrep {
       // \z (end of INPUT) not $: Java's $ matches before a final newline,
       // so "abc\n" would wrongly count as printable-ASCII and diverge from
       // the oracle's RE2 $ (end of text)
-      col("text").rlike("^[ -~]*\\z").as("is_ascii"),
-      length(trim(regexp_replace(
-        regexp_replace(lower(col("text")), "[^a-z0-9]+", " "),
-        " +", " "))).cast("long").as("norm_len"))
+      col("text").rlike("^[ -~]*\\z").as("is_ascii"))
+      // norm_len derives from norm_text (single source for the regex chain)
+      .withColumn("norm_len", length(col("norm_text")).cast("long"))
 
   /** Per-group feature scaling: population z-score AND min-max, both from
     * one pass of integer sufficient statistics broadcast back onto the rows

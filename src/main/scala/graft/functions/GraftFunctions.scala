@@ -29,6 +29,14 @@ object GraftFunctions {
     else {
       require(exprs(1).foldable,
         "graft_word_stats stopword list must be a literal array of strings")
+      require(exprs(1).dataType match {
+        case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType, _) => true
+        case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.NullType, _) => true // array() literal
+        case _ => false
+      }, "graft_word_stats stopword list must be a literal array of " +
+        s"strings, got type ${exprs(1).dataType}")
       exprs(1).eval() match {
         case null => Seq.empty
         case a: org.apache.spark.sql.catalyst.util.ArrayData =>

@@ -72,6 +72,20 @@ class FunctionsSpec extends SparkSpec {
     assert(agg.except(expect).count() == 0 && expect.except(agg).count() == 0)
   }
 
+  test("q84 regex expressions extract digits (fixtures are digit-free)") {
+    val df = Seq((1L, "order 42 and 7 items"), (2L, "no digits here"))
+      .toDF("doc_id", "text")
+    val out = df.select($"doc_id",
+      regexp_extract($"text", "[0-9]+", 0).as("first_num"),
+      size(expr("regexp_extract_all(text, '[0-9]+', 0)")).cast("long").as("n_nums"),
+      regexp_extract($"text", "([a-z]+) ([0-9]+)", 2).as("num_after_word"))
+      .orderBy($"doc_id").collect()
+    assert(out(0).getString(1) == "42" && out(0).getLong(2) == 2L &&
+      out(0).getString(3) == "42")
+    assert(out(1).getString(1) == "" && out(1).getLong(2) == 0L &&
+      out(1).getString(3) == "")
+  }
+
   test("graft_word_stats equals the declarative size/aggregate/filter forms") {
     GraftFunctions.register(spark)
     val docs = Tables.documents(spark, sf)

@@ -78,8 +78,12 @@ class PropertySpec extends SparkSpec {
       val df = rows.toDF("doc_id", "text")
       val sigs = graft.ext.Dedup.simhash(df)
         .as[(Long, Long)].collect().toMap
-      val got = graft.ext.Dedup.simhashPairs(df, 3)
-        .select($"d1", $"d2").as[(Long, Long)].collect().toSet
+      val gotSeq = graft.ext.Dedup.simhashPairs(df, 3)
+        .select($"d1", $"d2").as[(Long, Long)].collect()
+      val got = gotSeq.toSet
+      // no duplicate emission: the first-matching-band dedup must yield
+      // each pair exactly once (a .toSet-only compare would hide this)
+      assert(gotSeq.length == got.size)
       val expect = (for {
         (a, sa) <- sigs; (b, sb) <- sigs
         if a < b && java.lang.Long.bitCount(sa ^ sb) <= 3
