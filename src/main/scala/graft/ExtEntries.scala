@@ -472,12 +472,15 @@ object ExtEntries {
     // The 100 TB scale path for distinct counting: HLL++ sketches (mergeable
     // constant state). No cross-engine oracle — HLL implementations differ —
     // so this is a declared rows-only query; ApproxSpec bounds its error
-    // against the exact count instead.
+    // against the exact count instead. rsd 0.02, not 0.01: measured at
+    // sf0.1, Spark's HLL++ update path is 5x slower at rsd=0.01 (1.7s vs
+    // 0.31s at 0.05) — slower than EXACT countDistinct at this
+    // cardinality — while 0.02 keeps the error well inside the 5% bound.
     Q("q43_approx_distinct",
       (s, d) => Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
-          approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders")),
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+          approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders")),
       None),
 
     // BPE-ish sub-word token budget count
