@@ -1055,6 +1055,57 @@ object ExtEntries {
              |  regexp_extract(text, '([a-z]+) ([0-9]+)', 2) AS num_after_word
              |FROM documents""".stripMargin)),
 
+    // Explicit GROUPING SETS through the SQL front-end (complements q64's
+    // CUBE and q38's rollup)
+    Q("q85_grouping_sets",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("v_orders_gs")
+        s.sql("""
+          SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+                 CAST(grouping(o_orderpriority) * 2 + grouping(o_orderstatus) AS BIGINT) AS gid
+          FROM v_orders_gs
+          GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())""")
+      },
+      Some("""SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+             |  CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS BIGINT) AS gid
+             |FROM orders
+             |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())""".stripMargin)),
+
+    // Fixed-width histogram via integer bucket arithmetic (width_bucket has
+    // no DuckDB twin; DIV + least is engine-exact and partial-aggregable)
+    Q("q86_histogram",
+      (s, d) => Tables.orders(s, d)
+        .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+        .withColumn("bucket", least(expr("cents DIV 3000000"), lit(19L)))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), min(col("cents")).as("lo"),
+          max(col("cents")).as("hi")),
+      Some("""SELECT least(cents // 3000000, 19) AS bucket, count(*) AS n,
+             |  min(cents) AS lo, max(cents) AS hi
+             |FROM (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+             |      FROM orders)
+             |GROUP BY 1""".stripMargin)),
+
+    // Error-safe expressions: try_cast (NULL on bad input, the O2 contract
+    // as an expression) and try_divide (NULL on zero denominator). Decimal
+    // strings are deliberately absent: DuckDB try_cast('12.9' AS BIGINT)
+    // ROUNDS to 13 while Spark nulls it.
+    Q("q87_try_expressions",
+      (s, d) => Tables.orders(s, d)
+        .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+        .select(
+          col("o_orderkey"),
+          expr("try_cast(o_orderstatus AS BIGINT)").as("status_num"),
+          expr("try_cast(cast(o_custkey AS STRING) AS BIGINT)").as("cust_rt"),
+          expr("try_divide(cents, o_custkey % 3)").as("per_bucket")),
+      Some("""SELECT o_orderkey,
+             |  try_cast(o_orderstatus AS BIGINT) AS status_num,
+             |  try_cast(CAST(o_custkey AS VARCHAR) AS BIGINT) AS cust_rt,
+             |  CASE WHEN o_custkey % 3 = 0 THEN NULL
+             |       ELSE CAST(round(o_totalprice * 100) AS BIGINT) / (o_custkey % 3)
+             |  END AS per_bucket
+             |FROM orders""".stripMargin)),
+
     // Sliding event-time windows (1h length / 15min slide, 4 windows/event)
     Q("q66_sliding_agg",
       (s, d) => graft.streaming.StreamingFeatures.slidingAgg(Tables.events(s, d)),
