@@ -1106,6 +1106,30 @@ object ExtEntries {
              |  END AS per_bucket
              |FROM orders""".stripMargin)),
 
+    // Correlated scalar + EXISTS subqueries through the SQL front-end —
+    // Catalyst decorrelates both into joins (RewriteCorrelatedScalarSubquery
+    // / RewritePredicateSubquery); the oracle runs the identical SQL
+    Q("q88_correlated_subquery",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("v_orders_sq")
+        Tables.customer(s, d).createOrReplaceTempView("v_customer_sq")
+        s.sql("""
+          SELECT c_custkey,
+                 (SELECT CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                  FROM v_orders_sq WHERE o_custkey = c_custkey) AS max_cents,
+                 EXISTS (SELECT 1 FROM v_orders_sq
+                         WHERE o_custkey = c_custkey
+                           AND o_orderpriority = '1-URGENT') AS has_urgent
+          FROM v_customer_sq""")
+      },
+      Some("""SELECT c_custkey,
+             |  (SELECT CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             |   FROM orders WHERE o_custkey = c_custkey) AS max_cents,
+             |  EXISTS (SELECT 1 FROM orders
+             |          WHERE o_custkey = c_custkey
+             |            AND o_orderpriority = '1-URGENT') AS has_urgent
+             |FROM customer""".stripMargin)),
+
     // Sliding event-time windows (1h length / 15min slide, 4 windows/event)
     Q("q66_sliding_agg",
       (s, d) => graft.streaming.StreamingFeatures.slidingAgg(Tables.events(s, d)),
