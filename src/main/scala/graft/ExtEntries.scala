@@ -64,7 +64,7 @@ object ExtEntries {
 
   /** simhash signatures (mirror of Dedup.simhash; wid = 48-bit md5-prefix
     * content id, one sign term per word occurrence). */
-  private val simhashCte =
+  private[graft] val simhashCte =
     s"""words AS (
        |  SELECT doc_id, ('0x' || substr(md5(w), 1, 12))::BIGINT AS wid
        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)),

@@ -166,7 +166,6 @@ object Dedup {
       .unionByName(pairs.select(col("d2").as("a"), col("d1").as("b")))
       .cache()
     var labels = documents.select(col("doc_id"), col("doc_id").as("cluster_id"))
-    var prev: Option[DataFrame] = None
     var converged = false
     var iter = 0
     // labels are monotone non-increasing per key, so Σ cluster_id strictly
@@ -178,28 +177,109 @@ object Dedup {
         .join(labels.withColumnRenamed("doc_id", "b2"),
           col("b") === col("b2"))
         .select(col("a").as("doc_id"), col("cluster_id"))
+      // localCheckpoint (not cache): labels feed both the edge join and the
+      // union each round, so an uncut lineage doubles per iteration —
+      // truncating to the materialized RDD keeps the plan O(1) per round
       val next = labels.unionByName(viaEdges)
         .groupBy(col("doc_id"))
         .agg(min(col("cluster_id")).as("cluster_id"))
-        .cache()
+        .localCheckpoint()
       val sumRow = next.agg(sum(col("cluster_id"))).collect()(0)
       // sum over ZERO rows is NULL (empty corpus): nothing to propagate
       val curSum = if (sumRow.isNullAt(0)) prevSum else sumRow.getLong(0)
-      prev.foreach(_.unpersist())   // release the superseded iteration
-      prev = Some(labels)
       labels = next
       converged = curSum == prevSum
       prevSum = curSum
       iter += 1
     }
     edges.unpersist()
-    prev.foreach(_.unpersist())
     // a silent cap would return WRONG cluster ids for components whose
     // diameter exceeds the iteration budget — fail loudly instead
     if (!converged) throw new IllegalStateException(
       s"nearDupClusters did not converge in $maxIters iterations " +
         "(similarity-chain diameter exceeds budget); raise maxIters")
     labels
+  }
+
+  /** Connected components via alternating small-star / large-star — the
+    * 100 TB scale path for cluster formation (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14; same algorithm ships in
+    * GraphFrames' connectedComponents).
+    *
+    * `nearDupClusters` (min-label propagation) needs O(diameter) rounds and
+    * every round re-aggregates the FULL node set; star contraction converges
+    * in O(log n) rounds and each round touches only the shrinking edge set —
+    * the right trade at corpus scale, where similarity chains (A~B~C~...)
+    * can be long. Both compute the same fixpoint (component label = min
+    * doc_id); CcSpec asserts they agree on the fixtures.
+    *
+    * Each phase is one groupBy (neighborhood min) + one join (re-point
+    * edges) — all distributed, nothing driver-side but the 1-row
+    * convergence signature. Output: (doc_id, cluster_id), singletons
+    * included.
+    */
+  def ccBigStar(documents: DataFrame, pairs: DataFrame,
+                maxIters: Int = 30): DataFrame = {
+    // small-star: point every edge downward (u > v), then hook u and all its
+    // smaller neighbors to the neighborhood minimum
+    def smallStar(e: DataFrame): DataFrame = {
+      val down = e.select(greatest(col("a"), col("b")).as("u"),
+        least(col("a"), col("b")).as("v"))
+      val mins = down.groupBy(col("u")).agg(min(col("v")).as("m"))
+      down.join(mins, "u")
+        .select(explode(array(
+          struct(col("u").as("a"), col("m").as("b")),
+          struct(col("v").as("a"), col("m").as("b")))).as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+    }
+    // large-star: for each node, hook every LARGER neighbor to the
+    // neighborhood minimum (self included)
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbrs = e.select(col("a"), col("b"))
+        .unionByName(e.select(col("b").as("a"), col("a").as("b")))
+      val mins = nbrs.groupBy(col("a"))
+        .agg(min(col("b")).as("mn"))
+        .select(col("a"), least(col("mn"), col("a")).as("m"))
+      nbrs.join(mins, "a")
+        .filter(col("b") > col("a"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+    }
+    // localCheckpoint (not cache): each round references the previous edge
+    // set FOUR times (both stars read it twice), so an uncut lineage grows
+    // 4^rounds plan nodes — checkpointing truncates the plan to the
+    // materialized RDD each round (same pattern as FeatureStore.upsertGold)
+    var edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
+      .localCheckpoint()
+    // convergence = edge-set fixpoint; (count, xor of pair hashes) is an
+    // order-independent SET signature in one aggregate (edges are distinct
+    // after each phase; xor can't overflow under ANSI, unlike sum)
+    def signature(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(a, b))"), lit(0L))).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    var sig = (-1L, -1L)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val nextSig = signature(next)
+      edges = next
+      converged = nextSig == sig
+      sig = nextSig
+      iter += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"ccBigStar did not converge in $maxIters rounds")
+    // fixpoint is a star forest (a → component min); attach singletons
+    val labels = edges.groupBy(col("a")).agg(min(col("b")).as("lbl"))
+    documents.select(col("doc_id"))
+      .join(labels.withColumnRenamed("a", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
   }
 
   /** 64-bit SimHash over the word multiset: bit_j = sign of

@@ -246,6 +246,43 @@ object TrainPrep {
         max(when(col("rn") === expr("(n * 99 + 99) DIV 100"), col(valCol))).as("p99"))
   }
 
+  /** Chi-square independence statistics over a two-way contingency table —
+    * the classic feature-selection score for categorical features against a
+    * class label (select features whose cells deviate most from
+    * independence). One aggregation for the cells; marginals join back as
+    * broadcast-sized dimensions. Every expected count and contribution is
+    * formed from bigint sufficient statistics with a pinned operation order
+    * (exact-operand doubles), so the oracle reproduces it bit-for-bit. */
+  def chiSquareCells(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val cells = df.groupBy(col(xCol), col(yCol)).agg(count(lit(1)).as("o"))
+    val rowTot = df.groupBy(col(xCol)).agg(count(lit(1)).as("row_n"))
+    val colTot = df.groupBy(col(yCol)).agg(count(lit(1)).as("col_n"))
+    val n = df.agg(count(lit(1)).as("n"))
+    val e = col("row_n").cast("double") * col("col_n") / col("n")
+    cells
+      .join(broadcast(rowTot), Seq(xCol))
+      .join(broadcast(colTot), Seq(yCol))
+      .crossJoin(broadcast(n))
+      .select(col(xCol), col(yCol), col("o"), e.as("expected"),
+        ((col("o") - e) * (col("o") - e) / e).as("chi2_cell"))
+  }
+
+  /** Ordered per-key event-sequence assembly — the "conversation/session →
+    * training sample" step of an LLM data pipeline: each user's event types
+    * concatenated in (ts, event_id) order into one string, with bounds.
+    * `listagg ... WITHIN GROUP` keeps the whole thing a single hash
+    * aggregation (one shuffle, partial-aggregable); the total order on
+    * (ts_us, event_id) makes the string deterministic. */
+  def eventSequences(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("t_first_us"),
+        max(col("ts_us")).as("t_last_us"),
+        expr("listagg(event_type, '>') WITHIN GROUP (ORDER BY ts_us, event_id)")
+          .as("seq"))
+
   /** Inverse-frequency class weights: weight(c) = N / (K · n_c) — the
     * standard balanced-class weighting, from one aggregation. Exact-operand
     * doubles (bigint ratios). */

@@ -28,6 +28,23 @@ object Skew {
       .groupBy(col(keyCol))
       .agg(sum(col("__partial")).as("distinct_cnt"))
 
+  /** Salted replicated-dimension join — the skew remedy when AQE's
+    * skew-split can't help (e.g. the big side must also feed a same-keyed
+    * aggregation, or the engine predates AQE). The big side gets a
+    * deterministic salt from a high-cardinality discriminator column; the
+    * small side is replicated `salts`× with every salt value; the join key
+    * becomes (key, salt), spreading one hot key over `salts` reducers.
+    * Result identical to `big.join(small, key, "inner")`. */
+  def saltedJoin(big: DataFrame, small: DataFrame, bigKey: String,
+                 smallKey: String, discCol: String, salts: Int): DataFrame = {
+    val b = big.withColumn("__salt",
+      pmod(xxhash64(col(discCol)), lit(salts.toLong)))
+    val s = small.withColumn("__salt",
+      explode(sequence(lit(0L), lit(salts.toLong - 1))))
+    b.join(s, b("__salt") === s("__salt") && col(bigKey) === col(smallKey))
+      .drop("__salt")
+  }
+
   /** Two-phase salted sum (for when even partial-agg rows of one key are
     * too many for a reducer — defensive shape, same result as plain sum). */
   def saltedSum(df: DataFrame, keyCol: String, valueCol: Column,

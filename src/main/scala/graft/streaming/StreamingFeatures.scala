@@ -108,10 +108,15 @@ object StreamingFeatures {
     * be a DIRECTORY of events-schema parquet files (FileStreamSource rejects
     * bare files) — i.e. a bronze append directory; `complete` output into a
     * memory sink for tests, foreachBatch-upsert in production. */
-  def streamTumblingAgg(spark: SparkSession, eventsDir: String): DataFrame = {
+  def streamTumblingAgg(spark: SparkSession, eventsDir: String,
+                        maxFilesPerTrigger: Int = 0): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(eventsDir).schema
-    val raw = spark.readStream.schema(schema)
+    val reader = spark.readStream.schema(schema)
+    // maxFilesPerTrigger splits a backlog into multiple micro-batches —
+    // the replay path (StreamingSpec asserts multi-batch parity with batch)
+    val raw = (if (maxFilesPerTrigger > 0)
+      reader.option("maxFilesPerTrigger", maxFilesPerTrigger) else reader)
       .parquet(eventsDir)
     val ev = raw
       .withColumn("ts_us", expr("ts DIV 1000L"))
@@ -127,8 +132,9 @@ object StreamingFeatures {
   /** Run the streaming agg to completion against a static events directory
     * (test support): memory sink, complete mode, synchronous drain. */
   def runToMemorySink(spark: SparkSession, eventsDir: String,
-                      queryName: String): StreamingQuery = {
-    val q = streamTumblingAgg(spark, eventsDir).writeStream
+                      queryName: String,
+                      maxFilesPerTrigger: Int = 0): StreamingQuery = {
+    val q = streamTumblingAgg(spark, eventsDir, maxFilesPerTrigger).writeStream
       .outputMode("complete")
       .format("memory")
       .queryName(queryName)

@@ -97,4 +97,41 @@ class ScalePostureSpec extends SparkSpec {
     assert(countExchanges(plan) == 1,
       plan.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
   }
+
+  test("eventSequences is a single hash aggregation: one exchange") {
+    val plan = planOf(graft.ext.TrainPrep.eventSequences(
+      Tables.events(spark, sf)
+        .select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"))))
+    assert(countExchanges(plan) == 1,
+      plan.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+  }
+
+  test("runtime bloom filter prunes the probe side of a selective join") {
+    // InjectRuntimeFilter: a selective filter on the build side becomes a
+    // bloom-filter semi-filter pushed into the probe-side scan — row-level
+    // pruning BEFORE the join shuffle, the 100 TB complement to partition
+    // pruning. Thresholds floored so the rule fires at fixture scale.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = Tables.lineitem(spark, sf)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_quantity"))
+      val supp = Tables.supplier(spark, sf)
+        .filter(col("s_acctbal") > 9000.0) // selective build-side predicate
+        .select(col("s_suppkey"), col("s_nationkey"))
+      val joined = li.join(supp, col("l_suppkey") === col("s_suppkey"))
+      val plan = planOf(joined)
+      assert(plan.contains("might_contain"),
+        "expected an injected bloom-filter probe in:\n" +
+          plan.linesIterator.filter(_.contains("Filter")).take(10).mkString("\n"))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }

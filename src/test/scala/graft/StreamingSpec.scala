@@ -121,6 +121,47 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.except(batch).count() == 0 && batch.except(streamed).count() == 0)
   }
 
+  test("multi-micro-batch replay equals batch (time-ordered appends)") {
+    // bronze-append replay: the fixture split into 4 time-ordered chunk
+    // files, fed one file per micro-batch (maxFilesPerTrigger=1), so the
+    // watermarked aggregation accumulates across batches instead of seeing
+    // everything at once — the actual production shape of incremental
+    // materialization
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    val chunked = raw.withColumn("c", ntile(4).over(
+      org.apache.spark.sql.expressions.Window.orderBy($"ts", $"event_id")))
+    val dir = Files.createTempDirectory("events_replay")
+    (1 to 4).foreach { k =>
+      val tmp = Files.createTempDirectory(s"chunk_$k")
+      chunked.filter($"c" === k).drop("c")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .head
+      val dst = dir.resolve(f"chunk-$k%03d.parquet")
+      Files.copy(part.toPath, dst)
+      // FileStreamSource orders the initial backlog by mod time: pin
+      // strictly increasing stamps so batch k really is time-chunk k
+      Files.setLastModifiedTime(dst, FileTime.fromMillis(1000000L + k * 60000L))
+    }
+    val q = StreamingFeatures.runToMemorySink(spark, dir.toString,
+      "replay_out", maxFilesPerTrigger = 1)
+    q.processAllAvailable(); q.stop()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 4,
+      s"expected >=4 micro-batches, got ${q.recentProgress.length}")
+    val streamed = spark.table("replay_out")
+    val batch = StreamingFeatures.tumblingAgg(Tables.events(spark, sf))
+    assert(streamed.count() == batch.count() && batch.count() > 0)
+    val joined = streamed
+      .withColumnRenamed("n_events", "n2").withColumnRenamed("value_sum", "v2")
+      .join(batch, Seq("event_type", "hour_bucket"), "full")
+    assert(joined.filter($"n_events".isNull || $"n2".isNull ||
+      $"n_events" =!= $"n2" || $"value_sum" =!= $"v2").count() == 0)
+  }
+
   test("streaming dropDuplicates keeps exactly the distinct event ids") {
     import org.apache.spark.sql.streaming.Trigger
     val q = StreamingFeatures.streamDedup(spark, stageEventsDir())
