@@ -221,6 +221,62 @@ object Entries3 {
              |  SELECT anc.node, e.parent FROM anc JOIN edges e ON e.child = anc.a
              |)
              |SELECT node, count(*) AS n_anc, min(a) AS root
-             |FROM anc GROUP BY node""".stripMargin))
+             |FROM anc GROUP BY node""".stripMargin)),
+
+    // Z-order (Morton) layout key: bit-interleave two dimensions so one
+    // sort key clusters both (the OPTIMIZE ZORDER BY layout primitive,
+    // as a codegen'd column expression; layout write = ZOrder.layoutByZ)
+    Q("q98_zorder_key",
+      (s, d) => Tables.events(s, d).select(
+        col("event_id"),
+        pmod(col("user_id"), lit(65536L)).as("zx"),
+        pmod(expr("ts_us DIV 3600000000"), lit(65536L)).as("zy"))
+        .withColumn("zval", graft.ops.ZOrder.zValue(col("zx"), col("zy"))),
+      Some(s"""SELECT event_id, zx, zy, ${graft.ops.ZOrder.zValueSql("zx", "zy")} AS zval
+              |FROM (SELECT event_id, user_id % 65536 AS zx,
+              |        (epoch_us(ts) // 3600000000) % 65536 AS zy
+              |      FROM events)""".stripMargin)),
+
+    // Sequence-pattern funnel: per-user ordered event string matched
+    // against staged regex patterns (view → click → purchase) — the
+    // product-analytics shape of sequence mining, on q95's assembly
+    Q("q99_funnel_stages",
+      (s, d) => TrainPrep.eventSequences(
+        Tables.events(s, d).select(col("user_id"), col("event_id"),
+          col("ts_us"), col("event_type")))
+        .select(col("user_id"), col("n_events"),
+          when(col("seq").rlike("view.*click.*purchase"), 3)
+            .when(col("seq").rlike("view.*click"), 2)
+            .when(col("seq").rlike("view"), 1)
+            .otherwise(0).cast("int").as("funnel_stage")),
+      Some("""WITH s AS (
+             |  SELECT user_id, count(*) AS n_events,
+             |    string_agg(event_type, '>' ORDER BY ts_us, event_id) AS seq
+             |  FROM (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+             |        FROM events)
+             |  GROUP BY user_id)
+             |SELECT user_id, n_events,
+             |  CAST(CASE WHEN regexp_matches(seq, 'view.*click.*purchase') THEN 3
+             |            WHEN regexp_matches(seq, 'view.*click') THEN 2
+             |            WHEN regexp_matches(seq, 'view') THEN 1
+             |            ELSE 0 END AS INT) AS funnel_stage
+             |FROM s""".stripMargin)),
+
+    // Incremental aggregate maintenance: base states + delta states merged
+    // (O(delta) upkeep, never rescanning base facts) must equal the full
+    // recompute — which is exactly what the oracle runs
+    Q("q100_incremental_merge",
+      (s, d) => {
+        val cutoffUs = 1706745600000000L // 2024-02-01T00:00:00Z
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("ts_us"), col("value"))
+        graft.ops.Incremental.mergeUserAggStates(
+          graft.ops.Incremental.userAggState(ev.filter(col("ts_us") < cutoffUs)),
+          graft.ops.Incremental.userAggState(ev.filter(col("ts_us") >= cutoffUs)))
+      },
+      Some("""SELECT user_id, count(*) AS n_events,
+             |  CAST(sum(CAST(round(coalesce(value, 0) * 100) AS BIGINT)) AS BIGINT) AS spend_cents,
+             |  max(epoch_us(ts)) AS last_ts_us
+             |FROM events GROUP BY user_id""".stripMargin))
   )
 }

@@ -104,6 +104,26 @@ object StreamingFeatures {
       .select(col("event_id"), col("user_id"), col("event_type"))
   }
 
+  /** Bounded-state streaming dedup: `dropDuplicatesWithinWatermark` keys
+    * state by event_id but expires it once the watermark passes the first
+    * occurrence + delay — the production dedup for at-least-once sources,
+    * where duplicates arrive close together and exact-forever state
+    * (streamDedup above) would grow without bound. */
+  def streamDedupWithinWatermark(spark: SparkSession, eventsDir: String,
+                                 maxFilesPerTrigger: Int = 0): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(eventsDir).schema
+    val reader = spark.readStream.schema(schema)
+    (if (maxFilesPerTrigger > 0)
+      reader.option("maxFilesPerTrigger", maxFilesPerTrigger) else reader)
+      .parquet(eventsDir)
+      .withColumn("ts_us", expr("ts DIV 1000L"))
+      .withColumn("ts_t", timestamp_micros(col("ts_us")))
+      .withWatermark("ts_t", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+  }
+
   /** Streaming variant of `tumblingAgg` from a file source. `eventsDir` must
     * be a DIRECTORY of events-schema parquet files (FileStreamSource rejects
     * bare files) — i.e. a bronze append directory; `complete` output into a

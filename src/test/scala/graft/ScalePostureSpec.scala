@@ -106,6 +106,42 @@ class ScalePostureSpec extends SparkSpec {
       plan.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
   }
 
+  test("z-order layout: one range exchange + in-partition sort, and the key clusters both dims") {
+    val ev = Tables.events(spark, sf).select(col("event_id"),
+      pmod(col("user_id"), lit(65536L)).as("zx"),
+      pmod(expr("ts_us DIV 3600000000"), lit(65536L)).as("zy"))
+    val laid = graft.ops.ZOrder.layoutByZ(ev,
+      graft.ops.ZOrder.zValue(col("zx"), col("zy")), 8)
+    val plan = planOf(laid)
+    assert(plan.contains("rangepartitioning"), plan.take(400))
+    assert(countExchanges(plan) == 1,
+      plan.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    // interleave must be invertible: de-interleaving the z-value recovers
+    // both dimensions exactly (so min/max stats on z bound both columns)
+    val bad = ev.withColumn("z",
+      graft.ops.ZOrder.zValue(col("zx"), col("zy")))
+      .withColumn("rx", (0 until 16).map(i =>
+        shiftleft(shiftright(col("z"), 2 * i).bitwiseAND(lit(1L)), i))
+        .reduce(_ + _))
+      .withColumn("ry", (0 until 16).map(i =>
+        shiftleft(shiftright(col("z"), 2 * i + 1).bitwiseAND(lit(1L)), i))
+        .reduce(_ + _))
+      .filter(col("rx") =!= col("zx") || col("ry") =!= col("zy"))
+    assert(bad.count() == 0)
+  }
+
+  test("incremental state merge equals full recompute (any split point)") {
+    import graft.ops.Incremental
+    val ev = Tables.events(spark, sf).select(col("user_id"), col("ts_us"), col("value"))
+    val cutoff = ev.agg(expr("percentile_approx(ts_us, 0.5)")).collect()(0).getLong(0)
+    val merged = Incremental.mergeUserAggStates(
+      Incremental.userAggState(ev.filter(col("ts_us") < cutoff)),
+      Incremental.userAggState(ev.filter(col("ts_us") >= cutoff)))
+    val full = Incremental.userAggState(ev)
+    assert(merged.count() == full.count() && full.count() > 0)
+    assert(merged.except(full).count() == 0 && full.except(merged).count() == 0)
+  }
+
   test("runtime bloom filter prunes the probe side of a selective join") {
     // InjectRuntimeFilter: a selective filter on the build side becomes a
     // bloom-filter semi-filter pushed into the probe-side scan — row-level

@@ -162,6 +162,32 @@ class StreamingSpec extends SparkSpec {
       $"n_events" =!= $"n2" || $"value_sum" =!= $"v2").count() == 0)
   }
 
+  test("dropDuplicatesWithinWatermark dedups an at-least-once replay across batches") {
+    // the same file delivered twice in separate micro-batches (an
+    // at-least-once source replay): bounded-state dedup must emit each
+    // event once — either suppressed by dedup state or dropped as late,
+    // never duplicated
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = Files.createTempDirectory("events_dup_replay")
+    (0 to 1).foreach { k =>
+      val dst = dir.resolve(s"part-00$k.parquet")
+      Files.copy(Paths.get(s"$sf/events.parquet"), dst)
+      Files.setLastModifiedTime(dst, FileTime.fromMillis(1000000L + k * 60000L))
+    }
+    val q = StreamingFeatures
+      .streamDedupWithinWatermark(spark, dir.toString, maxFilesPerTrigger = 1)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dedup_wm_out").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 2)
+    val streamed = spark.table("dedup_wm_out")
+    val batchIds = Tables.events(spark, sf).select($"event_id").distinct()
+    assert(streamed.count() == batchIds.count())
+    assert(streamed.select($"event_id").except(batchIds).count() == 0)
+  }
+
   test("streaming dropDuplicates keeps exactly the distinct event ids") {
     import org.apache.spark.sql.streaming.Trigger
     val q = StreamingFeatures.streamDedup(spark, stageEventsDir())
