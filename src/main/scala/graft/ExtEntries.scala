@@ -83,10 +83,10 @@ object ExtEntries {
   /** Sequential-fold dot product over 64-dim float lists (mirror of
     * Similarity.dot: widen to double, left fold with +0.0 prefix — adding
     * the 0.0 init is IEEE-exact, so the folds agree bit-for-bit). */
-  private def dotSql(a: String, b: String): String =
+  private[graft] def dotSql(a: String, b: String): String =
     s"list_reduce(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
 
-  private def cosSql(aEmb: String, bEmb: String): String =
+  private[graft] def cosSql(aEmb: String, bEmb: String): String =
     s"(${dotSql(aEmb, bEmb)} / (sqrt(${dotSql(aEmb, aEmb)}) * sqrt(${dotSql(bEmb, bEmb)})))"
 
   /** The 8 deterministic hyperplanes as inline SQL list literals. */

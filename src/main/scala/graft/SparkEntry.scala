@@ -602,10 +602,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     (all.map(q => q.name -> q.fn) ++
       ExtEntries.all.map(q => q.name -> q.fn) ++
-      Entries3.all.map(q => q.name -> q.fn)).toMap
+      Entries3.all.map(q => q.name -> q.fn) ++
+      Entries4.all.map(q => q.name -> q.fn)).toMap
 
   def oracleSql: Map[String, String] =
     (all.flatMap(q => q.sql.map(q.name -> _)) ++
       ExtEntries.all.flatMap(q => q.sql.map(q.name -> _)) ++
-      Entries3.all.flatMap(q => q.sql.map(q.name -> _))).toMap
+      Entries3.all.flatMap(q => q.sql.map(q.name -> _)) ++
+      Entries4.all.flatMap(q => q.sql.map(q.name -> _))).toMap
 }

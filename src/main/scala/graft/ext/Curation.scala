@@ -1,0 +1,186 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data curation operators — the corpus-hygiene passes a large-scale
+  * LLM data pipeline runs between raw crawl and tokenizer: benchmark
+  * decontamination, semantic (embedding-cluster) dedup, temperature-weighted
+  * source mixing, repetition filtering, PII redaction, n-gram LM counts, and
+  * link-graph PageRank for source-quality weighting.
+  *
+  * The reference has none of these (it is a retail feature store); they are
+  * the §2.10 extension surface the rebuild targets. Every operator follows
+  * the determinism policy: integer/rational arithmetic (or sqrt/div on
+  * bit-identical operands) so a DuckDB oracle replays results exactly.
+  */
+object Curation {
+
+  /** Benchmark decontamination: flag corpus docs sharing any word k-gram with
+    * an eval/benchmark set (here: docs with doc_id % evalMod == 0, standing
+    * in for an eval suite). Returns contaminated docs with the overlap count.
+    *
+    * Scale shape: the eval side is tiny by construction (benchmarks are
+    * thousands of docs, the corpus is billions) — its distinct shingle ids
+    * BROADCAST, so the corpus side is one scan + map-side semi join +
+    * partial-aggregated count. No shuffle of corpus shingles. */
+  def decontaminate(documents: DataFrame, k: Int = 5,
+                    evalMod: Int = 97): DataFrame = {
+    val evalGrams = Dedup.shingleIds(
+        documents.filter(col("doc_id") % evalMod === 0), k)
+      .select(col("sid")).distinct()
+    Dedup.shingleIds(documents.filter(col("doc_id") % evalMod =!= 0), k)
+      .join(broadcast(evalGrams), Seq("sid"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_eval_grams"))
+  }
+
+  /** Semantic dedup (SemDeDup shape): assign every embedding to its nearest
+    * deterministic coarse centroid (vec_id % centroidEvery == 0, cos-desc /
+    * id-asc tie-break — the same quantizer as Similarity.ivfTopK), then
+    * drop any vector whose cluster contains a LOWER-id vector with cosine
+    * >= threshold. Returns (vec_id, cluster, keep).
+    *
+    * Scale shape: the pairwise pass is confined within clusters — O(Σ|c|²)
+    * instead of O(N²); centroids broadcast; the intra-cluster join shuffles
+    * on the cluster id only. At real scale feed spark.ml KMeans centroids
+    * in place of the deterministic quantizer. */
+  def semanticDedup(embeddings: DataFrame, centroidEvery: Int = 100,
+                    threshold: Double = 0.4): DataFrame = {
+    val cent = embeddings.filter(col("vec_id") % centroidEvery === 0)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val assignW = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_cos").desc, col("c_id").asc)
+    val assigned = embeddings
+      .select(col("vec_id"), col("embedding"))
+      .join(broadcast(cent), lit(true))
+      .withColumn("c_cos", Similarity.cosine(col("embedding"), col("c_emb")))
+      .withColumn("arn", row_number().over(assignW))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("embedding"), col("c_id").as("cluster"))
+    val dupOf = assigned.as("x")
+      .join(assigned.select(col("cluster"),
+          col("vec_id").as("vec_id2"), col("embedding").as("emb2")),
+        Seq("cluster"))
+      .filter(col("vec_id2") < col("vec_id"))
+      .filter(Similarity.cosine(col("embedding"), col("emb2")) >= threshold)
+      .select(col("vec_id")).distinct()
+      .withColumn("dup", lit(1))
+    assigned.join(dupOf, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        when(col("dup").isNull, 1).otherwise(0).cast("int").as("keep"))
+  }
+
+  /** Temperature-weighted source mixing (alpha = 0.5): per-source sampling
+    * rate proportional to sqrt(n_source), normalized so the LARGEST source
+    * keeps rate 1 — i.e. rate_s = sqrt(n_s)/sqrt(n_max) = n_s^alpha scaled.
+    * Sampling is a deterministic hash threshold: keep doc iff
+    * hash48(doc_id) mod 2^20 < floor(rate * 2^20).
+    *
+    * Determinism: sqrt and division on bit-identical doubles (exact BIGINT
+    * casts) are IEEE-exact cross-engine; the kept set is then pure integer
+    * arithmetic. One count aggregation (tiny result, broadcast back) + one
+    * scan — no data shuffle at any corpus size. */
+  def mixtureSample(documents: DataFrame): DataFrame = {
+    val counts = documents.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    val nMax = counts.agg(max(col("n_docs")).as("n_max"))
+    val rates = counts.join(broadcast(nMax), lit(true))
+      .withColumn("thr", floor(
+        sqrt(col("n_docs").cast("double")) / sqrt(col("n_max").cast("double"))
+          * lit(1048576L)).cast("long"))
+    documents
+      .withColumn("hbucket",
+        Dedup.contentId(col("doc_id").cast("string")) % 1048576L)
+      .join(broadcast(rates), Seq("source"))
+      .groupBy(col("source"), col("n_docs"), col("thr"))
+      .agg(sum(when(col("hbucket") < col("thr"), 1L).otherwise(0L))
+        .as("n_sampled"))
+  }
+
+  /** Repetition filter (Gopher-style): per-doc word stats — total words,
+    * max single-word frequency, distinct words, the modal word (count desc,
+    * word asc tie-break) — and keep = the top word accounts for < 1/5 of
+    * the doc (integer cross-multiplication, no division). One explode +
+    * two-level aggregation, fully partial-aggregable. */
+  def repetitionFilter(documents: DataFrame): DataFrame = {
+    val wordCounts = documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+    val topW = Window.partitionBy(col("doc_id"))
+      .orderBy(col("c").desc, col("w").asc)
+    wordCounts
+      .withColumn("rn", row_number().over(topW))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_words"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("max_freq"),
+        max(when(col("rn") === 1, col("w"))).as("top_word"))
+      .withColumn("keep",
+        when(col("max_freq") * 5 < col("n_words"), 1).otherwise(0).cast("int"))
+  }
+
+  /** PII-style redaction: mask digit runs in a string column with '#' and
+    * count the digits removed (length delta over a digit-strip — identical
+    * in any regex engine, unlike match-count or split semantics). Pure
+    * per-row narrow map — codegen'd, no shuffle. */
+  def redactDigits(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("redacted", regexp_replace(col(textCol), "[0-9]+", "#"))
+      .withColumn("n_digits",
+        (length(col(textCol)) -
+          length(regexp_replace(col(textCol), "[0-9]", ""))).cast("long"))
+
+  /** Corpus n-gram counts (the LM-smoothing / contamination-index build):
+    * word k-gram → total occurrences + containing-doc count, kept when
+    * occurrences >= minCount. Occurrences counts REPEATS within a doc
+    * (unlike Dedup.shingles, which distincts per doc). Shuffles once on the
+    * gram string; partial aggregation absorbs the head of the Zipf curve
+    * map-side. */
+  def ngramCounts(documents: DataFrame, k: Int = 2,
+                  minCount: Long = 3): DataFrame =
+    documents
+      .withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= k)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("w")) - (k - 1)),
+          i => concat_ws(" ", slice(col("w"), i, lit(k))))).as("gram"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        count_distinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_occurrences") >= minCount)
+
+  /** Integer PageRank over the customer→supplier purchase graph (source-
+    * quality ranking, the link-graph shape of crawl curation). Nodes are
+    * 2·custkey / 2·suppkey+1; edges run BOTH ways (undirected walk on the
+    * bipartite graph). Fixed-point arithmetic: masses start at 10^6; each
+    * of `iters` rounds sends mass/outdeg (integer division) along every
+    * edge and re-forms mass = 0.15·10^6 + 0.85·Σincoming (integer) — every
+    * step is exact BIGINT, so any engine replays it bit-for-bit.
+    *
+    * Scale shape per iteration: one join of (node, mass/outdeg) to the edge
+    * list on src + one groupBy dst — the standard Pregel-as-joins plan. The
+    * edge list is invariant across iterations (cache it); masses are the
+    * only moving table. */
+  def pageRank(edges: DataFrame, iters: Int = 3): DataFrame = {
+    val undirected = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val outdeg = undirected.groupBy(col("src"))
+      .agg(count(lit(1)).as("outdeg"))
+    val withDeg = undirected.join(outdeg, Seq("src"))
+    var mass = outdeg.select(col("src").as("node"),
+      lit(1000000L).as("mass"))
+    for (_ <- 1 to iters) {
+      mass = withDeg
+        .join(mass, col("src") === col("node"))
+        // integer division (DIV, not /): Spark's / on BIGINTs is true
+        // division to DOUBLE, which would break the exact-arithmetic replay
+        .select(col("dst"), expr("mass DIV outdeg").as("m"))
+        .groupBy(col("dst")).agg(sum(col("m")).as("insum"))
+        .select(col("dst").as("node"),
+          (lit(150000L) + expr("850000 * insum DIV 1000000")).as("mass"))
+    }
+    mass
+  }
+}
