@@ -108,15 +108,16 @@ object Curation {
     val wordCounts = documents
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
-    val topW = Window.partitionBy(col("doc_id"))
-      .orderBy(col("c").desc, col("w").asc)
+    // modal word via min(struct(-count, word)) — same (count desc, word asc)
+    // tie-break as a row_number window, but partial-aggregable and sort-free
     wordCounts
-      .withColumn("rn", row_number().over(topW))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_words"),
         count(lit(1)).as("n_distinct"),
         max(col("c")).as("max_freq"),
-        max(when(col("rn") === 1, col("w"))).as("top_word"))
+        min(struct((-col("c")).as("nc"), col("w").as("w"))).as("top"))
+      .select(col("doc_id"), col("n_words"), col("n_distinct"),
+        col("max_freq"), col("top.w").as("top_word"))
       .withColumn("keep",
         when(col("max_freq") * 5 < col("n_words"), 1).otherwise(0).cast("int"))
   }
@@ -168,7 +169,9 @@ object Curation {
       .distinct()
     val outdeg = undirected.groupBy(col("src"))
       .agg(count(lit(1)).as("outdeg"))
-    val withDeg = undirected.join(outdeg, Seq("src"))
+    // the edge list is the loop invariant: cache it or every iteration
+    // replays the build-join + distinct + degree aggregation from the scan
+    val withDeg = undirected.join(outdeg, Seq("src")).cache()
     var mass = outdeg.select(col("src").as("node"),
       lit(1000000L).as("mass"))
     for (_ <- 1 to iters) {
