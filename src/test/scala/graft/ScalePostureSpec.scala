@@ -142,6 +142,50 @@ class ScalePostureSpec extends SparkSpec {
     assert(merged.except(full).count() == 0 && full.except(merged).count() == 0)
   }
 
+  test("AQE splits a skewed join partition at runtime") {
+    // the no-code-change answer to key skew (complement of ops/Skew's
+    // explicit salting): AQE detects an oversized shuffle partition after
+    // the map stage and splits it into parallel reducer tasks, marking the
+    // join "skew=true". Thresholds floored so detection fires at fixture
+    // scale.
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "512b",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // ~87% of left rows land on one key → one reducer partition dwarfs
+      // the rest. Two shape constraints for OptimizeSkewedJoin to fire:
+      // the skewed partition is split along MAPPER boundaries, so the left
+      // input needs multiple map tasks (repartition(8); a single-file scan
+      // is one mapper and unsplittable) — and both join children must be
+      // Sort-over-shuffle directly (an aggregate between sort and shuffle,
+      // e.g. a distinct, breaks the rule's pattern match). sf0.01: at
+      // sf0.001 the skewed partition compresses under any byte threshold.
+      val sfDir = "/root/testdata/sf0.01"
+      val left = Tables.events(spark, sfDir).repartition(8)
+        .select(when(col("user_id") % 8 =!= 0, lit(0L))
+          .otherwise(col("user_id")).as("k"), col("value"))
+      val right = Tables.customer(spark, sfDir)
+        .select(col("c_custkey").as("k"))
+      val joined = left.join(right, "k")
+      joined.collect() // collect on THIS df: a write would execute a clone
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        "expected a skew-split join in the final adaptive plan:\n" +
+          plan.linesIterator.filter(_.contains("Join")).mkString("\n"))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("runtime bloom filter prunes the probe side of a selective join") {
     // InjectRuntimeFilter: a selective filter on the build side becomes a
     // bloom-filter semi-filter pushed into the probe-side scan — row-level
