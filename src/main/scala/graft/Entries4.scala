@@ -143,6 +143,108 @@ object Entries4 {
              |         CAST(150000 + 850000 * sum(m.mass // d.outdeg) // 1000000 AS BIGINT) AS mass
              |       FROM e JOIN deg d ON e.src = d.src JOIN m2 m ON m.node = e.src
              |       GROUP BY e.dst)
-             |SELECT node, mass FROM m3""".stripMargin))
+             |SELECT node, mass FROM m3""".stripMargin)),
+
+    // Sliding word-window chunking (8-word chunks, stride 4) — pretraining /
+    // RAG segmentation; pure generate, no shuffle
+    Q("q108_doc_chunks",
+      (s, d) => Curation.chunkDocuments(Tables.documents(s, d), 8, 4),
+      Some("""SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+             |  array_to_string(w[(1 + 4 * i):(1 + 4 * i + 7)], ' ') AS chunk_text,
+             |  CAST(least(8, len(w) - (1 + 4 * i) + 1) AS BIGINT) AS n_chunk_words
+             |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) d,
+             |     (SELECT unnest(range(0, 1000)) AS i) t
+             |WHERE 1 + 4 * i <= len(w)""".stripMargin)),
+
+    // Asymmetric containment (quote detection): |A∩B|/|A| >= 0.8 over
+    // 3-gram shingle ids, ordered (src, host) pairs
+    Q("q109_containment_pairs",
+      (s, d) => Curation.containmentPairs(Tables.documents(s, d), 3, 0.8),
+      Some("""WITH shd AS (
+             |  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS sh
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) d,
+             |       (SELECT unnest(range(1, 1000)) AS i) t
+             |  WHERE len(w) >= 3 AND i <= len(w) - 2),
+             |shid AS (
+             |  SELECT doc_id, ('0x' || substr(md5(sh), 1, 12))::BIGINT AS sid
+             |  FROM shd),
+             |cnt AS (SELECT doc_id, count(*) AS n FROM shid GROUP BY doc_id),
+             |inter AS (
+             |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS ix
+             |  FROM shid a JOIN shid b ON a.sid = b.sid AND a.doc_id <> b.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT d1 AS src_doc, d2 AS host_doc,
+             |  CAST(ix AS DOUBLE) / n AS containment
+             |FROM inter JOIN cnt ON d1 = cnt.doc_id
+             |WHERE CAST(ix AS DOUBLE) / n >= 0.8""".stripMargin)),
+
+    // Composite quality score: five division-free integer signals, keep
+    // iff all pass (C4/Gopher-style corpus filtering)
+    Q("q110_quality_composite",
+      (s, d) => Curation.qualityComposite(Tables.documents(s, d)),
+      Some("""WITH wc AS (
+             |  SELECT doc_id, w, count(*) AS c
+             |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+             |  GROUP BY doc_id, w),
+             |agg AS (
+             |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words, max(c) AS max_freq,
+             |    CAST(sum(c * length(w)) AS BIGINT) AS n_chars,
+             |    CAST(sum(CASE WHEN w IN ('the','a','of','to','and','in','is')
+             |          THEN c ELSE 0 END) AS BIGINT) AS n_stopwords
+             |  FROM wc GROUP BY doc_id)
+             |SELECT doc_id, n_words,
+             |  CAST((CASE WHEN n_words >= 10 THEN 1 ELSE 0 END)
+             |     + (CASE WHEN n_words <= 1000 THEN 1 ELSE 0 END)
+             |     + (CASE WHEN max_freq * 5 < n_words THEN 1 ELSE 0 END)
+             |     + (CASE WHEN n_stopwords * 50 >= n_words THEN 1 ELSE 0 END)
+             |     + (CASE WHEN n_chars >= n_words * 2 AND n_chars <= n_words * 12
+             |          THEN 1 ELSE 0 END) AS INT) AS score,
+             |  CAST(CASE WHEN n_words >= 10 AND n_words <= 1000
+             |    AND max_freq * 5 < n_words AND n_stopwords * 50 >= n_words
+             |    AND n_chars >= n_words * 2 AND n_chars <= n_words * 12
+             |    THEN 1 ELSE 0 END AS INT) AS keep
+             |FROM agg""".stripMargin)),
+
+    // Cross-corpus dedup: new sources (srcN, N >= 10) anti-joined against
+    // the base corpus's distinct text hashes; per-source kept/dropped
+    Q("q111_cross_corpus_dedup",
+      (s, d) => Curation.crossCorpusDedup(Tables.documents(s, d),
+        substring(col("source"), 4, 10).cast("int") >= 10),
+      Some("""WITH h AS (
+             |  SELECT doc_id, source, md5(text) AS h,
+             |    CAST(substr(source, 4, 10) AS INT) >= 10 AS is_new
+             |  FROM documents),
+             |base AS (SELECT DISTINCT h.h FROM h WHERE NOT is_new),
+             |nn AS (SELECT source, count(*) AS n_new FROM h WHERE is_new GROUP BY source),
+             |kept AS (
+             |  SELECT source, count(*) AS n_kept FROM h
+             |  WHERE is_new AND h.h NOT IN (SELECT base.h FROM base)
+             |  GROUP BY source)
+             |SELECT nn.source, nn.n_new, coalesce(kept.n_kept, 0) AS n_kept,
+             |  nn.n_new - coalesce(kept.n_kept, 0) AS n_dropped
+             |FROM nn LEFT JOIN kept ON nn.source = kept.source""".stripMargin)),
+
+    // LATERAL correlated subquery through the SQL front-end (Spark 4
+    // lateral join): per-nation top-2 suppliers by account balance
+    Q("q112_lateral_topk",
+      (s, d) => {
+        Tables.nation(s, d).createOrReplaceTempView("v_nation_lat")
+        Tables.supplier(s, d).createOrReplaceTempView("v_supplier_lat")
+        s.sql("""
+          SELECT n.n_nationkey, t.s_suppkey, t.s_acctbal
+          FROM v_nation_lat n,
+          LATERAL (
+            SELECT s_suppkey, s_acctbal FROM v_supplier_lat s
+            WHERE s.s_nationkey = n.n_nationkey
+            ORDER BY s_acctbal DESC, s_suppkey ASC LIMIT 2
+          ) t""")
+      },
+      Some("""SELECT n.n_nationkey, t.s_suppkey, t.s_acctbal
+             |FROM nation n,
+             |LATERAL (
+             |  SELECT s_suppkey, s_acctbal FROM supplier s
+             |  WHERE s.s_nationkey = n.n_nationkey
+             |  ORDER BY s_acctbal DESC, s_suppkey ASC LIMIT 2
+             |) t""".stripMargin))
   )
 }

@@ -151,6 +151,101 @@ object Curation {
         count_distinct(col("doc_id")).as("n_docs"))
       .filter(col("n_occurrences") >= minCount)
 
+  /** Sliding word-window chunking (the pretraining / RAG segmentation op):
+    * one chunk per stride position, chunkWords words max, the tail chunk
+    * clamped. Pure per-row generate (posexplode over an arithmetic
+    * sequence) — narrow, codegen'd, no shuffle at any corpus size. */
+  def chunkDocuments(documents: DataFrame, chunkWords: Int = 8,
+                     stride: Int = 4): DataFrame =
+    documents
+      .withColumn("w", split(col("text"), " "))
+      .select(col("doc_id"),
+        posexplode(sequence(lit(1), size(col("w")), lit(stride)))
+          .as(Seq("chunk_idx", "start")),
+        col("w"))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        concat_ws(" ", slice(col("w"), col("start"), lit(chunkWords)))
+          .as("chunk_text"),
+        size(slice(col("w"), col("start"), lit(chunkWords)))
+          .cast("long").as("n_chunk_words"))
+
+  /** Asymmetric containment pairs (quote / subset detection, where Jaccard
+    * is blind): containment(A→B) = |shingles(A) ∩ shingles(B)| / |shingles(A)|
+    * — a short doc quoted whole inside a long one scores 1.0 while its
+    * Jaccard is tiny. Emits ordered (src, host) pairs above the threshold.
+    * Same shingle-id self-join skeleton as ngramJaccardPairs (one shuffle
+    * on the 8-byte shingle id); int/int division is engine-exact. */
+  def containmentPairs(documents: DataFrame, k: Int = 3,
+                       threshold: Double = 0.8): DataFrame = {
+    val sh = Dedup.shingleIds(documents, k).cache()
+    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh
+      .join(sh.select(col("doc_id").as("doc_id2"), col("sid")), Seq("sid"))
+      .filter(col("doc_id") =!= col("doc_id2"))
+      .groupBy(col("doc_id"), col("doc_id2")).agg(count(lit(1)).as("ix"))
+    inter
+      .join(cnt, Seq("doc_id"))
+      .withColumn("containment", col("ix").cast("double") / col("n"))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_id").as("src_doc"), col("doc_id2").as("host_doc"),
+        col("containment"))
+  }
+
+  /** Composite quality score (C4/Gopher-flavored): five integer signals —
+    * word-count floor and ceiling, low single-word repetition, stopword
+    * presence, sane mean word length — summed to a 0–5 score; keep means
+    * all five pass. Division-free (cross-multiplied thresholds), so the
+    * score is engine-exact; one explode + one per-doc aggregation. */
+  def qualityComposite(documents: DataFrame): DataFrame = {
+    val stop = Seq("the", "a", "of", "to", "and", "in", "is")
+    documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_words"),
+        max(col("c")).as("max_freq"),
+        sum(col("c") * length(col("w"))).as("n_chars"),
+        sum(when(col("w").isin(stop: _*), col("c")).otherwise(0L))
+          .as("n_stopwords"))
+      .withColumn("s_min_len", when(col("n_words") >= 10, 1).otherwise(0))
+      .withColumn("s_max_len", when(col("n_words") <= 1000, 1).otherwise(0))
+      .withColumn("s_repetition",
+        when(col("max_freq") * 5 < col("n_words"), 1).otherwise(0))
+      .withColumn("s_stopwords",
+        when(col("n_stopwords") * 50 >= col("n_words"), 1).otherwise(0))
+      .withColumn("s_word_len",
+        when(col("n_chars") >= col("n_words") * 2 &&
+          col("n_chars") <= col("n_words") * 12, 1).otherwise(0))
+      .withColumn("score", (col("s_min_len") + col("s_max_len") +
+        col("s_repetition") + col("s_stopwords") + col("s_word_len"))
+        .cast("int"))
+      .withColumn("keep", when(col("score") === 5, 1).otherwise(0).cast("int"))
+      .select(col("doc_id"), col("n_words"), col("score"), col("keep"))
+  }
+
+  /** Cross-corpus dedup: drop docs of the NEW sources whose exact text hash
+    * already exists in the base corpus, reporting per-source kept/dropped.
+    * The base side reduces to distinct hashes before the anti-join — at
+    * 100 TB that is the dedup index you'd persist, and the join key is a
+    * 16-byte hash, never the text. */
+  def crossCorpusDedup(documents: DataFrame,
+                       isNew: Column): DataFrame = {
+    val hashed = documents.select(col("doc_id"), col("source"),
+      md5(col("text")).as("h"), isNew.as("is_new"))
+    val baseHashes = hashed.filter(!col("is_new")).select(col("h")).distinct()
+    val newBySource = hashed.filter(col("is_new"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_new"))
+    val keptBySource = hashed.filter(col("is_new"))
+      .join(baseHashes, Seq("h"), "left_anti")
+      .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+    // left join from n_new: a source whose docs ALL collide with the base
+    // corpus must still report (n_kept = 0), not vanish
+    newBySource.join(keptBySource, Seq("source"), "left")
+      .select(col("source"), col("n_new"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      .withColumn("n_dropped", col("n_new") - col("n_kept"))
+  }
+
   /** Integer PageRank over the customer→supplier purchase graph (source-
     * quality ranking, the link-graph shape of crawl curation). Nodes are
     * 2·custkey / 2·suppkey+1; edges run BOTH ways (undirected walk on the

@@ -79,6 +79,60 @@ class CurationSpec extends SparkSpec {
     assert(out.count() > 0)
   }
 
+  test("chunkDocuments covers every word and clamps the tail chunk") {
+    val docs = Tables.documents(spark, sf)
+    val chunks = Curation.chunkDocuments(docs, 8, 4).cache()
+    // stride < chunk size → every word index is inside some chunk, and per
+    // doc the total chunk words ≈ overlap-covered length
+    val perDoc = chunks.groupBy($"doc_id").agg(
+      sum($"n_chunk_words").as("covered"), max($"n_chunk_words").as("mx"),
+      count(lit(1)).as("n_chunks"))
+    assert(perDoc.filter($"mx" > 8).count() == 0)
+    val sizes = docs.select($"doc_id", size(split($"text", " ")).cast("long").as("n"))
+    // every chunk starts within the doc: n_chunks == ceil(n / stride)
+    assert(perDoc.join(sizes, "doc_id")
+      .filter($"n_chunks" =!= (($"n" + 3L) / 4L).cast("long")).count() == 0)
+    // no empty chunks
+    assert(chunks.filter($"n_chunk_words" <= 0).count() == 0)
+  }
+
+  test("containmentPairs finds subset quotes Jaccard misses") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"),
+      (3L, "completely different words here entirely unrelated")
+    ).toDF("doc_id", "text")
+    val out = Curation.containmentPairs(docs, 3, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.contains((1L, 2L)))   // 1 fully contained in 2
+    assert(!out.contains((2L, 1L)))  // 2 not contained in 1
+    assert(!out.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("qualityComposite: keep iff score is 5, signals bounded") {
+    val out = Curation.qualityComposite(Tables.documents(spark, sf)).cache()
+    assert(out.filter($"score" < 0 || $"score" > 5).count() == 0)
+    assert(out.filter(($"keep" === 1) =!= ($"score" === 5)).count() == 0)
+    assert(out.count() == Tables.documents(spark, sf).count())
+  }
+
+  test("crossCorpusDedup reports all new sources and exact drop counts") {
+    val docs = Seq(
+      (1L, "src0", "shared text one"), (2L, "src1", "base only"),
+      (10L, "src10", "shared text one"),    // dup of base → dropped
+      (11L, "src10", "fresh text"),         // kept
+      (12L, "src11", "shared text one")     // all of src11 dropped
+    ).toDF("doc_id", "source", "text")
+    val out = Curation.crossCorpusDedup(docs,
+      substring($"source", 4, 10).cast("int") >= 10).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_new"), r.getAs[Long]("n_kept"),
+          r.getAs[Long]("n_dropped")))).toMap
+    assert(out("src10") == ((2L, 1L, 1L)))
+    assert(out("src11") == ((1L, 0L, 1L))) // vanishing-source regression guard
+  }
+
   test("pageRank: node set preserved, masses bounded below by the teleport term") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("src", "dst")
     val out = Curation.pageRank(edges, 3).cache()
