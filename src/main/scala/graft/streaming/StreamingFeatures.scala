@@ -212,6 +212,74 @@ object StreamingFeatures {
       .start()
   }
 
+  /** Open-session state carried between micro-batches. */
+  case class OpenSession(startUs: Long, endUs: Long, n: Long, cents: Long)
+  /** A closed session — the streaming twin of one Sessions.sessionize row
+    * (value in cents; the batch form divides by 100 at the end). */
+  case class ClosedSession(user_id: Long, t_start_us: Long, t_end_us: Long,
+                           n_events: Long, value_cents: Long)
+
+  /** Gap-based streaming sessionization via flatMapGroupsWithState with an
+    * EVENT-TIME timeout — the full custom-state form (vs statefulUserTotals'
+    * map variant): sessions closed by a later in-batch event emit
+    * immediately; the trailing open session closes when the WATERMARK passes
+    * its end + gap (setTimeoutTimestamp), so state is bounded and
+    * late-arriving events within the watermark still extend their session.
+    * Semantics match Sessions.sessionize exactly for closed sessions
+    * ((ts_us, event_id) order is imposed per batch before folding). */
+  def streamSessionize(spark: SparkSession, eventsDir: String,
+                       gapUs: Long): org.apache.spark.sql.Dataset[ClosedSession] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(eventsDir).schema
+    val ev = spark.readStream.schema(schema).parquet(eventsDir)
+      .withColumn("ts_us", expr("ts DIV 1000L"))
+      .withColumn("ts_t", timestamp_micros(col("ts_us")))
+      .withWatermark("ts_t", "1 hour")
+      .withColumn("cents",
+        round(coalesce(col("value"), lit(0.0)) * 100).cast("long"))
+      // the watermarked ts_t column must survive into the grouped Dataset
+      // or the event-time-timeout check rejects the plan
+      .select(col("user_id").as[Long], col("ts_us").as[Long],
+        col("event_id").as[Long], col("cents").as[Long],
+        col("ts_t").as[java.sql.Timestamp])
+      .as[(Long, Long, Long, Long, java.sql.Timestamp)]
+    ev.groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (user, rows, state) =>
+          if (state.hasTimedOut) {
+            // watermark passed end + gap: the open session can never be
+            // extended by a non-late event — close it
+            val s = state.get
+            state.remove()
+            Iterator(ClosedSession(user, s.startUs, s.endUs, s.n, s.cents))
+          } else {
+            val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+            var open = state.getOption
+            val closed = Seq.newBuilder[ClosedSession]
+            sorted.foreach { case (_, ts, _, cents, _) =>
+              open match {
+                case Some(o) if ts - o.endUs <= gapUs =>
+                  open = Some(OpenSession(o.startUs, math.max(o.endUs, ts),
+                    o.n + 1, o.cents + cents))
+                case Some(o) =>
+                  closed += ClosedSession(user, o.startUs, o.endUs, o.n, o.cents)
+                  open = Some(OpenSession(ts, ts, 1L, cents))
+                case None =>
+                  open = Some(OpenSession(ts, ts, 1L, cents))
+              }
+            }
+            open.foreach { o =>
+              state.update(o)
+              state.setTimeoutTimestamp((o.endUs + gapUs) / 1000L + 1L)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
   /** Arbitrary-state streaming: per-user running totals via
     * mapGroupsWithState (SURVEY §2.8 / §7.10 — the flatMapGroupsWithState
     * path, here in its simpler map form). State = (event count, spend cents,

@@ -36,6 +36,39 @@ class StreamingSpec extends SparkSpec {
     streamed.foreach { case (k, fields) => assert(fields == batch(k), k) }
   }
 
+  test("flatMapGroupsWithState sessionization closes exactly the batch sessions") {
+    import org.apache.spark.sql.streaming.Trigger
+    val gapUs = 30 * 60 * 1000000L
+    val sessions = StreamingFeatures.streamSessionize(spark, stageEventsDir(), gapUs)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("stream_sessions")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("stream_sessions")
+      .select($"user_id", $"t_start_us", $"t_end_us", $"n_events", $"value_cents")
+    val batch = graft.ops.Sessions.sessionize(Tables.events(spark, sf), gapUs)
+      .withColumn("value_cents", round($"value_sum" * 100).cast("long"))
+    val batchAll = batch
+      .select($"user_id", $"t_start_us", $"t_end_us", $"n_events", $"value_cents")
+    val lastPerUser = batch.groupBy($"user_id")
+      .agg(max($"session_id").as("session_id"))
+    // sessions closed by a later in-batch event MUST all be emitted
+    val inBatchClosed = batch.join(lastPerUser, Seq("user_id", "session_id"), "left_anti")
+      .select($"user_id", $"t_start_us", $"t_end_us", $"n_events", $"value_cents")
+    assert(streamed.count() > 0)
+    // everything emitted is a genuine batch session, byte-for-byte
+    assert(streamed.except(batchAll).count() == 0)
+    assert(inBatchClosed.except(streamed).count() == 0)
+    // the remainder comes from the event-time timeout in AvailableNow's
+    // final batch: trailing sessions already past watermark = maxTs - 1h
+    val maxTsUs = Tables.events(spark, sf).agg(max($"ts_us")).first().getLong(0)
+    val extras = streamed.except(inBatchClosed)
+    assert(extras.except(batchAll.join(
+      lastPerUser.join(batch, Seq("user_id", "session_id"))
+        .select($"user_id", $"t_start_us"), Seq("user_id", "t_start_us"))).count() == 0)
+    assert(extras.filter($"t_end_us" + gapUs > maxTsUs - 3600000000L).count() == 0)
+  }
+
   test("mapGroupsWithState running totals equal batch aggregation") {
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
     val totals = graft.streaming.StreamingFeatures
