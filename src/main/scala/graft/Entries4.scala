@@ -245,6 +245,35 @@ object Entries4 {
              |  SELECT s_suppkey, s_acctbal FROM supplier s
              |  WHERE s.s_nationkey = n.n_nationkey
              |  ORDER BY s_acctbal DESC, s_suppkey ASC LIMIT 2
-             |) t""".stripMargin))
+             |) t""".stripMargin)),
+
+    // FastSS fuzzy self-join at edit distance <= 1: deletion-neighborhood
+    // candidates + exact levenshtein verify. The ORACLE is the independent
+    // brute-force formulation — so the check also proves the neighborhood
+    // trick finds every pair.
+    Q("q113_fuzzy_join",
+      (s, d) => Curation.fuzzyJoinEd1(
+        Tables.supplier(s, d), "s_suppkey", "s_name"),
+      Some("""SELECT a.s_suppkey AS k1, b.s_suppkey AS k2,
+             |  CAST(levenshtein(a.s_name, b.s_name) AS INT) AS dist
+             |FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+             |WHERE levenshtein(a.s_name, b.s_name) <= 1""".stripMargin)),
+
+    // Triangle enumeration over the word-collocation graph (adjacency
+    // count >= 60): ordered triples via the two-join formulation
+    Q("q114_triangle_count",
+      (s, d) => Curation.triangles(
+        Curation.collocationEdges(Tables.documents(s, d), 60)
+          .select(col("wa").as("d1"), col("wb").as("d2"))),
+      Some("""WITH g AS (
+             |  SELECT CASE WHEN w[i] < w[i+1] THEN w[i] ELSE w[i+1] END AS wa,
+             |         CASE WHEN w[i] < w[i+1] THEN w[i+1] ELSE w[i] END AS wb
+             |  FROM (SELECT string_split(text, ' ') AS w FROM documents) d,
+             |       (SELECT unnest(range(1, 1000)) AS i) t
+             |  WHERE i <= len(w) - 1 AND w[i] <> w[i+1]),
+             |e AS (SELECT wa, wb FROM g GROUP BY wa, wb HAVING count(*) >= 60)
+             |SELECT e1.wa AS a, e1.wb AS b, e2.wb AS c
+             |FROM e e1 JOIN e e2 ON e1.wb = e2.wa
+             |JOIN e e3 ON e3.wa = e1.wa AND e3.wb = e2.wb""".stripMargin))
   )
 }

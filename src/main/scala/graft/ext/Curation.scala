@@ -246,6 +246,57 @@ object Curation {
       .withColumn("n_dropped", col("n_new") - col("n_kept"))
   }
 
+  /** Fuzzy self-join at edit distance <= 1 via FastSS deletion
+    * neighborhoods: ed(s,t) <= 1 implies s and t share a member of
+    * {x} ∪ {x minus one char} — so candidates come from an equi-join on
+    * generated variants (O(n·len) rows), never a cross product, and a
+    * final exact levenshtein filter removes overgeneration. The scalable
+    * shape for entity resolution: shuffle on short variant strings, with
+    * the verify step confined to candidate pairs. */
+  def fuzzyJoinEd1(df: DataFrame, keyCol: String, strCol: String): DataFrame = {
+    val variants = df.select(col(keyCol).as("k"), col(strCol).as("s"))
+      .select(col("k"), col("s"),
+        explode(array_union(array(col("s")),
+          transform(sequence(lit(1), length(col("s"))),
+            i => concat(col("s").substr(lit(1), i - 1),
+              col("s").substr(i + 1, length(col("s"))))))).as("v"))
+    variants.as("a")
+      .join(variants.select(col("k").as("k2"), col("s").as("s2"), col("v")), Seq("v"))
+      .filter(col("k") < col("k2"))
+      .select(col("k"), col("k2"), col("s"), col("s2")).distinct()
+      .withColumn("dist", levenshtein(col("s"), col("s2")))
+      .filter(col("dist") <= 1)
+      .select(col("k").as("k1"), col("k2"), col("dist").cast("int").as("dist"))
+  }
+
+  /** Collocation graph: unordered adjacent-word pairs (wa < wb, loops
+    * dropped) kept when the adjacency count reaches minCount — the
+    * word-association structure used for phrase mining. One narrow
+    * generate + one count shuffle on the pair. */
+  def collocationEdges(documents: DataFrame, minCount: Long): DataFrame =
+    documents
+      .withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("w")) - 1),
+        i => sort_array(slice(col("w"), i, lit(2))))).as("p"))
+      .filter(element_at(col("p"), 1) =!= element_at(col("p"), 2))
+      .select(element_at(col("p"), 1).as("wa"), element_at(col("p"), 2).as("wb"))
+      .groupBy(col("wa"), col("wb")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+
+  /** Triangle count over an undirected (a < b) edge list: the standard
+    * two-join formulation on ordered node triples — each triangle counted
+    * once as a < b < c. Input pairs must already be canonical (a < b).
+    * Scale notes: at web scale, orient edges low-degree → high-degree first
+    * (cuts the join fan-out of hub nodes); here the near-dup graphs are
+    * degree-bounded by construction. */
+  def triangles(pairs: DataFrame): DataFrame = {
+    val e = pairs.select(col("d1").as("a"), col("d2").as("b"))
+    e.join(e.select(col("a").as("b"), col("b").as("c")), Seq("b"))
+      .join(e.select(col("a"), col("b").as("c")), Seq("a", "c"))
+      .select(col("a"), col("b"), col("c"))
+  }
+
   /** Integer PageRank over the customer→supplier purchase graph (source-
     * quality ranking, the link-graph shape of crawl curation). Nodes are
     * 2·custkey / 2·suppkey+1; edges run BOTH ways (undirected walk on the

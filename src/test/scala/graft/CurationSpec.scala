@@ -133,6 +133,38 @@ class CurationSpec extends SparkSpec {
     assert(out("src11") == ((1L, 0L, 1L))) // vanishing-source regression guard
   }
 
+  test("fuzzyJoinEd1 finds exactly the brute-force edit-distance-1 pairs") {
+    val names = Seq((1L, "kitten"), (2L, "sitten"), (3L, "kitte"),
+      (4L, "kittens"), (5L, "mitten"), (6L, "banana")).toDF("id", "name")
+    val out = Curation.fuzzyJoinEd1(names, "id", "name")
+      .select($"k1", $"k2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force over the same frame
+    val brute = names.as("a").join(names.as("b"),
+        col("a.id") < col("b.id") &&
+          levenshtein(col("a.name"), col("b.name")) <= 1)
+      .select(col("a.id"), col("b.id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == brute && out.contains((1L, 2L)) && out.contains((1L, 3L))
+      && out.contains((1L, 4L)) && !out.exists(p => p._1 == 6L || p._2 == 6L))
+  }
+
+  test("triangles enumerates each ordered triple once") {
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("b", "d"),
+      ("c", "d"), ("a", "d"), ("x", "y")).toDF("d1", "d2")
+    val tri = Curation.triangles(edges).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    // K4 on {a,b,c,d} has exactly 4 triangles; the (x,y) edge none
+    assert(tri == Set(("a", "b", "c"), ("a", "b", "d"), ("a", "c", "d"),
+      ("b", "c", "d")))
+  }
+
+  test("collocationEdges is canonical (wa < wb, no loops) and thresholded") {
+    val e = Curation.collocationEdges(Tables.documents(spark, sf), 5).cache()
+    assert(e.filter($"wa" >= $"wb").count() == 0)
+    assert(e.filter($"n" < 5).count() == 0)
+    assert(e.count() > 0)
+  }
+
   test("pageRank: node set preserved, masses bounded below by the teleport term") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("src", "dst")
     val out = Curation.pageRank(edges, 3).cache()
