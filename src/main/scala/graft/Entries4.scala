@@ -274,6 +274,26 @@ object Entries4 {
              |e AS (SELECT wa, wb FROM g GROUP BY wa, wb HAVING count(*) >= 60)
              |SELECT e1.wa AS a, e1.wb AS b, e2.wb AS c
              |FROM e e1 JOIN e e2 ON e1.wb = e2.wa
-             |JOIN e e3 ON e3.wa = e1.wa AND e3.wb = e2.wb""".stripMargin))
+             |JOIN e e3 ON e3.wa = e1.wa AND e3.wb = e2.wb""".stripMargin)),
+
+    // Keyless interval join, bin-bucketed: clicks from ANY user in the hour
+    // before each purchase — an equi join on the time bin instead of a
+    // nested-loop theta join (ScalePostureSpec asserts the plan)
+    Q("q115_binned_range_join",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        graft.ops.Relational.binnedIntervalCount(
+          ev.filter(col("event_type") === "purchase")
+            .select(col("event_id"), col("ts_us")),
+          ev.filter(col("event_type") === "click").select(col("ts_us")),
+          3600000000L)
+      },
+      Some("""SELECT p.event_id, epoch_us(p.ts) AS ts_us,
+             |  CAST(count(c.ts) AS BIGINT) AS n_before
+             |FROM events p LEFT JOIN events c ON c.event_type = 'click'
+             |  AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000
+             |  AND epoch_us(c.ts) < epoch_us(p.ts)
+             |WHERE p.event_type = 'purchase'
+             |GROUP BY 1, 2""".stripMargin))
   )
 }

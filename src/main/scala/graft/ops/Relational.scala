@@ -132,4 +132,36 @@ object Relational {
         floor((col("ts_us") - min(col("ts_us")).over(byCust))
           / lit(86400000000.0)).cast("long"))
   }
+
+  /** Keyless interval join via time-bin bucketing — the scale path for range
+    * joins with NO equi component (q18's per-user variant gets its shuffle
+    * key for free). Counts right-side events in `[ts - windowUs, ts)` of
+    * each left event, across ALL keys: a naive theta join is a
+    * BroadcastNestedLoopJoin (O(n·m) comparisons); binning by
+    * `ts DIV windowUs` turns it into an EQUI join on the bin — each left row
+    * probes its two covering bins, each right row lives in exactly one, so
+    * every qualifying pair meets exactly once (no dedup pass) and the exact
+    * predicate only runs on same-bin candidates. This is the bucketed
+    * range-join optimization from the Databricks/Flink playbooks, in plain
+    * DataFrame ops. */
+  def binnedIntervalCount(left: DataFrame, right: DataFrame,
+                          windowUs: Long): DataFrame = {
+    val l = left
+      .withColumn("__bin", explode(array_distinct(array(
+        expr(s"(ts_us - $windowUs) DIV $windowUs"),
+        expr(s"ts_us DIV $windowUs")))))
+    val r = right
+      .select(col("ts_us").as("r_ts"),
+        expr(s"ts_us DIV $windowUs").as("__bin"))
+    val counted = l.join(r,
+        l("__bin") === r("__bin") &&
+          col("r_ts") >= col("ts_us") - lit(windowUs) &&
+          col("r_ts") < col("ts_us"))
+      .groupBy(col("event_id"))
+      .agg(count(lit(1)).as("n_before"))
+    left.select(col("event_id"), col("ts_us"))
+      .join(counted, Seq("event_id"), "left")
+      .select(col("event_id"), col("ts_us"),
+        coalesce(col("n_before"), lit(0L)).as("n_before"))
+  }
 }

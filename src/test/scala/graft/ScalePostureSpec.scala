@@ -142,6 +142,53 @@ class ScalePostureSpec extends SparkSpec {
     assert(merged.except(full).count() == 0 && full.except(merged).count() == 0)
   }
 
+  test("binned interval join is an equi join, never a nested loop") {
+    val ev = Tables.events(spark, sf)
+    val out = graft.ops.Relational.binnedIntervalCount(
+      ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("ts_us")),
+      ev.filter(col("event_type") === "click").select(col("ts_us")),
+      3600000000L)
+    val plan = planOf(out)
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      plan.linesIterator.filter(_.contains("Join")).mkString("\n"))
+    // and it equals the direct theta-join formulation
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("ts_us"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("ts_us").as("c_ts"))
+    val direct = p.join(c,
+        col("c_ts") >= col("ts_us") - 3600000000L &&
+          col("c_ts") < col("ts_us"), "left")
+      .groupBy(col("event_id"), col("ts_us"))
+      .agg(count(col("c_ts")).as("n_before"))
+    assert(out.except(direct).count() == 0 && direct.except(out).count() == 0)
+  }
+
+  test("dynamic partition pruning reaches the partitioned fact scan") {
+    // DPP: a selective dim filter becomes a runtime subquery in the fact
+    // scan's PartitionFilters — only matching date partitions are read.
+    // The 100 TB complement: static pruning handles literal predicates,
+    // DPP handles predicates that only exist through a join.
+    val base = java.nio.file.Files.createTempDirectory("dpp")
+    val factDir = base.resolve("fact").toString
+    val dimDir = base.resolve("dim").toString
+    val ev = Tables.events(spark, sf)
+      .withColumn("date", to_date(timestamp_micros(col("ts_us"))))
+    ev.write.mode("overwrite").partitionBy("date").parquet(factDir)
+    ev.select(col("date")).distinct().write.mode("overwrite").parquet(dimDir)
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    val fact = spark.read.parquet(factDir)
+    // the dim-side predicate must survive optimization (a constant-foldable
+    // filter is removed and DPP then sees no selective predicate)
+    val dim = spark.read.parquet(dimDir).filter(dayofmonth(col("date")) <= 2)
+    val joined = fact.join(dim, Seq("date"))
+    val plan = planOf(joined)
+    assert(plan.contains("dynamicpruning"),
+      plan.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n"))
+  }
+
   test("AQE splits a skewed join partition at runtime") {
     // the no-code-change answer to key skew (complement of ops/Skew's
     // explicit salting): AQE detects an oversized shuffle partition after
