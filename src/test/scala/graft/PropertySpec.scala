@@ -155,4 +155,85 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  private val namesGen: Gen[List[String]] = for {
+    n <- Gen.choose(2, 25)
+    names <- Gen.listOfN(n, for {
+      len <- Gen.choose(1, 8)
+      cs <- Gen.listOfN(len, Gen.oneOf('a', 'b', 'c'))
+    } yield cs.mkString)
+  } yield names.distinct
+
+  test("fuzzyJoinEd1 equals brute-force levenshtein<=1 on random strings") {
+    // the 3-letter alphabet forces dense distance-1 neighborhoods,
+    // exercising insert/delete/substitute and shared-variant dedup
+    forAll(namesGen) { names =>
+      val df = names.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+        .toDF("id", "name")
+      val got = graft.ext.Curation.fuzzyJoinEd1(df, "id", "name")
+        .select($"k1", $"k2").as[(Long, Long)].collect().toSet
+      val arr = names.toArray
+      val expect = (for {
+        i <- arr.indices; j <- arr.indices if i < j
+        if levDist(arr(i), arr(j)) <= 1
+      } yield (i.toLong, j.toLong)).toSet
+      assert(got == expect, s"names=$names")
+    }
+  }
+
+  private def levDist(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("chunking with stride == chunk size partitions the words exactly") {
+    val textGen = for {
+      n <- Gen.choose(1, 40)
+      ws <- Gen.listOfN(n, Gen.oneOf("x", "yy", "zzz"))
+    } yield ws.mkString(" ")
+    forAll(Gen.listOfN(5, textGen)) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val rebuilt = graft.ext.Curation.chunkDocuments(df, 8, 8)
+        .orderBy($"doc_id", $"chunk_idx")
+        .groupBy($"doc_id")
+        .agg(concat_ws(" ", collect_list($"chunk_text")).as("t"),
+          sum($"n_chunk_words").as("nw"))
+        .as[(Long, String, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      texts.zipWithIndex.foreach { case (t, i) =>
+        assert(rebuilt(i.toLong) ==
+          ((t, t.split(" ").length.toLong)), s"doc $i")
+      }
+    }
+  }
+
+  test("triangle count on a random graph equals brute force") {
+    val edgeGen = for {
+      n <- Gen.choose(3, 12)
+      dens <- Gen.choose(1, 3)
+      pairs = for (i <- 0 until n; j <- i + 1 until n) yield (i.toLong, j.toLong)
+      kept <- Gen.sequence[List[Option[(Long, Long)]], Option[(Long, Long)]](
+        pairs.map(p => Gen.choose(0, 3).map(k => if (k < dens) Some(p) else None)).toList)
+    } yield kept.flatten
+    forAll(edgeGen) { edges =>
+      if (edges.nonEmpty) {
+        val df = edges.toDF("d1", "d2")
+        val got = graft.ext.Curation.triangles(df)
+          .as[(Long, Long, Long)].collect().toSet
+        val es = edges.toSet
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+        val expect = (for {
+          a <- nodes; b <- nodes if a < b; c <- nodes if b < c
+          if es((a, b)) && es((b, c)) && es((a, c))
+        } yield (a, b, c)).toSet
+        assert(got == expect)
+      }
+    }
+  }
 }
