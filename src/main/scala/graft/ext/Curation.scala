@@ -179,16 +179,22 @@ object Curation {
                        threshold: Double = 0.8): DataFrame = {
     val sh = Dedup.shingleIds(documents, k).cache()
     val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // intersections once per unordered pair (d1 < d2 halves the self-join
+    // output); both containment directions then come from projections of
+    // the same row — no second shuffle
     val inter = sh
       .join(sh.select(col("doc_id").as("doc_id2"), col("sid")), Seq("sid"))
-      .filter(col("doc_id") =!= col("doc_id2"))
+      .filter(col("doc_id") < col("doc_id2"))
       .groupBy(col("doc_id"), col("doc_id2")).agg(count(lit(1)).as("ix"))
-    inter
-      .join(cnt, Seq("doc_id"))
-      .withColumn("containment", col("ix").cast("double") / col("n"))
+      .join(cnt.withColumnRenamed("n", "na"), Seq("doc_id"))
+      .join(cnt.withColumnRenamed("n", "nb")
+        .withColumnRenamed("doc_id", "doc_id2"), Seq("doc_id2"))
+    inter.select(col("doc_id").as("src_doc"), col("doc_id2").as("host_doc"),
+        (col("ix").cast("double") / col("na")).as("containment"))
+      .unionByName(inter.select(col("doc_id2").as("src_doc"),
+        col("doc_id").as("host_doc"),
+        (col("ix").cast("double") / col("nb")).as("containment")))
       .filter(col("containment") >= threshold)
-      .select(col("doc_id").as("src_doc"), col("doc_id2").as("host_doc"),
-        col("containment"))
   }
 
   /** Composite quality score (C4/Gopher-flavored): five integer signals —
