@@ -71,10 +71,13 @@ object GraftFunctions {
 
   /** Runtime-session path for the optimizer rewrites (builder path =
     * GraftExtensions). Idempotent. */
-  def registerOptimizations(spark: SparkSession): Unit =
-    if (!spark.experimental.extraOptimizations.contains(graft.plans.RewriteSetSize))
+  def registerOptimizations(spark: SparkSession): Unit = {
+    val rules = Seq(graft.plans.RewriteSetSize, graft.plans.RewriteDotProduct)
+    val missing = rules.filterNot(spark.experimental.extraOptimizations.contains)
+    if (missing.nonEmpty)
       spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ graft.plans.RewriteSetSize
+        spark.experimental.extraOptimizations ++ missing
+  }
 }
 
 /** `spark.sql.extensions` entry point. */
@@ -92,7 +95,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[ArrayDot].getName, "graft_dot"),
       (exprs: Seq[Expression]) => ArrayDot(exprs(0), exprs(1))))
-    // optimizer rewrite: size(collect_set(x)) -> distinct_count_exact(x)
+    // optimizer rewrites: size(collect_set(x)) -> distinct_count_exact(x);
+    // declarative aggregate(zip_with(a,b,*),0.0,+) -> graft_dot(a,b)
     ext.injectOptimizerRule(_ => graft.plans.RewriteSetSize)
+    ext.injectOptimizerRule(_ => graft.plans.RewriteDotProduct)
   }
 }

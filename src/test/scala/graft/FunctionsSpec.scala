@@ -145,6 +145,35 @@ class FunctionsSpec extends SparkSpec {
     assert(withNullElem.collect()(0).isNullAt(0))
   }
 
+  test("RewriteDotProduct: declarative fold plans as graft_dot, same values") {
+    GraftFunctions.register(spark)
+    GraftFunctions.registerOptimizations(spark)
+    val emb = Tables.embeddings(spark, sf).limit(100)
+    val decl = emb.select(
+      graft.ext.Similarity.dotDeclarative($"embedding", $"embedding").as("d"))
+    val optimized = decl.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("graft_dot"), optimized.take(800))
+    assert(!optimized.contains("aggregate("), optimized.take(800))
+    // and through SQL text (no Column-helper involvement at all)
+    emb.createOrReplaceTempView("emb_rdp")
+    val sqlDecl = spark.sql(
+      """SELECT aggregate(zip_with(embedding, embedding,
+        |         (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+        |       0.0D, (acc, v) -> acc + v) AS d FROM emb_rdp""".stripMargin)
+    assert(sqlDecl.queryExecution.optimizedPlan.toString.contains("graft_dot"))
+    // bit-identical to the direct native call
+    val native = emb.select(
+      GraftFunctions.graftDot($"embedding", $"embedding").as("d"))
+    assert(decl.exceptAll(native).count() == 0 &&
+      native.exceptAll(decl).count() == 0)
+    // NOT rewritten when the multiply is float-precision (different rounding)
+    val floatMul = spark.sql(
+      """SELECT aggregate(zip_with(embedding, embedding, (x, y) -> x * y),
+        |       0.0D, (acc, v) -> acc + CAST(v AS DOUBLE)) AS d
+        |FROM emb_rdp""".stripMargin)
+    assert(!floatMul.queryExecution.optimizedPlan.toString.contains("graft_dot"))
+  }
+
   test("custom functions are callable from SQL after registration") {
     GraftFunctions.register(spark)
     val r = spark.sql(
