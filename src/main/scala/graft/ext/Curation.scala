@@ -338,4 +338,33 @@ object Curation {
     }
     mass
   }
+
+  /** Bounded multi-source BFS: min hop distance (≤ `hops`) from the seed
+    * node set over an undirected edge list — the k-hop neighborhood /
+    * crawl-frontier labeling primitive. Nodes beyond `hops` are absent.
+    *
+    * Each round is one join (current labels × edges) + one min-aggregate —
+    * Pregel-as-joins, like [[pageRank]]; the undirected edge list is the
+    * cached loop invariant. Re-aggregating the FULL label table per round
+    * (rather than a delta frontier) keeps every round's plan identical and
+    * shuffle-count-bounded: rounds × (1 join + 1 groupBy) on the key.
+    * Distances are exact integers — any engine replays them bit-for-bit
+    * with `hops` unrolled CTEs.
+    */
+  def bfsDistances(edges: DataFrame, seedPred: Column, hops: Int = 3): DataFrame = {
+    val undirected = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().cache()
+    var dist = undirected.select(col("src").as("node")).distinct()
+      .filter(seedPred)
+      .select(col("node"), lit(0L).as("dist"))
+    for (_ <- 1 to hops) {
+      dist = dist
+        .unionByName(undirected
+          .join(dist, col("src") === col("node"))
+          .select(col("dst").as("node"), (col("dist") + 1L).as("dist")))
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+    }
+    dist
+  }
 }

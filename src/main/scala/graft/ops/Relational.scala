@@ -164,4 +164,84 @@ object Relational {
       .select(col("event_id"), col("ts_us"),
         coalesce(col("n_before"), lit(0L)).as("n_before"))
   }
+
+  /** Merge overlapping-or-touching intervals per key (span coalescing — the
+    * PII-span / time-range dedup primitive): an interval starts a new merged
+    * group iff its start exceeds the running max end of every earlier
+    * interval in the key (ties in start can't split a group: any two
+    * same-start rows overlap by construction).
+    *
+    * Shape: one shuffle on the key + one in-partition sort feeds BOTH the
+    * running-max window and (via the derived group id) the final aggregate.
+    * No self-join — the classic `NOT EXISTS overlap` formulation is O(n²)
+    * per key and un-shardable; this is the linear sweep, distributed.
+    * Integer bounds only (epoch micros), per the determinism policy.
+    */
+  def coalesceIntervals(df: DataFrame, keyCol: String, startCol: String,
+                        endCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(startCol).asc, col(endCol).asc, col(tieCol).asc)
+    val prevMax = max(col(endCol)).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    df.withColumn("__new", when(prevMax.isNull || col(startCol) > prevMax, 1L)
+        .otherwise(0L))
+      .withColumn("__grp", sum(col("__new"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(keyCol), col("__grp"))
+      .agg(min(col(startCol)).as("interval_start"),
+        max(col(endCol)).as("interval_end"),
+        count(lit(1)).as("n_rows"))
+      .drop("__grp")
+  }
+
+  /** 2-D skyline (Pareto frontier, maximize both dims) over the DISTINCT
+    * (x, y) pairs, with the support count per surviving point. A pair is on
+    * the frontier iff no pair has x' ≥ x AND y' ≥ y with one strict — i.e.
+    * its y beats every y at strictly greater x (range frame, integer x) and
+    * it is the max y within its own x.
+    *
+    * Scale shape: the groupBy collapses the input to |distinct pairs| ≤
+    * |x-domain|·|y-domain| rows BEFORE the single-partition window — the
+    * window's input is domain-bounded, not data-bounded, so the plan
+    * survives a 100× row scale-up unchanged. (A fully general skyline over
+    * unbounded real-valued dims would need the partition-local-frontier +
+    * merge formulation instead.)
+    */
+  def skyline2D(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val pairs = df.groupBy(col(xCol), col(yCol)).agg(count(lit(1)).as("n_rows"))
+    val wGt = Window.orderBy(col(xCol).asc)
+      .rangeBetween(1L, Window.unboundedFollowing)
+    val wEq = Window.partitionBy(col(xCol))
+    pairs
+      .withColumn("__maxYgt", max(col(yCol)).over(wGt))
+      .withColumn("__maxYeq", max(col(yCol)).over(wEq))
+      .filter((col("__maxYgt").isNull || col(yCol) > col("__maxYgt")) &&
+        col(yCol) === col("__maxYeq"))
+      .select(col(xCol), col(yCol), col("n_rows"))
+  }
+
+  /** Causal + centered fixed-coefficient sliding kernels over each key's
+    * value series — the division-free, transcendental-free stand-in for
+    * EWMA/Gaussian smoothing (integer cents × integer weights stays BIGINT,
+    * so the DuckDB replay is exact; see the determinism policy on never
+    * emitting computed doubles).
+    *
+    * One shuffle on the key, one sort, all four lags/leads share the single
+    * WindowExec. Weights: causal 8-4-2-1 (current..t-3), centered 1-2-1.
+    */
+  def kernelSmooth(df: DataFrame, keyCol: String, tsCol: String,
+                   tieCol: String, valCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+    val cents = expr(s"CAST(round($valCol * 100) AS BIGINT)")
+    df.withColumn("__c", cents)
+      .select(col(keyCol), col(tsCol), col(tieCol),
+        col("__c").as("cents"),
+        (col("__c") * 8 +
+          coalesce(lag(col("__c"), 1).over(w), lit(0L)) * 4 +
+          coalesce(lag(col("__c"), 2).over(w), lit(0L)) * 2 +
+          coalesce(lag(col("__c"), 3).over(w), lit(0L))).as("causal_w15"),
+        (coalesce(lag(col("__c"), 1).over(w), lit(0L)) +
+          col("__c") * 2 +
+          coalesce(lead(col("__c"), 1).over(w), lit(0L))).as("centered_w4"))
+  }
 }

@@ -85,6 +85,49 @@ object Snapshots {
         rightVals.map(c => col(s"__m.$c").as(c)): _*)
   }
 
+  /** FORWARD AS-OF JOIN: for every left row, the EARLIEST right row with the
+    * same key and `right.ts >= left.ts` (inclusive), ties on right ts broken
+    * by `rightTieCol` asc. Same union-window architecture as [[asOfJoin]]
+    * mirrored in time: left rows sort BEFORE right rows at equal ts
+    * (side 0 < 1) so an exact-timestamp match is taken, and the match is
+    * `first(right struct, ignoreNulls)` over [current row, unbounded
+    * following]. One shuffle on the key, one sort — same scale shape as the
+    * backward join.
+    */
+  def asOfJoinForward(left: DataFrame, right: DataFrame, keyCol: String,
+                      tsCol: String, rightTieCol: String,
+                      rightVals: Seq[String]): DataFrame = {
+    val leftCols = left.columns
+    val rStructType = org.apache.spark.sql.types.StructType(
+      rightVals.map(c => right.schema(c).copy(name = c)))
+    val tieType = right.schema(rightTieCol).dataType
+    val lTagged = left
+      .withColumn("__side", lit(0))
+      // left rows carry the MIN tie value so that at equal (ts, side) they
+      // cannot sort after a right row (sides differ anyway; this only pins
+      // full-ordering determinism)
+      .withColumn("__tie", lit(Long.MinValue).cast(tieType))
+      .select(Seq(col(keyCol), col(tsCol), col("__side"), col("__tie")) ++
+        leftCols.filterNot(Seq(keyCol, tsCol).contains).map(col) ++
+        Seq(lit(null).cast(rStructType).as("__r")): _*)
+    val rTagged = right
+      .withColumn("__side", lit(1))
+      .withColumn("__tie", col(rightTieCol))
+      .select(Seq(col(keyCol), col(tsCol), col("__side"), col("__tie")) ++
+        leftCols.filterNot(Seq(keyCol, tsCol).contains)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        Seq(struct(rightVals.map(col): _*).as("__r")): _*)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col("__side").asc, col("__tie").asc)
+      .rowsBetween(0, Window.unboundedFollowing)
+    lTagged.unionByName(rTagged)
+      .withColumn("__m", first(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 0)
+      .select(Seq(col(keyCol), col(tsCol)) ++
+        leftCols.filterNot(Seq(keyCol, tsCol).contains).map(col) ++
+        rightVals.map(c => col(s"__m.$c").as(c)): _*)
+  }
+
   /** The same as-of join through the custom physical operator
     * (plans/AsOfJoin.scala): builds the AsOfJoinNode over the analyzed child
     * plans and registers the planner strategy. Key/ts must be LongType.
