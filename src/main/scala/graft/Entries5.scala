@@ -150,6 +150,63 @@ object Entries5 {
              |         SELECT node, dist FROM d2
              |         UNION ALL SELECT e.dst AS node, d2.dist + 1 AS dist
              |         FROM e JOIN d2 ON e.src = d2.node) GROUP BY node)
-             |SELECT node, dist FROM d3""".stripMargin))
+             |SELECT node, dist FROM d3""".stripMargin)),
+
+    // Real iterative BPE merge training (6 rounds) on ascii word types —
+    // pair counting, argmax selection, and greedy left-to-right merge
+    // application are all exact integer/binary-string ops, so the oracle
+    // replays the full training loop with one generated CTE block per round.
+    Q("q121_bpe_merges",
+      (s, d) => BpeTrainer.train(Tables.documents(s, d), 6),
+      Some(bpeOracle(6)))
   )
+
+  /** Generated DuckDB oracle for [[BpeTrainer.train]]: the identical
+    * relational formulation, one CTE block per merge round (state s{k} →
+    * pair counts p{k} → argmax sel{k} → greedy-run merge sites ch{k} →
+    * rewritten state s{k+1}). Every CTE is MATERIALIZED: each state is
+    * referenced by multiple downstream CTEs, so default inlining would
+    * duplicate the whole prefix per reference — the same 4^rounds blow-up
+    * localCheckpoint prevents on the Spark side (measured: runaway vs
+    * 0.5 s at sf0.01). */
+  private def bpeOracle(iters: Int): String = {
+    val rounds = (1 to iters).map { k =>
+      s"""n$k AS MATERIALIZED (SELECT w, freq, pos, sym,
+         |  lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt FROM s$k),
+         |p$k AS MATERIALIZED (
+         |  SELECT sym AS a, nxt AS b, CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM n$k WHERE nxt IS NOT NULL GROUP BY 1, 2),
+         |sel$k AS MATERIALIZED (SELECT a, b, cnt FROM p$k
+         |  ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+         |mt$k AS MATERIALIZED (SELECT n.w, n.pos,
+         |    n.pos - row_number() OVER (PARTITION BY n.w ORDER BY n.pos) AS grp
+         |  FROM n$k n, sel$k WHERE n.sym = sel$k.a AND n.nxt = sel$k.b),
+         |ch$k AS MATERIALIZED (SELECT w, pos FROM (
+         |    SELECT w, pos,
+         |      row_number() OVER (PARTITION BY w, grp ORDER BY pos) AS rk
+         |    FROM mt$k) WHERE rk % 2 = 1),
+         |s${k + 1} AS MATERIALIZED (SELECT w, freq,
+         |    row_number() OVER (PARTITION BY w ORDER BY pos) AS pos, sym
+         |  FROM (
+         |    SELECT s.w, s.freq, s.pos,
+         |      CASE WHEN c.pos IS NOT NULL THEN sel.a || sel.b
+         |           ELSE s.sym END AS sym
+         |    FROM s$k s CROSS JOIN sel$k sel
+         |    LEFT JOIN ch$k c ON c.w = s.w AND c.pos = s.pos
+         |    LEFT JOIN ch$k cp ON cp.w = s.w AND cp.pos = s.pos - 1
+         |    WHERE cp.pos IS NULL))""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to iters).map { k =>
+      s"""SELECT CAST($k AS BIGINT) AS step, a AS left_sym, b AS right_sym,
+         |  a || b AS merged, cnt AS pair_freq FROM sel$k""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH w0 AS MATERIALIZED (
+       |  SELECT w, count(*) AS freq FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE regexp_matches(w, '^[a-z]+${"$"}') GROUP BY w),
+       |s1 AS MATERIALIZED (SELECT w, freq, i AS pos, substr(w, i, 1) AS sym
+       |  FROM w0, (SELECT unnest(range(1, 256)) AS i) t WHERE i <= len(w)),
+       |$rounds
+       |$out""".stripMargin
+  }
 }

@@ -1,0 +1,95 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Distributed byte-pair-encoding merge training — the real iterative BPE
+  * algorithm (Sennrich et al. 2016, arXiv:1508.07909), not the fixed
+  * chars-per-token heuristic of TextAnalysis.tokenCountRegex.
+  *
+  * Classic BPE trains on WORD TYPES with corpus frequencies, so the state
+  * is one row per (word, position, symbol) — ≪ corpus size (the type/token
+  * ratio does the compression: a 100 TB corpus has a few million ascii word
+  * types). Per merge round:
+  *   1. adjacent-pair counts: lead() over (word, pos) + freq-weighted sum —
+  *      one window + one map-side-combining aggregate;
+  *   2. argmax pair (count desc, then lexicographic) — a driver-side
+  *      `limit(1).collect`, the algorithm's inherent sync point (one scalar
+  *      per round, like any Pregel superstep decision);
+  *   3. greedy left-to-right merge application, relationally: a run of k
+  *      consecutive matching positions merges at odd ranks only (runs >1
+  *      exist only when left==right symbol), then surviving rows re-index
+  *      by row_number. localCheckpoint cuts the per-round lineage.
+  *
+  * Everything is integer counts + binary string comparisons, so a SQL
+  * engine replays the training bit-for-bit with one unrolled CTE block per
+  * round (see Entries5's generated oracle).
+  *
+  * Returns the merge table: (step, left_sym, right_sym, merged, pair_freq).
+  */
+object BpeTrainer {
+
+  /** One row per character of each ascii word type: (w, freq, pos, sym). */
+  def initialSymbols(documents: DataFrame): DataFrame =
+    documents
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(col("w"), col("freq"),
+        explode(expr("sequence(1, length(w))")).as("pos"))
+      .withColumn("sym", expr("substr(w, pos, 1)"))
+
+  def train(documents: DataFrame, iters: Int): DataFrame = {
+    val spark = documents.sparkSession
+    var seq = initialSymbols(documents).localCheckpoint()
+    val wOrd = Window.partitionBy(col("w")).orderBy(col("pos"))
+    val merges = scala.collection.mutable.ArrayBuffer[Row]()
+
+    for (step <- 1 to iters) {
+      val withNext = seq.withColumn("nxt", lead(col("sym"), 1).over(wOrd))
+      val best = withNext.filter(col("nxt").isNotNull)
+        .groupBy(col("sym"), col("nxt"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("sym").asc, col("nxt").asc)
+        .limit(1).collect()
+      if (best.nonEmpty) {
+        val (a, b, cnt) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += Row(step.toLong, a, b, a + b, cnt)
+        // greedy left-to-right application: runs of consecutive matching
+        // positions (possible only when a == b) merge at odd ranks
+        val matches = withNext
+          .filter(col("sym") === lit(a) && col("nxt") === lit(b))
+          .select(col("w"), col("pos"))
+          .withColumn("grp", col("pos") - row_number().over(wOrd))
+        val chosen = matches
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("w"), col("grp")).orderBy(col("pos"))))
+          .filter(col("rk") % 2 === 1)
+          .select(col("w").as("cw"), col("pos").as("cpos"))
+        seq = seq
+          .join(chosen, col("w") === col("cw") && col("pos") === col("cpos"),
+            "left")
+          .withColumn("hit", col("cpos").isNotNull)
+          .drop("cw", "cpos")
+          .join(chosen, col("w") === col("cw") && col("pos") === col("cpos") + 1,
+            "left")
+          .filter(col("cpos").isNull) // row after a merge site: absorbed
+          .select(col("w"), col("freq"), col("pos"),
+            when(col("hit"), lit(a + b)).otherwise(col("sym")).as("sym"))
+          .withColumn("pos", row_number().over(wOrd))
+          .localCheckpoint()
+      }
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(merges.toSeq, 1),
+      StructType(Seq(
+        StructField("step", LongType, nullable = false),
+        StructField("left_sym", StringType, nullable = false),
+        StructField("right_sym", StringType, nullable = false),
+        StructField("merged", StringType, nullable = false),
+        StructField("pair_freq", LongType, nullable = false))))
+  }
+}

@@ -126,6 +126,37 @@ class Round4Spec extends SparkSpec {
     assert(got(0)._2 == 800L && got(0)._3 == 400L)
   }
 
+  test("BpeTrainer matches the classic in-memory BPE reference") {
+    val docs = Tables.documents(spark, sf)
+    val got = graft.ext.BpeTrainer.train(docs, 5)
+      .orderBy($"step")
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    // reference: textbook BPE on word types (dict of symbol lists)
+    val words = docs.select($"text").as[String].collect()
+      .flatMap(_.split(" ")).filter(_.matches("^[a-z]+$"))
+      .groupBy(identity).map { case (w, g) => w -> g.length.toLong }
+    var vocab: Map[List[String], Long] =
+      words.map { case (w, f) => w.toList.map(_.toString) -> f }.toMap
+    val expect = (1 to 5).map { step =>
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      for ((syms, f) <- vocab; p <- syms.zip(syms.tail))
+        counts(p) = counts.getOrElse(p, 0L) + f
+      val ((a, b), cnt) = counts.minBy { case ((x, y), c) => (-c, x, y) }
+      vocab = vocab.map { case (syms, f) =>
+        val out = scala.collection.mutable.ListBuffer[String]()
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            out += a + b; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        out.toList -> f
+      }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+      (step.toLong, a, b, a + b, cnt)
+    }
+    assert(got == expect)
+  }
+
   test("bfsDistances equals brute-force BFS on the purchase graph") {
     val edges = Tables.orders(spark, sf).select($"o_orderkey", $"o_custkey")
       .join(Tables.lineitem(spark, sf).select($"l_orderkey", $"l_suppkey"),
