@@ -47,9 +47,11 @@ object Entries5 {
 
     // 2-D Pareto skyline (maximize quantity AND price) over distinct pairs
     // of lineitem — "largest + priciest order lines". Spark side is the
-    // domain-bounded window sweep; the oracle is the independent
-    // brute-force NOT EXISTS dominance check, so the check proves the
-    // sweep enumerates exactly the undominated set.
+    // domain-bounded window sweep; the oracle is an independent NOT EXISTS
+    // dominance check over the per-qty price maxima (an equivalent
+    // candidate set — any dominator is itself dominated-or-equaled by its
+    // column's maximum — that keeps the quadratic check tractable at any
+    // sf), so the check proves the sweep enumerates the undominated set.
     Q("q117_skyline",
       (s, d) => graft.ops.Relational.skyline2D(
         Tables.lineitem(s, d).select(
@@ -60,12 +62,16 @@ object Entries5 {
              |  SELECT CAST(l_quantity AS BIGINT) AS qty,
              |    CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
              |    count(*) AS n_rows
-             |  FROM lineitem GROUP BY 1, 2)
-             |SELECT qty, price_cents, n_rows FROM p a
-             |WHERE NOT EXISTS (
-             |  SELECT 1 FROM p b
-             |  WHERE b.qty >= a.qty AND b.price_cents >= a.price_cents
-             |    AND (b.qty > a.qty OR b.price_cents > a.price_cents))""".stripMargin)),
+             |  FROM lineitem GROUP BY 1, 2),
+             |cand AS (SELECT qty, max(price_cents) AS price_cents
+             |         FROM p GROUP BY qty),
+             |sky AS (
+             |  SELECT a.qty, a.price_cents FROM cand a
+             |  WHERE NOT EXISTS (
+             |    SELECT 1 FROM cand b
+             |    WHERE b.qty > a.qty AND b.price_cents >= a.price_cents))
+             |SELECT s.qty, s.price_cents, p.n_rows
+             |FROM sky s JOIN p USING (qty, price_cents)""".stripMargin)),
 
     // Forward as-of: each purchase matched to the user's EARLIEST click at
     // or after it (ties on click ts broken by id). Spark runs the

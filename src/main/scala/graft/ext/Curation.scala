@@ -364,6 +364,10 @@ object Curation {
           .join(dist, col("src") === col("node"))
           .select(col("dst").as("node"), (col("dist") + 1L).as("dist")))
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        // each round reads the previous labels TWICE (carry + expand):
+        // uncut lineage doubles per round (2^hops replays of round one);
+        // checkpointing pins each round to its materialized result
+        .localCheckpoint()
     }
     dist
   }

@@ -208,8 +208,15 @@ object Relational {
     */
   def skyline2D(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     val pairs = df.groupBy(col(xCol), col(yCol)).agg(count(lit(1)).as("n_rows"))
-    val wGt = Window.orderBy(col(xCol).asc)
-      .rangeBetween(1L, Window.unboundedFollowing)
+    // "max y at strictly greater x" as a GROWING frame: sort x DESC, frame
+    // [unbounded preceding, 1 preceding] (value-based, so 1-preceding in
+    // descending order = x' ≥ x+1 = strictly greater for integer x). Spark
+    // evaluates growing frames incrementally (O(n)); the ascending mirror —
+    // rangeBetween(1, unboundedFollowing) — is a shrinking frame that
+    // re-scans the remainder per row: O(n²) over the distinct pairs
+    // (measured minutes vs seconds at 590k pairs).
+    val wGt = Window.orderBy(col(xCol).desc)
+      .rangeBetween(Window.unboundedPreceding, -1L)
     val wEq = Window.partitionBy(col(xCol))
     pairs
       .withColumn("__maxYgt", max(col(yCol)).over(wGt))

@@ -88,11 +88,22 @@ object Snapshots {
   /** FORWARD AS-OF JOIN: for every left row, the EARLIEST right row with the
     * same key and `right.ts >= left.ts` (inclusive), ties on right ts broken
     * by `rightTieCol` asc. Same union-window architecture as [[asOfJoin]]
-    * mirrored in time: left rows sort BEFORE right rows at equal ts
-    * (side 0 < 1) so an exact-timestamp match is taken, and the match is
-    * `first(right struct, ignoreNulls)` over [current row, unbounded
-    * following]. One shuffle on the key, one sort — same scale shape as the
-    * backward join.
+    * mirrored by REVERSING the sort: order (ts DESC, side asc, tie DESC)
+    * with right = side 0, so every right row at ts ≥ the left row's ts —
+    * including exact-ts matches — precedes it, and among equal-ts right
+    * rows the minimum tie sorts LAST; then `last(right struct, ignoreNulls)`
+    * over [unbounded preceding, current] picks exactly the earliest
+    * qualifying right row with the min-tie break.
+    *
+    * The reversed sort matters for more than elegance: Spark evaluates
+    * growing [unbounded preceding, current] frames INCREMENTALLY (O(n) per
+    * partition), while the naive mirror — `first()` over [current row,
+    * unbounded following] — runs UnboundedFollowingWindowFunctionFrame,
+    * which re-scans the remainder of the partition for every row: O(n²) on
+    * exactly the hot keys that matter at scale (measured: a single skewed
+    * user partition pinned a core for 20+ minutes at sf0.1; this form runs
+    * the same data in seconds). One shuffle on the key, one sort — same
+    * scale shape as the backward join.
     */
   def asOfJoinForward(left: DataFrame, right: DataFrame, keyCol: String,
                       tsCol: String, rightTieCol: String,
@@ -102,27 +113,27 @@ object Snapshots {
       rightVals.map(c => right.schema(c).copy(name = c)))
     val tieType = right.schema(rightTieCol).dataType
     val lTagged = left
-      .withColumn("__side", lit(0))
-      // left rows carry the MIN tie value so that at equal (ts, side) they
-      // cannot sort after a right row (sides differ anyway; this only pins
-      // full-ordering determinism)
+      .withColumn("__side", lit(1))
+      // tie value for left rows is irrelevant to the match (sides already
+      // order left after right at equal ts); any constant keeps the sort
+      // total and deterministic
       .withColumn("__tie", lit(Long.MinValue).cast(tieType))
       .select(Seq(col(keyCol), col(tsCol), col("__side"), col("__tie")) ++
         leftCols.filterNot(Seq(keyCol, tsCol).contains).map(col) ++
         Seq(lit(null).cast(rStructType).as("__r")): _*)
     val rTagged = right
-      .withColumn("__side", lit(1))
+      .withColumn("__side", lit(0))
       .withColumn("__tie", col(rightTieCol))
       .select(Seq(col(keyCol), col(tsCol), col("__side"), col("__tie")) ++
         leftCols.filterNot(Seq(keyCol, tsCol).contains)
           .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
         Seq(struct(rightVals.map(col): _*).as("__r")): _*)
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(col(tsCol).asc, col("__side").asc, col("__tie").asc)
-      .rowsBetween(0, Window.unboundedFollowing)
+      .orderBy(col(tsCol).desc, col("__side").asc, col("__tie").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
     lTagged.unionByName(rTagged)
-      .withColumn("__m", first(col("__r"), ignoreNulls = true).over(w))
-      .filter(col("__side") === 0)
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
       .select(Seq(col(keyCol), col(tsCol)) ++
         leftCols.filterNot(Seq(keyCol, tsCol).contains).map(col) ++
         rightVals.map(c => col(s"__m.$c").as(c)): _*)

@@ -68,6 +68,38 @@ class ScalePostureSpec extends SparkSpec {
       "hash split must not shuffle:\n" + plan.take(600))
   }
 
+  test("group top-k plans a WindowGroupLimit below the shuffle") {
+    // Spark's InsertWindowGroupLimit turns rank()<=k filters into a
+    // per-partition top-k pushed below the exchange — each mapper emits at
+    // most k rows per group instead of its whole partition. This is the
+    // plan property that makes q56 viable at 100 TB.
+    val plan = planOf(graft.ext.TrainPrep.topKPerGroup(
+      Tables.orders(spark, sf).select(col("o_custkey"), col("o_orderkey"),
+        col("o_totalprice")),
+      "o_custkey", "o_totalprice", "o_orderkey", 3))
+    assert(plan.contains("WindowGroupLimit"),
+      "expected WindowGroupLimit in:\n" +
+        plan.linesIterator.take(30).mkString("\n"))
+    // and the limit must appear on BOTH sides of the exchange (partial on
+    // the map side, final after) — FormattedMode's detail section lists one
+    // "(n) WindowGroupLimit" per operator instance
+    assert(plan.linesIterator
+      .count(_.matches("""\(\d+\) WindowGroupLimit.*""")) == 2, plan.take(900))
+  }
+
+  test("coalesceIntervals is one shuffle end-to-end") {
+    // the final groupBy(key, grp) must NOT re-shuffle: HashPartitioning(key)
+    // from the window satisfies ClusteredDistribution((key, grp)), so
+    // EnsureRequirements reuses the exchange and the whole sweep is one
+    // shuffle + one sort
+    val plan = planOf(graft.ops.Relational.coalesceIntervals(
+      Tables.events(spark, sf).select(col("user_id"),
+        col("ts_us").as("s"), (col("ts_us") + 1000L).as("e"), col("event_id")),
+      "user_id", "s", "e", "event_id"))
+    assert(countExchanges(plan) == 1,
+      plan.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+  }
+
   test("corrMatrix aggregates map-side: exactly one exchange") {
     val plan = planOf(graft.ext.TrainPrep.corrMatrix(Tables.lineitem(spark, sf)))
     assert(countExchanges(plan) == 1,
