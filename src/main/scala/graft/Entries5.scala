@@ -164,7 +164,27 @@ object Entries5 {
     // replays the full training loop with one generated CTE block per round.
     Q("q121_bpe_merges",
       (s, d) => BpeTrainer.train(Tables.documents(s, d), 6),
-      Some(bpeOracle(6)))
+      Some(bpeOracle(6))),
+
+    // Prefix-filtered set-similarity self-join (word Jaccard >= 0.9): the
+    // SSJoin candidate pruning with exact verify. Oracle is the
+    // UNFILTERED all-shared-token formulation — hash-match proves the
+    // prefix filter's recall is exact.
+    Q("q122_prefix_jaccard",
+      (s, d) => Dedup.prefixJaccardPairs(Tables.documents(s, d), 9, 10),
+      Some("""WITH toks AS (
+             |  SELECT DISTINCT doc_id, tok FROM (
+             |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             |    FROM documents)),
+             |ssz AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+             |it AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS ix
+             |       FROM toks a JOIN toks b
+             |         ON a.tok = b.tok AND a.doc_id < b.doc_id
+             |       GROUP BY 1, 2)
+             |SELECT d1, d2, ix, sa.sz + sb.sz - ix AS un
+             |FROM it JOIN ssz sa ON d1 = sa.doc_id
+             |        JOIN ssz sb ON d2 = sb.doc_id
+             |WHERE ix * 10 >= 9 * (sa.sz + sb.sz - ix)""".stripMargin))
   )
 
   /** Generated DuckDB oracle for [[BpeTrainer.train]]: the identical

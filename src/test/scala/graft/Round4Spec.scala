@@ -126,6 +126,22 @@ class Round4Spec extends SparkSpec {
     assert(got(0)._2 == 800L && got(0)._3 == 400L)
   }
 
+  test("prefixJaccardPairs equals brute-force word-set Jaccard") {
+    val docs = Tables.documents(spark, sf)
+    val got = graft.ext.Dedup.prefixJaccardPairs(docs, 4, 5)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val toks = docs.select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.split(" ").toSet }.sortBy(_._1)
+    val expect = (for {
+      i <- toks.indices; j <- (i + 1) until toks.length
+      (d1, a) = toks(i); (d2, b) = toks(j)
+      ix = (a & b).size.toLong
+      un = (a | b).size.toLong
+      if ix * 5 >= un * 4
+    } yield (d1, d2, ix, un)).toSet
+    assert(got == expect && got.nonEmpty)
+  }
+
   test("BpeTrainer matches the classic in-memory BPE reference") {
     val docs = Tables.documents(spark, sf)
     val got = graft.ext.BpeTrainer.train(docs, 5)
