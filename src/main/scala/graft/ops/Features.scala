@@ -71,12 +71,29 @@ object Features {
     val byUser = Window.partitionBy(col("user_id"))
     def frame(us: Long) =
       Window.partitionBy(col("user_id")).orderBy(col("ts_us")).rangeBetween(-us, 0)
+    // Sliding integer sums as CUMSUM DIFFERENCES: Spark re-aggregates a
+    // sliding range frame from scratch for every output row (no retraction),
+    // i.e. O(rows × frame-width) per partition — at 100 TB a hot customer's
+    // 30 d frame is thousands of events. A growing frame
+    // [unboundedPreceding, offset] is evaluated INCREMENTALLY, so
+    //   Σ[t−w, t] = Σ(−∞, t] − Σ(−∞, t−w−1]
+    // turns each sliding sum into two O(n) passes. Exact because the
+    // operands are INTEGERS (cents/flags — no FP cancellation), and the
+    // inclusive-both-ends frame maps to the integer-micros offset −(w+1).
+    // The distinct counts below are not invertible and keep the true frame.
+    val cum = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(Window.unboundedPreceding, 0)
+    def cumBefore(us: Long) =
+      Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+        .rangeBetween(Window.unboundedPreceding, -(us + 1))
+    def slidingSum(c: Column, us: Long): Column =
+      sum(c).over(cum) - coalesce(sum(c).over(cumBefore(us)), lit(0L))
 
     val featCols: Seq[Column] = Windows.flatMap { case (lbl, us) =>
       val w = frame(us)
-      val txnCnt = sum(col("txn")).over(w)
-      val cancels = sum(col("cancel")).over(w)
-      val spendW = sum(col("spend_cents")).over(w) / lit(100.0)
+      val txnCnt = slidingSum(col("txn"), us)
+      val cancels = slidingSum(col("cancel"), us)
+      val spendW = slidingSum(col("spend_cents"), us) / lit(100.0)
       Seq(
         txnCnt.as(s"txn_count_$lbl"),
         spendW.as(s"spend_$lbl"),
