@@ -184,7 +184,42 @@ object Entries5 {
              |SELECT d1, d2, ix, sa.sz + sb.sz - ix AS un
              |FROM it JOIN ssz sa ON d1 = sa.doc_id
              |        JOIN ssz sb ON d2 = sb.doc_id
-             |WHERE ix * 10 >= 9 * (sa.sz + sb.sz - ix)""".stripMargin))
+             |WHERE ix * 10 >= 9 * (sa.sz + sb.sz - ix)""".stripMargin)),
+
+    // Robust per-type outlier stats: integer-exact MAD (doubled medians
+    // keep even-count interpolation in BIGINT) + the cross-multiplied
+    // |x-med| > 3*MAD rule — zero doubles end to end.
+    Q("q123_mad_outliers",
+      (s, d) => TrainPrep.madOutlierStats(Tables.events(s, d),
+        "event_type", expr("CAST(round(value * 100) AS BIGINT)"),
+        col("event_id")),
+      Some("""WITH base AS (
+             |  SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS c,
+             |    event_id AS tid
+             |  FROM events WHERE value IS NOT NULL),
+             |cnt1 AS (SELECT g, count(*) AS n FROM base GROUP BY g),
+             |r1 AS (SELECT g, c, tid,
+             |         row_number() OVER (PARTITION BY g ORDER BY c, tid) AS rn
+             |       FROM base),
+             |m1 AS (SELECT r1.g, CAST(sum(c) * 2 // count(*) AS BIGINT) AS med2
+             |       FROM r1 JOIN cnt1 ON r1.g = cnt1.g
+             |       WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
+             |       GROUP BY r1.g),
+             |dev AS (SELECT b.g, abs(b.c * 2 - m1.med2) AS d, b.tid, m1.med2
+             |        FROM base b JOIN m1 ON b.g = m1.g),
+             |cnt2 AS (SELECT g, count(*) AS n FROM dev GROUP BY g),
+             |r2 AS (SELECT g, d, tid,
+             |         row_number() OVER (PARTITION BY g ORDER BY d, tid) AS rn
+             |       FROM dev),
+             |m2 AS (SELECT r2.g, CAST(sum(d) * 2 // count(*) AS BIGINT) AS mad4
+             |       FROM r2 JOIN cnt2 ON r2.g = cnt2.g
+             |       WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
+             |       GROUP BY r2.g)
+             |SELECT dev.g AS event_type, count(*) AS n, max(dev.med2) AS med2,
+             |  max(m2.mad4) AS mad4,
+             |  CAST(sum(CASE WHEN dev.d * 2 > m2.mad4 * 3 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_outliers
+             |FROM dev JOIN m2 ON dev.g = m2.g GROUP BY 1""".stripMargin))
   )
 
   /** Generated DuckDB oracle for [[BpeTrainer.train]]: the identical

@@ -295,4 +295,45 @@ object TrainPrep {
         (col("total").cast("double") /
           (col("k") * col("n")).cast("double")).as("weight"))
   }
+
+  /** Robust per-group outlier statistics via median absolute deviation,
+    * entirely in integers: med2 = 2·median(cents) (the doubling makes the
+    * even-count interpolated median exact in BIGINT), d = |2·x − med2| =
+    * 2·|x − median|, mad4 = 2·median(d) = 4·MAD, and the classic
+    * "|x − med| > 3·MAD" outlier rule becomes the cross-multiplied
+    * `2·d > 3·mad4`. No doubles anywhere — every value and threshold is
+    * exact, so any engine replays it bit-for-bit.
+    *
+    * Each median is the q42 machinery: row_number over (group, value, tie)
+    * + the two middle ranks — one shuffle per pass; the group-constant
+    * med2/mad4 travel via joins on the group key (broadcast-sized: one row
+    * per group).
+    */
+  def madOutlierStats(df: DataFrame, groupCol: String, cents: Column,
+                      tie: Column): DataFrame = {
+    val base = df.select(col(groupCol).as("g"), cents.as("c"), tie.as("tid"))
+      .filter(col("c").isNotNull)
+    def med2Of(in: DataFrame, v: String): DataFrame = {
+      val w = Window.partitionBy(col("g")).orderBy(col(v).asc, col("tid").asc)
+      val cnt = in.groupBy(col("g")).agg(count(lit(1)).as("n"))
+      in.withColumn("rn", row_number().over(w))
+        .join(broadcast(cnt), Seq("g"))
+        .filter(col("rn") === expr("(n + 1) DIV 2") ||
+          col("rn") === expr("n DIV 2 + 1"))
+        .groupBy(col("g"))
+        .agg(expr(s"sum($v) * 2 DIV count(1)").as(s"${v}_med2"))
+    }
+    val m = med2Of(base, "c")
+    val dev = base.join(broadcast(m), Seq("g"))
+      .withColumn("d", abs(col("c") * 2 - col("c_med2")))
+    val mm = med2Of(dev.select(col("g"), col("d"), col("tid")), "d")
+    dev.join(broadcast(mm), Seq("g"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"),
+        max(col("c_med2")).as("med2"),
+        max(col("d_med2")).as("mad4"),
+        sum(when(col("d") * 2 > col("d_med2") * 3, 1L).otherwise(0L))
+          .as("n_outliers"))
+      .withColumnRenamed("g", groupCol)
+  }
 }
