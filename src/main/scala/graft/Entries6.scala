@@ -1,0 +1,224 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext._
+import graft.ExtEntries.Q
+
+/** Round-4 batch 2: distributed model-evaluation statistics (regression,
+  * rank-AUC), sequence modeling (Markov transitions), and product analytics
+  * (cohort retention). All metrics are BIGINT sufficient statistics with one
+  * pinned double expression at the end — the oracle reproduces bytes.
+  */
+object Entries6 {
+
+  val all: Seq[Q] = Seq(
+
+    // Per-returnflag linear regression of price (dollars) on quantity from
+    // one partial-aggregated pass of integer sufficient statistics.
+    Q("q124_group_regression",
+      (s, d) => Eval.groupRegression(
+        Tables.lineitem(s, d).select(
+          col("l_returnflag").as("grp"),
+          col("l_quantity").cast("long").as("x"),
+          round(col("l_extendedprice")).cast("long").as("y")),
+        "grp", "x", "y"),
+      Some("""WITH b AS (
+             |  SELECT l_returnflag AS grp, CAST(l_quantity AS BIGINT) AS x,
+             |    CAST(round(l_extendedprice) AS BIGINT) AS y
+             |  FROM lineitem),
+             |st AS (
+             |  SELECT grp, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             |    CAST(sum(x * y) AS BIGINT) AS sxy,
+             |    CAST(sum(x * x) AS BIGINT) AS sxx,
+             |    CAST(sum(y * y) AS BIGINT) AS syy
+             |  FROM b GROUP BY grp),
+             |dd AS (
+             |  SELECT *,
+             |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+             |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov,
+             |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+             |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+             |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy
+             |  FROM st)
+             |SELECT grp, n, sx, sy, sxy, sxx, syy,
+             |  cov / vx AS slope,
+             |  (CAST(sy AS DOUBLE) - cov / vx * CAST(sx AS DOUBLE))
+             |    / CAST(n AS DOUBLE) AS intercept,
+             |  cov * cov / (vx * vy) AS r2
+             |FROM dd""".stripMargin)),
+
+    // Exact Mann-Whitney AUC of cents-valued score vs is-purchase label,
+    // computed per-DISTINCT-score (domain-bounded window, no global row sort).
+    Q("q125_rank_auc",
+      (s, d) => Eval.rankAuc(
+        Tables.events(s, d)
+          .select(round(col("value") * 100).cast("long").as("score"),
+            (col("event_type") === "purchase").as("label")),
+        "score", "label"),
+      Some("""WITH b AS (
+             |  SELECT CAST(round(value * 100) AS BIGINT) AS s,
+             |    (event_type = 'purchase') AS label
+             |  FROM events WHERE value IS NOT NULL),
+             |ps AS (
+             |  SELECT s,
+             |    CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+             |    CAST(sum(CASE WHEN label THEN 0 ELSE 1 END) AS BIGINT) AS neg
+             |  FROM b GROUP BY s),
+             |ctr AS (
+             |  SELECT pos, neg,
+             |    pos * (2 * coalesce(CAST(sum(neg) OVER (ORDER BY s
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+             |      0) + neg) AS num2c
+             |  FROM ps),
+             |agg AS (
+             |  SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+             |    CAST(sum(neg) AS BIGINT) AS n_neg,
+             |    CAST(sum(num2c) AS BIGINT) AS auc_num2
+             |  FROM ctr)
+             |SELECT n_pos, n_neg, auc_num2,
+             |  CAST(auc_num2 AS DOUBLE)
+             |    / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) AS auc
+             |FROM agg""".stripMargin)),
+
+    // First-order Markov transition matrix over per-user event streams.
+    Q("q126_markov_transitions",
+      (s, d) => graft.ops.Sessions.markovTransitions(Tables.events(s, d)),
+      Some("""WITH e AS (
+             |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
+             |  FROM events),
+             |p AS (
+             |  SELECT event_type,
+             |    lag(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY ts_us, event_id) AS prev_type
+             |  FROM e),
+             |t AS (
+             |  SELECT prev_type, event_type AS next_type,
+             |    CAST(count(*) AS BIGINT) AS n_trans
+             |  FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+             |t2 AS (
+             |  SELECT prev_type, next_type, n_trans,
+             |    CAST(sum(n_trans) OVER (PARTITION BY prev_type) AS BIGINT)
+             |      AS total_from_prev
+             |  FROM t)
+             |SELECT prev_type, next_type, n_trans, total_from_prev,
+             |  CAST(n_trans AS DOUBLE) / CAST(total_from_prev AS DOUBLE)
+             |    AS p_trans
+             |FROM t2""".stripMargin)),
+
+    // Cohort retention matrix on exact integer epoch-week buckets (the
+    // fixture spans one calendar month, so weeks give a real matrix).
+    Q("q127_cohort_retention",
+      (s, d) => graft.ops.Sessions.cohortRetention(Tables.events(s, d),
+        604800000000L),
+      Some("""WITH um AS (
+             |  SELECT user_id,
+             |    epoch_us(ts) // 604800000000 AS midx,
+             |    CAST(count(*) AS BIGINT) AS n_ev
+             |  FROM events GROUP BY 1, 2),
+             |wc AS (
+             |  SELECT user_id, midx, n_ev,
+             |    min(midx) OVER (PARTITION BY user_id) AS cohort
+             |  FROM um),
+             |mx AS (
+             |  SELECT cohort, midx - cohort AS offset_buckets,
+             |    CAST(count(*) AS BIGINT) AS n_active,
+             |    CAST(sum(n_ev) AS BIGINT) AS n_events
+             |  FROM wc GROUP BY 1, 2),
+             |m2 AS (
+             |  SELECT *, max(CASE WHEN offset_buckets = 0 THEN n_active END)
+             |    OVER (PARTITION BY cohort) AS cohort_size
+             |  FROM mx)
+             |SELECT cohort, offset_buckets, n_active, n_events, cohort_size,
+             |  CAST(n_active AS DOUBLE) / CAST(cohort_size AS DOUBLE)
+             |    AS retention
+             |FROM m2""".stripMargin)),
+
+    // Exact heavy hitters (bigrams with count >= 40) via pigeonhole
+    // candidate pruning — two map passes + a candidate-sized shuffle, no
+    // full-domain shuffle. The oracle is the naive full GROUP BY ... HAVING,
+    // so hash-match proves the pruning loses nothing.
+    Q("q128_heavy_hitters",
+      (s, d) => Sketches.heavyHitters(
+        Tables.documents(s, d)
+          .withColumn("w", split(col("text"), " "))
+          .filter(size(col("w")) >= 2)
+          .select(explode(transform(sequence(lit(1), size(col("w")) - 1),
+            i => concat_ws(" ", slice(col("w"), i, lit(2))))).as("bg")),
+        "bg", 40L),
+      Some("""WITH grams AS (
+             |  SELECT array_to_string(w[i:i+1], ' ') AS bg
+             |  FROM (SELECT string_split(text, ' ') AS w FROM documents) d,
+             |       (SELECT unnest(range(1, 1000)) AS i) t
+             |  WHERE len(w) >= 2 AND i <= len(w) - 1)
+             |SELECT bg, CAST(count(*) AS BIGINT) AS n
+             |FROM grams GROUP BY bg HAVING count(*) >= 40""".stripMargin)),
+
+    // Deterministic weighted priority sample: 20 docs per source, selection
+    // biased toward long documents (weight = n_chars).
+    Q("q129_weighted_sample",
+      (s, d) => TrainPrep.weightedSample(
+        Tables.documents(s, d), "source", "doc_id", "n_chars", 20),
+      Some("""WITH pri AS (
+             |  SELECT source, doc_id, n_chars,
+             |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+             |      ::BIGINT AS DOUBLE) / CAST(n_chars AS DOUBLE) AS pri
+             |  FROM documents),
+             |rk AS (
+             |  SELECT *, CAST(row_number() OVER (PARTITION BY source
+             |    ORDER BY pri ASC, doc_id ASC) AS INT) AS rk
+             |  FROM pri)
+             |SELECT source, doc_id, n_chars, pri, rk
+             |FROM rk WHERE rk <= 20""".stripMargin)),
+
+    // 8-round k-core (k=3) peeling of the part co-purchase graph (parts
+    // sharing >= 2 orders). The fixture peels through ~10 genuinely
+    // shrinking rounds, so the oracle's unrolled CTE replay checks the
+    // cascade, not just one pruning pass.
+    Q("q130_kcore",
+      (s, d) => {
+        val ol = Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val pr = ol.as("a").join(ol.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+          .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+          .agg(count(lit(1)).as("w"))
+          .filter(col("w") >= 2)
+        Curation.kCore(
+          pr.select(col("u").as("src"), col("v").as("dst"))
+            .unionByName(pr.select(col("v").as("src"), col("u").as("dst"))),
+          3, 8)
+      },
+      Some(kCoreOracle(3, 8)))
+  )
+
+  /** Generated DuckDB oracle for [[Curation.kCore]]: `rounds` unrolled
+    * peel blocks over the part co-purchase graph. MATERIALIZED CTEs — each
+    * round's edge set is referenced by the next round's degree count AND
+    * both semi-join sides, the same double-reference that forces
+    * localCheckpoint on the Spark side. */
+  private def kCoreOracle(k: Int, rounds: Int): String = {
+    val blocks = (1 to rounds).map { r =>
+      val prev = if (r == 1) "e0" else s"e${r - 1}"
+      s"""n$r AS MATERIALIZED (SELECT src AS node FROM $prev
+         |  GROUP BY src HAVING count(*) >= $k),
+         |e$r AS MATERIALIZED (SELECT e.src, e.dst FROM $prev e
+         |  JOIN n$r a ON e.src = a.node JOIN n$r b ON e.dst = b.node)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH ol AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |pr AS MATERIALIZED (
+       |  SELECT a.pk AS u, b.pk AS v
+       |  FROM ol a JOIN ol b ON a.ok = b.ok AND a.pk < b.pk
+       |  GROUP BY 1, 2 HAVING count(*) >= 2),
+       |e0 AS MATERIALIZED (
+       |  SELECT u AS src, v AS dst FROM pr
+       |  UNION ALL SELECT v, u FROM pr),
+       |$blocks
+       |SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+       |FROM e$rounds GROUP BY src""".stripMargin
+  }
+}

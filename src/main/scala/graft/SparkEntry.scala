@@ -604,12 +604,14 @@ object SparkEntry {
       ExtEntries.all.map(q => q.name -> q.fn) ++
       Entries3.all.map(q => q.name -> q.fn) ++
       Entries4.all.map(q => q.name -> q.fn) ++
-      Entries5.all.map(q => q.name -> q.fn)).toMap
+      Entries5.all.map(q => q.name -> q.fn) ++
+      Entries6.all.map(q => q.name -> q.fn)).toMap
 
   def oracleSql: Map[String, String] =
     (all.flatMap(q => q.sql.map(q.name -> _)) ++
       ExtEntries.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries3.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries4.all.flatMap(q => q.sql.map(q.name -> _)) ++
-      Entries5.all.flatMap(q => q.sql.map(q.name -> _))).toMap
+      Entries5.all.flatMap(q => q.sql.map(q.name -> _)) ++
+      Entries6.all.flatMap(q => q.sql.map(q.name -> _))).toMap
 }

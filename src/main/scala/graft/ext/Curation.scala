@@ -371,4 +371,33 @@ object Curation {
     }
     dist
   }
+
+  /** Fixed-round k-core peeling: `rounds` iterations of "drop every node
+    * with degree < k, restrict edges to survivors". With enough rounds this
+    * is the true k-core (the maximal subgraph where every node has degree
+    * ≥ k); fixed rounds keep the operator deterministic and the oracle
+    * expressible as `rounds` unrolled CTE blocks.
+    *
+    * `edges` must be the undirected edge list with BOTH directions present
+    * (every undirected edge as (u,v) and (v,u)), so degree = out-degree.
+    *
+    * Per round: one partial-aggregable degree count + two semi-joins on the
+    * survivor set (AQE broadcasts it once peeling shrinks it; sort-merge on
+    * the key otherwise). Each round is localCheckpointed — the survivor set
+    * is referenced by both semi-joins, and uncut lineage would replay the
+    * whole peel history per round.
+    */
+  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var cur = edges.select(col("src"), col("dst")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val keep = cur.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("src").as("node"))
+      cur = cur
+        .join(keep.select(col("node").as("src")), Seq("src"), "left_semi")
+        .join(keep.select(col("node").as("dst")), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst"))
+        .localCheckpoint()
+    }
+    cur.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+  }
 }

@@ -1,0 +1,90 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Model-evaluation statistics computed distributively — the metrics a
+  * training pipeline needs server-side, at corpus scale, without collecting
+  * scores to the driver (the reference computes AUC in-process via sklearn,
+  * reference: jobs/make_training_and_train.py:79-84).
+  *
+  * Determinism contract (same as the rest of the suite): every metric is
+  * assembled from BIGINT sufficient statistics with a pinned double
+  * expression tree at the very end, so the DuckDB oracle reproduces the
+  * bytes, not just the idea.
+  */
+object Eval {
+
+  /** Per-group simple linear regression (y on x) from integer sufficient
+    * statistics: one partial-aggregable pass collects
+    * (n, Σx, Σy, Σxy, Σx², Σy²) per group; slope/intercept/R² are formed
+    * driver-free from those exact operands.
+    *
+    * Scale shape: ONE exchange carrying one row per (group) of fixed-width
+    * longs — map-side combine does virtually all the work, identical to the
+    * corrMatrix posture. Inputs must be pre-integerized (cents/dollars) so
+    * the sums are exact; squares of dollar-sized values keep Σy² under 2^63
+    * through sf100 (cents would overflow at sf0.1 — same reasoning as
+    * corrMatrix).
+    */
+  def groupRegression(df: DataFrame, grpCol: String, xCol: String,
+                      yCol: String): DataFrame = {
+    val stats = df.groupBy(col(grpCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col(xCol)).as("sx"), sum(col(yCol)).as("sy"),
+        sum(col(xCol) * col(yCol)).as("sxy"),
+        sum(col(xCol) * col(xCol)).as("sxx"),
+        sum(col(yCol) * col(yCol)).as("syy"))
+    // pinned double tree: cov/vx/vy formed exactly as in the oracle SQL
+    val nd = col("n").cast("double")
+    val cov = nd * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")
+    val vx = nd * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val vy = nd * col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double")
+    val slope = cov / vx
+    stats.select(col(grpCol), col("n"), col("sx"), col("sy"), col("sxy"),
+      col("sxx"), col("syy"),
+      slope.as("slope"),
+      ((col("sy").cast("double") - slope * col("sx").cast("double")) / nd)
+        .as("intercept"),
+      (cov * cov / (vx * vy)).as("r2"))
+  }
+
+  /** Distributed rank-based AUC (Mann-Whitney U) of an integer score against
+    * a boolean label, without a global per-row sort: scores collapse to one
+    * row per DISTINCT value first (domain-bounded, like the skyline sweep),
+    * then a single running-sum window over that tiny set counts
+    * wins*2 + ties per positive:
+    *
+    *   num2 = Σ_s  pos_s · (2·(negatives strictly below s) + neg_s)
+    *   AUC  = num2 / (2·n_pos·n_neg)
+    *
+    * Exact — equivalent to the average-rank formulation with tie correction —
+    * and every count is a BIGINT until the one final division. At 100 TB the
+    * per-row work is a partial aggregate on (score); only distinct scores
+    * reach the single-partition window (cents-valued scores: bounded domain).
+    */
+  def rankAuc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val perScore = df
+      .filter(col(scoreCol).isNotNull)
+      .groupBy(col(scoreCol).as("s"))
+      .agg(sum(when(col(labelCol), 1L).otherwise(0L)).as("pos"),
+        sum(when(col(labelCol), 0L).otherwise(1L)).as("neg"))
+    val w = Window.orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val contrib = perScore
+      .withColumn("cumneg", coalesce(sum(col("neg")).over(w), lit(0L)))
+      .select(col("pos"), col("neg"),
+        (col("pos") * (lit(2L) * col("cumneg") + col("neg"))).as("num2c"))
+    contrib.agg(
+      sum(col("pos")).as("n_pos"), sum(col("neg")).as("n_neg"),
+      sum(col("num2c")).as("auc_num2"))
+      .select(col("n_pos"), col("n_neg"), col("auc_num2"),
+        (col("auc_num2").cast("double") /
+          (lit(2.0) * col("n_pos").cast("double") * col("n_neg").cast("double")))
+          .as("auc"))
+  }
+}

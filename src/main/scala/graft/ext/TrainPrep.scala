@@ -336,4 +336,31 @@ object TrainPrep {
           .as("n_outliers"))
       .withColumnRenamed("g", groupCol)
   }
+
+  /** Deterministic weighted priority sampling without replacement: per
+    * group, the k rows with the smallest priority = hash(id) / weight.
+    * Heavier rows draw systematically smaller priorities, so selection
+    * probability grows with weight (the division-ordered analogue of the
+    * Efraimidis–Spirakis exponential-key reservoir — `-ln(u)/w` is replaced
+    * by `u/w` because transcendentals are banned by the cross-engine
+    * determinism contract; the ORDER statistics differ but the operator
+    * semantics — weight-biased, deterministic, without-replacement,
+    * mergeable — are the same).
+    *
+    * Scale shape: the priority is a narrow map expression; per-group top-k
+    * is the WindowGroupLimit pattern (rank ≤ k plans a partial limit below
+    * the exchange — each mapper emits at most k rows per group, so the
+    * shuffle carries O(groups·k), not the corpus).
+    */
+  def weightedSample(df: DataFrame, grpCol: String, idCol: String,
+                     weightCol: String, k: Int): DataFrame = {
+    val pri = Dedup.contentId(col(idCol).cast("string")).cast("double") /
+      col(weightCol).cast("double")
+    val w = Window.partitionBy(col(grpCol))
+      .orderBy(col("pri").asc, col(idCol).asc)
+    df.select(col(grpCol), col(idCol), col(weightCol))
+      .withColumn("pri", pri)
+      .withColumn("rk", row_number().over(w).cast("int"))
+      .filter(col("rk") <= k)
+  }
 }

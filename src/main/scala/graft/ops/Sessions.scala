@@ -33,4 +33,64 @@ object Sessions {
         max(col("ts_us")).as("t_end_us"),
         (sum(col("value_cents")) / lit(100.0)).as("value_sum"))
   }
+
+  /** First-order Markov transition matrix over per-user event streams:
+    * P(next event type | previous event type), estimated from every adjacent
+    * pair in (ts, event_id) order.
+    *
+    * One exchange on user_id for the lag window; the pair counting is a
+    * partial-aggregable groupBy over a tiny (|types|²) domain, and the
+    * per-previous totals come from a second window over that domain — no
+    * join, no second pass over the events. The probability is the single
+    * double division of two exact BIGINTs.
+    */
+  def markovTransitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val pairs = events
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n_trans"))
+    pairs
+      .withColumn("total_from_prev",
+        sum(col("n_trans")).over(Window.partitionBy(col("prev_type"))))
+      .withColumn("p_trans",
+        col("n_trans").cast("double") / col("total_from_prev").cast("double"))
+  }
+
+  /** Cohort retention matrix: users bucketed by the time bucket of their
+    * first activity (cohort), then counted as retained in each later bucket
+    * they appear in. Buckets are exact integer epoch-micros division
+    * (`ts_us DIV bucketUs`), so the offset arithmetic is engine-exact and
+    * the bucket width is a free parameter (weekly for the fixture's
+    * one-month span; monthly on a real calendar would swap in a
+    * year·12+month index).
+    *
+    * Scale shape: the per-user bucket aggregation and the per-user
+    * first-bucket window are ONE exchange on user_id (same key → the
+    * window reuses the aggregate's partitioning); the final (cohort,
+    * offset) aggregate is bucket²-bounded. The cohort-size denominator is
+    * the offset-0 count of the same matrix — a window over the bounded
+    * output, not a join back to the events.
+    */
+  def cohortRetention(events: DataFrame, bucketUs: Long): DataFrame = {
+    val midx = expr(s"ts_us DIV ${bucketUs}L")
+    val userMonths = events
+      .select(col("user_id"), midx.as("midx"))
+      .groupBy(col("user_id"), col("midx")).agg(count(lit(1)).as("n_ev"))
+    val withCohort = userMonths
+      .withColumn("cohort",
+        min(col("midx")).over(Window.partitionBy(col("user_id"))))
+    val matrix = withCohort
+      .groupBy(col("cohort"), (col("midx") - col("cohort")).as("offset_buckets"))
+      .agg(count(lit(1)).as("n_active"), sum(col("n_ev")).as("n_events"))
+    matrix
+      .withColumn("cohort_size",
+        max(when(col("offset_buckets") === 0L, col("n_active")))
+          .over(Window.partitionBy(col("cohort"))))
+      .withColumn("retention",
+        col("n_active").cast("double") / col("cohort_size").cast("double"))
+  }
 }
