@@ -191,7 +191,109 @@ object Entries6 {
             .unionByName(pr.select(col("v").as("src"), col("u").as("dst"))),
           3, 8)
       },
-      Some(kCoreOracle(3, 8)))
+      Some(kCoreOracle(3, 8))),
+
+    // Leave-one-out target encoding of order priority against total price —
+    // the leakage-guarded mean encoding: (sum_g - y_i)/(n_g - 1), singleton
+    // categories NULL. Exact BIGINT operands into one double division.
+    Q("q131_target_encode",
+      (s, d) => TrainPrep.targetEncodeLOO(
+        Tables.orders(s, d), "o_orderpriority", "o_orderkey",
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)")),
+      Some("""WITH b AS (
+             |  SELECT o_orderkey, o_orderpriority,
+             |    CAST(round(o_totalprice * 100) AS BIGINT) AS y_cents
+             |  FROM orders),
+             |ww AS (
+             |  SELECT o_orderkey, o_orderpriority, y_cents,
+             |    CAST(sum(y_cents) OVER (PARTITION BY o_orderpriority)
+             |      AS BIGINT) AS sum_g,
+             |    CAST(count(*) OVER (PARTITION BY o_orderpriority)
+             |      AS BIGINT) AS n_g
+             |  FROM b)
+             |SELECT o_orderkey, o_orderpriority, y_cents, sum_g, n_g,
+             |  CASE WHEN n_g > 1 THEN
+             |    CAST(sum_g - y_cents AS DOUBLE) / CAST(n_g - 1 AS DOUBLE)
+             |  END AS loo_cents
+             |FROM ww""".stripMargin)),
+
+    // Per-returnflag winsorization of price cents at the exact
+    // ceil(0.05n)/ceil(0.95n) order statistics.
+    Q("q132_winsorize",
+      (s, d) => TrainPrep.winsorize(
+        Tables.lineitem(s, d).select(col("l_returnflag"),
+          (col("l_orderkey") * 10 + col("l_linenumber")).as("line_id"),
+          col("l_extendedprice")),
+        "l_returnflag", "line_id",
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+        .drop("line_id"),
+      Some("""WITH b AS (
+             |  SELECT l_returnflag AS g,
+             |    l_orderkey * 10 + l_linenumber AS id,
+             |    CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+             |  FROM lineitem),
+             |r AS (
+             |  SELECT g, id, c,
+             |    row_number() OVER (PARTITION BY g ORDER BY c, id) AS rn,
+             |    count(*) OVER (PARTITION BY g) AS n
+             |  FROM b),
+             |bd AS (
+             |  SELECT g, max(CASE WHEN rn = (n * 5 + 99) // 100 THEN c END)
+             |      AS lo,
+             |    max(CASE WHEN rn = (n * 95 + 99) // 100 THEN c END) AS hi
+             |  FROM r GROUP BY g)
+             |SELECT b.g AS l_returnflag, b.c,
+             |  least(greatest(b.c, bd.lo), bd.hi) AS c_winsor, bd.lo, bd.hi,
+             |  CAST(CASE WHEN b.c < bd.lo THEN -1
+             |       WHEN b.c > bd.hi THEN 1 ELSE 0 END AS INT) AS clipped
+             |FROM b JOIN bd ON b.g = bd.g""".stripMargin)),
+
+    // Codegen'd Jaro-Winkler battery (rapidfuzz/DuckDB-pinned semantics,
+    // incl. the >0.7 boost threshold and the 0.0 empty-string convention);
+    // the Customer# names share a 9-char prefix so the Winkler boost path
+    // is exercised on every row.
+    Q("q133_jaro_winkler",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        import graft.functions.GraftFunctions.jaroWinkler
+        Tables.customer(s, d).select(
+          col("c_custkey"),
+          jaroWinkler(col("c_name"), lit("Customer#000000000")).as("jw_name"),
+          jaroWinkler(col("c_mktsegment"), lit("MACHINERY")).as("jw_seg"),
+          jaroWinkler(substring(col("c_name"), 1, 8),
+            substring(reverse(col("c_name")), 1, 8)).as("jw_head_tail"))
+      },
+      Some("""SELECT c_custkey,
+             |  jaro_winkler_similarity(c_name, 'Customer#000000000')
+             |    AS jw_name,
+             |  jaro_winkler_similarity(c_mktsegment, 'MACHINERY') AS jw_seg,
+             |  jaro_winkler_similarity(substring(c_name, 1, 8),
+             |    substring(reverse(c_name), 1, 8)) AS jw_head_tail
+             |FROM customer""".stripMargin)),
+
+    // Hard-negative mining: top-3 most-similar different-label vectors per
+    // query — contrastive-training retrieval with the label inequality
+    // pushed into the broadcast join.
+    Q("q134_hard_negatives",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        Similarity.hardNegatives(Tables.embeddings(s, d), 20, 3)
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb,
+              |            label AS q_label
+              |           FROM embeddings WHERE vec_id < 20),
+              |c AS (SELECT vec_id AS n_id, embedding AS n_emb,
+              |        label AS n_label
+              |      FROM embeddings),
+              |scored AS (
+              |  SELECT q_id, q_label, n_id, n_label,
+              |    ${ExtEntries.cosSql("q_emb", "n_emb")} AS cos
+              |  FROM c JOIN q ON q_id <> n_id AND q_label <> n_label)
+              |SELECT q_id, q_label, CAST(rank AS INT) AS rank, n_id,
+              |  n_label, cos
+              |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+              |        ORDER BY cos DESC, n_id ASC) AS rank FROM scored)
+              |WHERE rank <= 3""".stripMargin))
   )
 
   /** Generated DuckDB oracle for [[Curation.kCore]]: `rounds` unrolled

@@ -222,4 +222,29 @@ object Similarity {
         aggregate(zip_with(col("q"), sequence(lit(1L), lit(64L)),
           (x, i) => x * i), lit(0L), (a, x) => a + x).as("q_checksum"))
   }
+
+  /** Hard-negative mining: for each query vector, the k most cosine-similar
+    * corpus vectors with a DIFFERENT label — the contrastive-training
+    * counterpart of plain top-k retrieval (a hard negative is close in
+    * embedding space but wrong in label space). Same broadcast + window
+    * shape as bruteForceTopK with the label inequality pushed into the join
+    * condition, so non-candidates never reach the scoring expression.
+    */
+  def hardNegatives(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val q = embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("label").as("q_label"))
+    val c = embeddings
+      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+        col("label").as("n_label"))
+    val scored = c.join(broadcast(q),
+        col("q_id") =!= col("n_id") && col("q_label") =!= col("n_label"))
+      .withColumn("cos", cosine(col("q_emb"), col("n_emb")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("q_label"), col("rank").cast("int").as("rank"),
+        col("n_id"), col("n_label"), col("cos"))
+  }
 }

@@ -363,4 +363,57 @@ object TrainPrep {
       .withColumn("rk", row_number().over(w).cast("int"))
       .filter(col("rk") <= k)
   }
+
+  /** Leave-one-out target encoding: each row's category is replaced by the
+    * mean target of the OTHER rows in the same category —
+    * (Σ_g − y_i) / (n_g − 1) — the standard leakage-guard for high-
+    * cardinality categorical features (plain mean encoding leaks the row's
+    * own label). Singleton categories encode as NULL (no other rows to
+    * average).
+    *
+    * One exchange on the category for the two same-spec window sums; the
+    * encoding itself is a narrow map of exact BIGINT operands into one
+    * double division.
+    */
+  def targetEncodeLOO(df: DataFrame, catCol: String, idCol: String,
+                      targetCents: Column): DataFrame = {
+    val w = Window.partitionBy(col(catCol))
+    df.select(col(idCol), col(catCol), targetCents.as("y_cents"))
+      .withColumn("sum_g", sum(col("y_cents")).over(w))
+      .withColumn("n_g", count(lit(1)).over(w))
+      .withColumn("loo_cents",
+        when(col("n_g") > 1L,
+          (col("sum_g") - col("y_cents")).cast("double") /
+            (col("n_g") - 1L).cast("double")))
+  }
+
+  /** Per-group winsorization: values clipped to the group's exact
+    * [⌈0.05·n⌉-th, ⌈0.95·n⌉-th] order statistics (integer ranks — the same
+    * exact-percentile machinery as groupPercentiles, no interpolation, so
+    * the bounds are actual data values and engine-exact). Emits the clipped
+    * value plus which side (if any) was clipped.
+    *
+    * One exchange for the rank window; the per-group bounds are one row per
+    * group and travel back via a broadcast join.
+    */
+  def winsorize(df: DataFrame, grpCol: String, idCol: String,
+                cents: Column): DataFrame = {
+    val base = df.select(col(grpCol).as("g"), col(idCol).as("id"),
+      cents.as("c")).filter(col("c").isNotNull)
+    val w = Window.partitionBy(col("g")).orderBy(col("c").asc, col("id").asc)
+    val bounds = base
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .groupBy(col("g"))
+      .agg(max(when(col("rn") === expr("(n * 5 + 99) DIV 100"), col("c")))
+        .as("lo"),
+        max(when(col("rn") === expr("(n * 95 + 99) DIV 100"), col("c")))
+          .as("hi"))
+    base.join(broadcast(bounds), Seq("g"))
+      .select(col("g").as(grpCol), col("id").as(idCol), col("c"),
+        least(greatest(col("c"), col("lo")), col("hi")).as("c_winsor"),
+        col("lo"), col("hi"),
+        when(col("c") < col("lo"), -1)
+          .when(col("c") > col("hi"), 1).otherwise(0).as("clipped"))
+  }
 }

@@ -20,6 +20,7 @@ object GraftFunctions {
     "distinct_count_exact" -> (exprs => DistinctCountAgg(exprs.head)),
     "ascii_fingerprint" -> (exprs => AsciiFingerprint(exprs.head)),
     "graft_dot" -> (exprs => ArrayDot(exprs(0), exprs(1))),
+    "jaro_winkler" -> (exprs => JaroWinkler(exprs(0), exprs(1))),
     "graft_word_stats" -> (exprs => WordStats(exprs.head, stopwordArg(exprs))))
 
   /** Second arg of graft_word_stats is a foldable array of string literals
@@ -64,6 +65,9 @@ object GraftFunctions {
   def graftDot(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function("graft_dot", a, b)
 
+  def jaroWinkler(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function("jaro_winkler", a, b)
+
   def wordStats(c: Column, stopwords: Seq[String]): Column =
     org.apache.spark.sql.functions.call_function("graft_word_stats", c,
       org.apache.spark.sql.functions.array(
@@ -95,6 +99,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[ArrayDot].getName, "graft_dot"),
       (exprs: Seq[Expression]) => ArrayDot(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
+      (exprs: Seq[Expression]) => JaroWinkler(exprs(0), exprs(1))))
     // optimizer rewrites: size(collect_set(x)) -> distinct_count_exact(x);
     // declarative aggregate(zip_with(a,b,*),0.0,+) -> graft_dot(a,b)
     ext.injectOptimizerRule(_ => graft.plans.RewriteSetSize)

@@ -131,6 +131,80 @@ class Round4bSpec extends SparkSpec {
     assert(got == Set((1L, 2L), (2L, 2L), (3L, 2L)))
   }
 
+  test("JaroWinkler matches DuckDB/rapidfuzz on pinned probe values") {
+    import graft.functions.JaroWinklerImpl.jw
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    // probed from duckdb jaro_winkler_similarity (exact doubles)
+    val cases = Seq(
+      ("martha", "marhta", 0.9611111111111111),
+      ("dixon", "dicksonx", 0.8133333333333332),
+      ("jellyfish", "smellyfish", 0.8962962962962964),
+      ("abc", "abc", 1.0),
+      ("", "abc", 0.0),
+      ("", "", 0.0), // rapidfuzz convention, NOT the textbook 1.0
+      ("a", "b", 0.0),
+      ("crate", "trace", 0.7333333333333334),
+      ("dwayne", "duane", 0.8400000000000001),
+      ("ab", "ba", 0.0),
+      ("aBc", "abc", 0.7999999999999999), // case-sensitive, prefix 1
+      ("abcdxxxxxxx", "abcdyyyyyyy", 0.5757575757575758), // no boost <= 0.7
+      ("abcdefg", "abcdefz", 0.9428571428571428)) // prefix capped at 4
+    cases.foreach { case (a, b, want) =>
+      assert(jw(u(a), u(b)) == want, s"jw($a, $b)")
+    }
+  }
+
+  test("jaro_winkler expression is codegen'd and null-propagating") {
+    graft.functions.GraftFunctions.register(spark)
+    // literal pairs constant-fold (proving interpreted eval); null propagates
+    val folded = Seq(("martha", "marhta"), (null, "x")).toDF("a", "b")
+      .selectExpr("jaro_winkler(a, b) AS j")
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(folded.toSeq == Seq(Some(0.9611111111111111), None))
+    // a non-foldable source exercises doGenCode inside WholeStageCodegen
+    val df = Tables.customer(spark, sf)
+      .selectExpr("jaro_winkler(c_name, 'Customer#000000000') AS j")
+    // the "*(n)" prefix marks operators inside a WholeStageCodegen stage
+    assert(df.queryExecution.executedPlan.toString
+      .contains("*(1) Project [jaro_winkler"))
+    assert(df.filter($"j" > 0.9).count() > 0)
+  }
+
+  test("targetEncodeLOO excludes the row's own target; singletons are null") {
+    val df = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "a", 30L),
+      (4L, "b", 7L)).toDF("id", "cat", "y")
+    val got = graft.ext.TrainPrep
+      .targetEncodeLOO(df, "cat", "id", col("y"))
+      .select($"id", $"loo_cents").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(got(1L).contains(25.0) && got(2L).contains(20.0) &&
+      got(3L).contains(15.0) && got(4L).isEmpty)
+  }
+
+  test("winsorize clips to the exact ceil-rank order statistics") {
+    // n=20 values 1..20 in one group: lo = rank ceil(1) = 1, hi = rank 19
+    val df = (1L to 20L).map(i => ("g", i, i)).toDF("grp", "id", "v")
+    val got = graft.ext.TrainPrep.winsorize(df, "grp", "id", col("v"))
+    val lo = got.agg(min($"c_winsor")).as[Long].collect()(0)
+    val hi = got.agg(max($"c_winsor")).as[Long].collect()(0)
+    assert(lo == 1L && hi == 19L)
+    assert(got.filter($"clipped" === 1).count() == 1) // only 20 clipped
+    assert(got.filter($"clipped" === -1).count() == 0)
+  }
+
+  test("hardNegatives never returns the query's own label and is top-k") {
+    graft.functions.GraftFunctions.register(spark)
+    val got = graft.ext.Similarity
+      .hardNegatives(Tables.embeddings(spark, sf), 10, 3)
+    val rows = got.select($"q_id", $"q_label", $"n_label", $"rank")
+      .as[(Long, Int, Int, Int)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (_, ql, nl, _) => ql != nl })
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._4).sorted.toSeq == (1 to rs.length))
+    }
+  }
+
   test("cohortRetention buckets by first-activity bucket with offset-0 size") {
     // buckets of 100us; user 1 starts bucket 0 active in 0,2; user 2 starts
     // bucket 0; user 3 starts bucket 2
