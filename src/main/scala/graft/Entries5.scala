@@ -230,7 +230,23 @@ object Entries5 {
     * duplicate the whole prefix per reference — the same 4^rounds blow-up
     * localCheckpoint prevents on the Spark side (measured: runaway vs
     * 0.5 s at sf0.01). */
-  private def bpeOracle(iters: Int): String = {
+  private def bpeOracle(iters: Int): String =
+    bpeCtes(iters) + "\n" + (1 to iters).map { k =>
+      s"""SELECT CAST($k AS BIGINT) AS step, a AS left_sym, b AS right_sym,
+         |  a || b AS merged, cnt AS pair_freq FROM sel$k""".stripMargin
+    }.mkString("\nUNION ALL\n")
+
+  /** Encode oracle: the same training replay, but the answer is the FINAL
+    * symbol state (encoding the training corpus with its own merge table
+    * reproduces the training end-state). */
+  private[graft] def bpeEncodeOracle(iters: Int): String =
+    bpeCtes(iters) +
+      s"""
+         |SELECT w, freq, CAST(count(*) AS BIGINT) AS n_syms,
+         |  string_agg(sym, '|' ORDER BY pos) AS encoding
+         |FROM s${iters + 1} GROUP BY w, freq""".stripMargin
+
+  private def bpeCtes(iters: Int): String = {
     val rounds = (1 to iters).map { k =>
       s"""n$k AS MATERIALIZED (SELECT w, freq, pos, sym,
          |  lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt FROM s$k),
@@ -257,17 +273,12 @@ object Entries5 {
          |    LEFT JOIN ch$k cp ON cp.w = s.w AND cp.pos = s.pos - 1
          |    WHERE cp.pos IS NULL))""".stripMargin
     }.mkString(",\n")
-    val out = (1 to iters).map { k =>
-      s"""SELECT CAST($k AS BIGINT) AS step, a AS left_sym, b AS right_sym,
-         |  a || b AS merged, cnt AS pair_freq FROM sel$k""".stripMargin
-    }.mkString("\nUNION ALL\n")
     s"""WITH w0 AS MATERIALIZED (
        |  SELECT w, count(*) AS freq FROM (
        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
        |  WHERE regexp_matches(w, '^[a-z]+${"$"}') GROUP BY w),
        |s1 AS MATERIALIZED (SELECT w, freq, i AS pos, substr(w, i, 1) AS sym
        |  FROM w0, (SELECT unnest(range(1, 256)) AS i) t WHERE i <= len(w)),
-       |$rounds
-       |$out""".stripMargin
+       |$rounds""".stripMargin
   }
 }

@@ -293,7 +293,92 @@ object Entries6 {
               |  n_label, cos
               |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
               |        ORDER BY cos DESC, n_id ASC) AS rank FROM scored)
-              |WHERE rank <= 3""".stripMargin))
+              |WHERE rank <= 3""".stripMargin)),
+
+    // Sorted-neighborhood record linkage (the third candidate-generation
+    // strategy vs LSH banding and SSJoin prefix filtering): block by first
+    // word, sort by 40-char prefix, candidates = lead offsets 1..2,
+    // verified by the codegen'd Jaro-Winkler at >= 0.95. The oracle
+    // generates candidates by rank-difference self-join over the SAME
+    // order — an independent formulation of the same neighborhood.
+    Q("q135_sorted_neighborhood",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        Dedup.sortedNeighborhoodPairs(Tables.documents(s, d), 2, 0.95)
+      },
+      Some("""WITH b AS (
+             |  SELECT doc_id, substr(text, 1, 40) AS t40,
+             |    string_split(text, ' ')[1] AS blk
+             |  FROM documents),
+             |o AS (SELECT *, row_number() OVER (PARTITION BY blk
+             |        ORDER BY t40, doc_id) AS rn
+             |      FROM b),
+             |pairs AS (
+             |  SELECT a.blk, a.doc_id AS d1, b.doc_id AS d2,
+             |    jaro_winkler_similarity(a.t40, b.t40) AS jw
+             |  FROM o a JOIN o b ON a.blk = b.blk
+             |    AND b.rn - a.rn BETWEEN 1 AND 2)
+             |SELECT blk, d1, d2, jw FROM pairs
+             |WHERE jw >= 0.95""".stripMargin)),
+
+    // Positional inverted index, one row per (term, doc): occurrence count,
+    // canonical sorted position list, document frequency.
+    Q("q136_posting_lists",
+      (s, d) => TextAnalysis.postingLists(Tables.documents(s, d)),
+      Some("""WITH tp AS (
+             |  SELECT doc_id, w[i] AS term, i - 1 AS p
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS w
+             |        FROM documents) d,
+             |       (SELECT unnest(range(1, 1000)) AS i) t
+             |  WHERE i <= len(w)),
+             |pd AS (
+             |  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS n_occ,
+             |    string_agg(p, ',' ORDER BY p) AS positions
+             |  FROM tp GROUP BY term, doc_id)
+             |SELECT term, doc_id, n_occ, positions,
+             |  CAST(count(*) OVER (PARTITION BY term) AS BIGINT) AS n_docs
+             |FROM pd""".stripMargin)),
+
+    // Phrase search: every occurrence of the corpus's most frequent bigram
+    // (count desc, text asc) via the positional index joined with itself at
+    // distance exactly 1 — data-driven, no hard-coded phrase.
+    Q("q137_phrase_search",
+      (s, d) => TextAnalysis.phraseSearch(Tables.documents(s, d)),
+      Some("""WITH tp AS (
+             |  SELECT doc_id, w[i] AS term, i - 1 AS p
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS w
+             |        FROM documents) d,
+             |       (SELECT unnest(range(1, 1000)) AS i) t
+             |  WHERE i <= len(w)),
+             |bg AS (
+             |  SELECT term, nxt, count(*) AS cnt FROM (
+             |    SELECT doc_id, term, p,
+             |      lead(term) OVER (PARTITION BY doc_id ORDER BY p) AS nxt
+             |    FROM tp)
+             |  WHERE nxt IS NOT NULL GROUP BY 1, 2),
+             |ph AS (SELECT term AS w1, nxt AS w2 FROM bg
+             |       ORDER BY cnt DESC, term ASC, nxt ASC LIMIT 1)
+             |SELECT t1.doc_id, ph.w1, ph.w2,
+             |  CAST(count(*) AS BIGINT) AS n_matches,
+             |  min(t1.p) AS first_pos
+             |FROM tp t1 JOIN ph ON t1.term = ph.w1
+             |JOIN tp t2 ON t2.doc_id = t1.doc_id AND t2.p = t1.p + 1
+             |  AND t2.term = ph.w2
+             |GROUP BY 1, 2, 3""".stripMargin)),
+
+    // Tokenizer APPLY: encode the corpus's word types with the 6-round
+    // trained merge table — the other half of the q121 BPE loop. The
+    // oracle replays training and reads the end-state segmentation.
+    Q("q138_bpe_encode",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val merges = BpeTrainer.train(docs, 6).collect()
+          .sortBy(_.getAs[Long]("step"))
+          .map(r => (r.getAs[String]("left_sym"),
+            r.getAs[String]("right_sym"))).toSeq
+        BpeTrainer.encode(docs, merges)
+      },
+      Some(Entries5.bpeEncodeOracle(6)))
   )
 
   /** Generated DuckDB oracle for [[Curation.kCore]]: `rounds` unrolled

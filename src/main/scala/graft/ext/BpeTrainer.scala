@@ -58,29 +58,7 @@ object BpeTrainer {
         val (a, b, cnt) =
           (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += Row(step.toLong, a, b, a + b, cnt)
-        // greedy left-to-right application: runs of consecutive matching
-        // positions (possible only when a == b) merge at odd ranks
-        val matches = withNext
-          .filter(col("sym") === lit(a) && col("nxt") === lit(b))
-          .select(col("w"), col("pos"))
-          .withColumn("grp", col("pos") - row_number().over(wOrd))
-        val chosen = matches
-          .withColumn("rk", row_number().over(
-            Window.partitionBy(col("w"), col("grp")).orderBy(col("pos"))))
-          .filter(col("rk") % 2 === 1)
-          .select(col("w").as("cw"), col("pos").as("cpos"))
-        seq = seq
-          .join(chosen, col("w") === col("cw") && col("pos") === col("cpos"),
-            "left")
-          .withColumn("hit", col("cpos").isNotNull)
-          .drop("cw", "cpos")
-          .join(chosen, col("w") === col("cw") && col("pos") === col("cpos") + 1,
-            "left")
-          .filter(col("cpos").isNull) // row after a merge site: absorbed
-          .select(col("w"), col("freq"), col("pos"),
-            when(col("hit"), lit(a + b)).otherwise(col("sym")).as("sym"))
-          .withColumn("pos", row_number().over(wOrd))
-          .localCheckpoint()
+        seq = applyMerge(seq, a, b)
       }
     }
     spark.createDataFrame(
@@ -91,5 +69,54 @@ object BpeTrainer {
         StructField("right_sym", StringType, nullable = false),
         StructField("merged", StringType, nullable = false),
         StructField("pair_freq", LongType, nullable = false))))
+  }
+
+  /** Greedy left-to-right application of ONE merge (a, b) to the symbol
+    * state: runs of consecutive matching positions (possible only when
+    * a == b) merge at odd ranks; the absorbed right-hand rows drop and
+    * positions re-index. Window-only on the hot path — the chosen-position
+    * set joins back at candidate size. */
+  private def applyMerge(seq: DataFrame, a: String, b: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("w")).orderBy(col("pos"))
+    val withNext = seq.withColumn("nxt", lead(col("sym"), 1).over(wOrd))
+    val matches = withNext
+      .filter(col("sym") === lit(a) && col("nxt") === lit(b))
+      .select(col("w"), col("pos"))
+      .withColumn("grp", col("pos") - row_number().over(wOrd))
+    val chosen = matches
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("w"), col("grp")).orderBy(col("pos"))))
+      .filter(col("rk") % 2 === 1)
+      .select(col("w").as("cw"), col("pos").as("cpos"))
+    seq
+      .join(chosen, col("w") === col("cw") && col("pos") === col("cpos"),
+        "left")
+      .withColumn("hit", col("cpos").isNotNull)
+      .drop("cw", "cpos")
+      .join(chosen, col("w") === col("cw") && col("pos") === col("cpos") + 1,
+        "left")
+      .filter(col("cpos").isNull) // row after a merge site: absorbed
+      .select(col("w"), col("freq"), col("pos"),
+        when(col("hit"), lit(a + b)).otherwise(col("sym")).as("sym"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("w")).orderBy(col("pos"))))
+      .localCheckpoint()
+  }
+
+  /** Tokenizer APPLY: encode the corpus's word types with an ordered merge
+    * list (the output of [[train]]) — the other half of the BPE loop. Each
+    * merge replays the same greedy application used during training, so
+    * encoding the training corpus with its own merge table reproduces the
+    * training end-state exactly (which is what the generated SQL oracle
+    * replays). Output: one row per word type with its final segmentation.
+    */
+  def encode(documents: DataFrame,
+             merges: Seq[(String, String)]): DataFrame = {
+    var seq = initialSymbols(documents).localCheckpoint()
+    merges.foreach { case (a, b) => seq = applyMerge(seq, a, b) }
+    seq.groupBy(col("w"), col("freq"))
+      .agg(count(lit(1)).as("n_syms"),
+        array_join(transform(array_sort(collect_list(struct(col("pos"),
+          col("sym")))), x => x.getField("sym")), "|").as("encoding"))
   }
 }

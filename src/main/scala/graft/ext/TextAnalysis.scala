@@ -144,4 +144,63 @@ object TextAnalysis {
       col("doc_id"),
       graft.functions.GraftFunctions.asciiFingerprint(col("text")).as("fp"))
   }
+
+  /** One row per (term, doc) of a positional inverted index with posting
+    * positions. */
+  def termPositions(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .withColumnRenamed("col", "term").withColumnRenamed("pos", "p")
+
+  /** Positional inverted index, flattened one row per (term, doc): the
+    * occurrence count, the 0-based positions as a canonical comma-joined
+    * string (sorted — deterministic, hashable by any engine), and the
+    * term's document frequency.
+    *
+    * ONE exchange on (term, doc_id) builds the postings;
+    * `HashPartitioning(term, doc_id)` satisfies the df window's
+    * `ClusteredDistribution(term)`... it does NOT — the df count rides a
+    * second term-keyed window exchange, which at index-build scale is the
+    * standard second pass (df is also derivable map-side from the posting
+    * rows at ~1 row per (term, doc)).
+    */
+  def postingLists(documents: DataFrame): DataFrame = {
+    val perDoc = termPositions(documents)
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("n_occ"),
+        array_join(transform(array_sort(collect_list(col("p"))),
+          _.cast("string")), ",").as("positions"))
+    perDoc.withColumn("n_docs",
+      count(lit(1)).over(Window.partitionBy(col("term"))))
+  }
+
+  /** Phrase search over the positional index: finds every occurrence of the
+    * corpus's single most frequent bigram (count desc, text asc tie-break)
+    * by joining the term-position index with itself at distance exactly 1 —
+    * the classic positional-index phrase query, fully data-driven (no
+    * hard-coded phrase).
+    *
+    * The 1-row argmax phrase broadcasts to both sides, so the positional
+    * self-join degenerates to two pre-filtered (tiny) position lists
+    * equi-joined on (doc, pos+1) — never a full index self-join.
+    */
+  def phraseSearch(documents: DataFrame): DataFrame = {
+    val toks = termPositions(documents)
+    val phrase = toks
+      .withColumn("nxt",
+        lead(col("term"), 1).over(
+          Window.partitionBy(col("doc_id")).orderBy(col("p"))))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("term"), col("nxt")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term").asc, col("nxt").asc)
+      .limit(1)
+      .select(col("term").as("w1"), col("nxt").as("w2"))
+    toks.join(broadcast(phrase), col("term") === col("w1"))
+      .select(col("doc_id"), col("p"), col("w1"), col("w2"))
+      .join(toks.select(col("doc_id"), (col("p") - 1).as("p"),
+        col("term").as("t2")), Seq("doc_id", "p"))
+      .filter(col("t2") === col("w2"))
+      .groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n_matches"), min(col("p")).as("first_pos"))
+  }
 }

