@@ -605,7 +605,8 @@ object SparkEntry {
       Entries3.all.map(q => q.name -> q.fn) ++
       Entries4.all.map(q => q.name -> q.fn) ++
       Entries5.all.map(q => q.name -> q.fn) ++
-      Entries6.all.map(q => q.name -> q.fn)).toMap
+      Entries6.all.map(q => q.name -> q.fn) ++
+      Entries7.all.map(q => q.name -> q.fn)).toMap
 
   def oracleSql: Map[String, String] =
     (all.flatMap(q => q.sql.map(q.name -> _)) ++
@@ -613,5 +614,6 @@ object SparkEntry {
       Entries3.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries4.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries5.all.flatMap(q => q.sql.map(q.name -> _)) ++
-      Entries6.all.flatMap(q => q.sql.map(q.name -> _))).toMap
+      Entries6.all.flatMap(q => q.sql.map(q.name -> _)) ++
+      Entries7.all.flatMap(q => q.sql.map(q.name -> _))).toMap
 }

@@ -21,7 +21,9 @@ object GraftFunctions {
     "ascii_fingerprint" -> (exprs => AsciiFingerprint(exprs.head)),
     "graft_dot" -> (exprs => ArrayDot(exprs(0), exprs(1))),
     "jaro_winkler" -> (exprs => JaroWinkler(exprs(0), exprs(1))),
-    "graft_word_stats" -> (exprs => WordStats(exprs.head, stopwordArg(exprs))))
+    "graft_word_stats" -> (exprs => WordStats(exprs.head, stopwordArg(exprs))),
+    "bitmap_sketch" -> (exprs => BitmapSketchAgg(exprs.head)),
+    "bitmap_merge_count" -> (exprs => BitmapMergeCountAgg(exprs.head)))
 
   /** Second arg of graft_word_stats is a foldable array of string literals
     * (the stopword vocabulary) — evaluated once at resolution time. */
@@ -67,6 +69,12 @@ object GraftFunctions {
 
   def jaroWinkler(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function("jaro_winkler", a, b)
+
+  def bitmapSketch(c: Column): Column =
+    org.apache.spark.sql.functions.call_function("bitmap_sketch", c)
+
+  def bitmapMergeCount(c: Column): Column =
+    org.apache.spark.sql.functions.call_function("bitmap_merge_count", c)
 
   def wordStats(c: Column, stopwords: Seq[String]): Column =
     org.apache.spark.sql.functions.call_function("graft_word_stats", c,

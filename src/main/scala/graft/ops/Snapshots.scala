@@ -171,4 +171,41 @@ object Snapshots {
       rightVals.map(rAttr))
     GraftInternal.ofRows(spark, node)
   }
+
+  /** One feature group for [[pitJoin]]: a timestamped feature table keyed
+    * like the entity frame, its value columns, and a max-age TTL. */
+  case class FeatureGroup(df: DataFrame, vals: Seq[String], ttlUs: Long)
+
+  /** Multi-feature-group POINT-IN-TIME join with max-age TTL — the core
+    * feature-store retrieval operation (Feast/Tecton "historical
+    * retrieval"): for each entity row (key, event ts), attach from EVERY
+    * feature group the latest feature row at-or-before the event ts, but
+    * only if it is fresher than the group's TTL; stale or missing features
+    * surface as NULL, never as leaked-future or expired values.
+    *
+    * The reference's serving path is the single-table no-TTL special case
+    * (reference: serving/feature_service.py:42-46 — latest row ≤ ts with no
+    * staleness bound). TTL is what makes the semantics production-grade:
+    * without it, a customer dormant for a year would be scored on
+    * year-old features.
+    *
+    * Composition: one backward [[asOfJoin]] per group (each a single
+    * key-shuffle + sort, no range explosion), carrying the matched right
+    * timestamp inside the payload struct so the age check compares the
+    * ACTUAL matched row's ts — then a per-column `when(age ≤ ttl)` mask.
+    * Groups chain left-to-right; entity grain is preserved throughout
+    * (each as-of join emits exactly one row per left row).
+    */
+  def pitJoin(entities: DataFrame, keyCol: String, tsCol: String,
+              groups: Seq[FeatureGroup]): DataFrame =
+    groups.zipWithIndex.foldLeft(entities) { case (acc, (g, i)) =>
+      val ftsCol = s"__fts_$i"
+      val withTs = g.df.withColumn(ftsCol, col(tsCol))
+      val joined = asOfJoin(acc, withTs, keyCol, tsCol, g.vals :+ ftsCol)
+      val fresh = col(ftsCol).isNotNull &&
+        (col(tsCol) - col(ftsCol)) <= g.ttlUs
+      g.vals.foldLeft(joined) { (d, v) =>
+        d.withColumn(v, when(fresh, col(v)))
+      }.drop(ftsCol)
+    }
 }

@@ -350,4 +350,67 @@ class ScalePostureSpec extends SparkSpec {
         "rows per group):\n" +
         plan.linesIterator.filter(_.contains("WindowGroupLimit")).mkString("\n"))
   }
+
+  test("q139 decayed features: events collapse to weekly rows before the fan-out") {
+    val df = SparkEntry.queries("q139_decayed_features")(spark, sf)
+    val plan = planOf(df)
+    // exactly two shuffles: raw→(user,week) partial-agg, fan-out→(user,week+k)
+    assert(countExchanges(plan) == 2,
+      "decayed features must shuffle exactly twice:\n" +
+        plan.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    // the explode (fan-out ×9) must sit ABOVE the first aggregation — i.e.
+    // it multiplies user-weeks, never raw events. ids grow leaf→root.
+    def firstId(pat: String): Int =
+      (pat + """ \((\d+)\)""").r.findAllMatchIn(plan).map(_.group(1).toInt).min
+    assert(firstId("Generate") > firstId("HashAggregate"),
+      "explode must run after the weekly pre-aggregation")
+  }
+
+  test("q140 sketch rollup: dim broadcast + two object-aggregate shuffles") {
+    val df = SparkEntry.queries("q140_sketch_rollup")(spark, sf)
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastHashJoin"),
+      "customer dim must broadcast:\n" +
+        plan.linesIterator.filter(_.contains("Join")).mkString("\n"))
+    assert(!plan.contains("SortMergeJoin"), "no shuffle join for the dim")
+    // fine-cell sketch agg + nation rollup agg: two shuffles, both partial-
+    // aggregated map-side (TypedImperativeAggregate → ObjectHashAggregate)
+    assert(countExchanges(plan) == 2,
+      plan.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    assert(plan.contains("ObjectHashAggregate"),
+      "bitmap sketches must run in ObjectHashAggregate")
+  }
+
+  test("q141 join estimate: histograms aggregate before the full-outer join") {
+    val df = SparkEntry.queries("q141_join_estimate")(spark, sf)
+    val plan = planOf(df)
+    def ids(pat: String): Seq[Int] =
+      (pat + """ \((\d+)\)""").r.findAllMatchIn(plan).map(_.group(1).toInt).toSeq
+    val joinIds = ids("SortMergeJoin FullOuter")
+    assert(joinIds.nonEmpty, "expected a full-outer merge of the histograms:\n" +
+      plan.linesIterator.filter(_.contains("Join")).mkString("\n"))
+    // both histogram aggregations run BELOW the join (on the reduced keys),
+    // and the single-row summary is the only thing above it
+    assert(ids("HashAggregate").count(_ < joinIds.min) >= 4,
+      "per-key histograms (partial+final × 2 sides) must precede the join")
+  }
+
+  test("q143 zone map: one shuffle builds the whole stats table") {
+    val df = SparkEntry.queries("q143_zone_map")(spark, sf)
+    val plan = planOf(df)
+    assert(countExchanges(plan) == 1,
+      "zone map must be a single aggregation pass:\n" +
+        plan.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+  }
+
+  test("q144 PIT join: no range-join explosion — only key shuffles + windows") {
+    val df = SparkEntry.queries("q144_pit_join")(spark, sf)
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "PIT join must not plan a nested-loop/cartesian range join")
+    // two chained as-of joins = two Window passes over key-partitioned data
+    assert(plan.linesIterator.count(_.matches("""\(\d+\) Window.*""")) == 2,
+      plan.linesIterator.filter(_.contains("Window")).mkString("\n"))
+  }
 }
