@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.ops.{Decay, JoinStats, Snapshots, ZoneMap}
+import graft.ext.Similarity
 import graft.ExtEntries.Q
 
 /** Round-4 batch 3: feature-store core retrieval (decayed features,
@@ -13,6 +14,50 @@ object Entries7 {
 
   // zone-map query box: l_partkey ∈ [256, 1023] × ship epoch-day ∈ [9000, 9365]
   private val (pkLo, pkHi, dayLo, dayHi) = (256L, 1023L, 9000L, 9365L)
+
+  // ---------------------------------------------------------- PQ oracle SQL
+
+  /** Sequential-fold squared L2 over `dim`-wide double lists (mirror of
+    * Similarity.l2sq: diff then product-fold; operands already DOUBLE). */
+  private def l2Sql(a: String, b: String, dim: Int): String =
+    s"list_reduce(list_transform(range(1, ${dim + 1}), " +
+      s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (x, y) -> x + y)"
+
+  /** Full PQ training replay (mirror of Similarity.pqFit with m=4,
+    * subDim=16, seedEvery=64, iters=2): subspace slices → seed codebooks →
+    * argmin assign → round-to-micros exact refit → final assign. */
+  private val pqCtes: String = {
+    val l2vc = l2Sql("sub.v", "c.c", 16)
+    s"""sub AS (
+       |  SELECT vec_id, s,
+       |    list_transform(embedding[(s*16+1):(s*16+16)],
+       |      x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings, (SELECT unnest(range(0, 4)) AS s) t),
+       |cent0 AS (SELECT s, vec_id AS cluster, v AS c
+       |          FROM sub WHERE vec_id % 64 = 0),
+       |a0 AS (
+       |  SELECT vec_id, s, v, cluster FROM (
+       |    SELECT sub.vec_id, sub.s, sub.v, c.cluster,
+       |      row_number() OVER (PARTITION BY sub.vec_id, sub.s
+       |        ORDER BY $l2vc ASC, c.cluster ASC) AS rn
+       |    FROM sub JOIN cent0 c ON sub.s = c.s)
+       |  WHERE rn = 1),
+       |cent1 AS (
+       |  SELECT s, cluster, array_agg(cx ORDER BY dim) AS c FROM (
+       |    SELECT s, cluster, dim,
+       |      CAST(sum(CAST(round(x * 1000000) AS BIGINT)) AS BIGINT)
+       |        / 1000000.0 / count(*) AS cx
+       |    FROM (SELECT s, cluster, unnest(v) AS x,
+       |            generate_subscripts(v, 1) AS dim FROM a0)
+       |    GROUP BY s, cluster, dim) GROUP BY s, cluster),
+       |a1 AS (
+       |  SELECT vec_id, s, v, cluster FROM (
+       |    SELECT sub.vec_id, sub.s, sub.v, c.cluster,
+       |      row_number() OVER (PARTITION BY sub.vec_id, sub.s
+       |        ORDER BY $l2vc ASC, c.cluster ASC) AS rn
+       |    FROM sub JOIN cent1 c ON sub.s = c.s)
+       |  WHERE rn = 1)""".stripMargin
+  }
 
   val all: Seq[Q] = Seq(
 
@@ -110,6 +155,43 @@ object Entries7 {
              |  CASE WHEN j1.ts_us - c.ts_us <= 86400000000 THEN c.click_cnt
              |  END AS click_cnt
              |FROM j1 ASOF LEFT JOIN c
-             |  ON j1.user_id = c.user_id AND j1.ts_us >= c.ts_us""".stripMargin))
+             |  ON j1.user_id = c.user_id AND j1.ts_us >= c.ts_us""".stripMargin)),
+
+    // Product quantization codes: 64-dim float vectors → 4 subspace codes
+    // (deterministic per-subspace L2 k-means, 1 exact refit) — the
+    // memory-compression ANN path (256 B → 4 codes). Full training replayed
+    // by the oracle.
+    Q("q142_pq_codes",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        Similarity.pqCodes(Tables.embeddings(s, d), 4, 16, 64, 2)
+      },
+      Some(s"""WITH $pqCtes
+              |SELECT vec_id, s, cluster AS code FROM a1""".stripMargin)),
+
+    // ADC top-5 per query from the PQ codes: per-query distance tables over
+    // the codebooks, approx distance = ordered fold of 4 table lookups.
+    Q("q145_pq_adc",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        Similarity.pqAdcTopK(Tables.embeddings(s, d), 4, 16, 64, 2, 3, 5)
+      },
+      Some(s"""WITH $pqCtes,
+              |qd AS (
+              |  SELECT sub.vec_id AS q_id, sub.s, c.cluster,
+              |    ${l2Sql("sub.v", "c.c", 16)} AS d
+              |  FROM sub JOIN cent1 c ON sub.s = c.s WHERE sub.vec_id < 3),
+              |pairs AS (
+              |  SELECT qd.q_id, a1.vec_id AS n_id,
+              |    list_reduce(list(qd.d ORDER BY qd.s), (x, y) -> x + y) AS adist
+              |  FROM a1 JOIN qd ON a1.s = qd.s AND a1.cluster = qd.cluster
+              |  WHERE qd.q_id != a1.vec_id
+              |  GROUP BY 1, 2)
+              |SELECT q_id, n_id, adist, rnk FROM (
+              |  SELECT q_id, n_id, adist,
+              |    CAST(row_number() OVER (PARTITION BY q_id
+              |      ORDER BY adist ASC, n_id ASC) AS BIGINT) AS rnk
+              |  FROM pairs)
+              |WHERE rnk <= 5""".stripMargin))
   )
 }

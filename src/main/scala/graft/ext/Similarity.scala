@@ -247,4 +247,106 @@ object Similarity {
       .select(col("q_id"), col("q_label"), col("rank").cast("int").as("rank"),
         col("n_id"), col("n_label"), col("cos"))
   }
+
+  // ------------------------------------------------------------------ PQ
+
+  /** Squared L2 with the same fold discipline as [[dot]]: elementwise diff,
+    * then the codegen'd sequential product-fold — the oracle reproduces
+    * (a[i]-b[i])·(a[i]-b[i]) summed left-to-right bit-for-bit. */
+  private def l2sq(a: Column, b: Column): Column = {
+    val diff = zip_with(a, b, (x, y) => x - y)
+    dot(diff, diff)
+  }
+
+  /** Slice each embedding into `m` contiguous `subDim`-wide double
+    * subvectors: one row per (vec_id, subspace). */
+  private def subspaces(embeddings: DataFrame, m: Int, subDim: Int): DataFrame =
+    embeddings
+      .select(col("vec_id"),
+        explode(sequence(lit(0L), lit((m - 1).toLong))).as("s"),
+        col("embedding"))
+      .withColumn("v", expr(
+        s"transform(slice(embedding, s * $subDim + 1, $subDim), x -> CAST(x AS DOUBLE))"))
+      .select(col("vec_id"), col("s"), col("v"))
+
+  /** Product quantization — the memory-compression scale path for ANN that
+    * complements IVF ([[ivfTopK]]): a 64-dim float vector (256 B) becomes m
+    * small codes (m bytes), and distances are answered from per-query
+    * lookup tables without touching raw vectors.
+    *
+    * Codebooks: per subspace, k-means under squared-L2 with the same
+    * deterministic recipe as [[kmeans]] — seeds are the subvectors of every
+    * `seedEvery`-th vec_id, refits average EXACTLY by summing
+    * round-to-micros integers. Assignment ties break on cluster id asc.
+    *
+    * Returns (codes, codebooks): codes = (vec_id, s, code); codebooks =
+    * (s, cluster, c: array<double>). Scale shape: codebooks are tiny and
+    * BROADCAST; assignment is a map-side per-row argmin — one narrow pass
+    * over the corpus per refit, no shuffle of the vectors themselves
+    * (row_number's window shuffles only (vec_id, s, code-candidate) rows).
+    */
+  def pqFit(embeddings: DataFrame, m: Int, subDim: Int, seedEvery: Int,
+            iters: Int): (DataFrame, DataFrame) = {
+    val sub = subspaces(embeddings, m, subDim)
+    var cent = sub.filter(col("vec_id") % seedEvery === 0)
+      .select(col("s"), col("vec_id").as("cluster"), col("v").as("c"))
+    def assign(ct: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("vec_id"), col("s"))
+        .orderBy(col("d").asc, col("cluster").asc)
+      sub.join(broadcast(ct), Seq("s"))
+        .withColumn("d", l2sq(col("v"), col("c")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("s"), col("v"), col("cluster"))
+    }
+    var assigned = assign(cent)
+    for (_ <- 1 until iters) {
+      cent = assigned
+        .select(col("s"), col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
+        .withColumn("xi", round(col("x") * 1000000).cast("long"))
+        .groupBy(col("s"), col("cluster"), col("dim"))
+        .agg((sum(col("xi")) / lit(1000000.0) / count(lit(1))).as("cx"))
+        .groupBy(col("s"), col("cluster"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("cx"))))
+          .getField("cx").as("c"))
+      assigned = assign(cent)
+    }
+    (assigned.select(col("vec_id"), col("s"), col("cluster").as("code")), cent)
+  }
+
+  /** PQ codes per (vec_id, subspace) — the compressed representation. */
+  def pqCodes(embeddings: DataFrame, m: Int, subDim: Int, seedEvery: Int,
+              iters: Int): DataFrame =
+    pqFit(embeddings, m, subDim, seedEvery, iters)._1
+
+  /** Asymmetric-distance (ADC) approximate top-k: per query, one small
+    * distance table (query-subvector → every codebook centroid), then every
+    * corpus vector's approx distance is the SUM of m table lookups on its
+    * codes — sorted ascending, ties on neighbor id.
+    *
+    * The per-pair sum folds the m per-subspace distances in subspace order
+    * (sorted struct array), so the float result is engine-deterministic.
+    * Scale shape: distance tables are (queries × m × k) rows — broadcast;
+    * the corpus side streams map-side through the join; the only shuffle is
+    * the per-pair regroup + the per-query top-k window. */
+  def pqAdcTopK(embeddings: DataFrame, m: Int, subDim: Int, seedEvery: Int,
+                iters: Int, nQueries: Int, k: Int): DataFrame = {
+    val (codes, cent) = pqFit(embeddings, m, subDim, seedEvery, iters)
+    val qsub = subspaces(embeddings.filter(col("vec_id") < nQueries), m, subDim)
+      .select(col("vec_id").as("q_id"), col("s"), col("v").as("qv"))
+    val qd = qsub.join(broadcast(cent), Seq("s"))
+      .withColumn("d", l2sq(col("qv"), col("c")))
+      .select(col("q_id"), col("s"), col("cluster").as("code"), col("d"))
+    val pairs = codes.join(broadcast(qd), Seq("s", "code"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(array_sort(collect_list(struct(col("s"), col("d")))).as("ds"))
+      .withColumn("adist",
+        aggregate(col("ds").getField("d"), lit(0.0), (acc, x) => acc + x))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adist").asc, col("vec_id").asc)
+    pairs.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("vec_id").as("n_id"), col("adist"), col("rnk"))
+  }
 }

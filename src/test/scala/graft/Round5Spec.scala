@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import graft.functions.{BitmapCodec, GraftFunctions}
+import graft.ext.Similarity
 import graft.ops.{Decay, JoinStats, Snapshots, ZoneMap}
 
 /** Round-4 batch 3: decayed features, bitmap sketches, join estimation,
@@ -112,6 +113,65 @@ class Round5Spec extends SparkSpec {
     assert(zm.exists(!_.getAs[Boolean]("kept")), "no chunk was pruned")
     // chunk stats cover all rows exactly once
     assert(zm.map(_.getAs[Long]("n_rows")).sum === base.count())
+  }
+
+  test("PQ codes and ADC top-k match an independent scala replay") {
+    GraftFunctions.register(spark)
+    val (m, subDim, seedEvery, nQ, k) = (4, 16, 64, 3, 5)
+    val embs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).toArray.map(_.toDouble)).toMap
+
+    def sub(v: Array[Double], s: Int): Array[Double] =
+      v.slice(s * subDim, (s + 1) * subDim)
+    def l2(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
+      acc
+    }
+    type Cent = Map[(Int, Long), Array[Double]] // (s, cluster) -> centroid
+    val cent0: Cent = (for {
+      (id, v) <- embs.toSeq if id % seedEvery == 0; s <- 0 until m
+    } yield (s, id) -> sub(v, s)).toMap
+    def assign(cent: Cent): Map[(Long, Int), Long] =
+      (for { (id, v) <- embs.toSeq; s <- 0 until m } yield {
+        val best = cent.collect { case ((cs, cl), c) if cs == s =>
+          (l2(sub(v, s), c), cl) }.minBy(identity)
+        (id, s) -> best._2
+      }).toMap
+    val a0 = assign(cent0)
+    val cent1: Cent = a0.toSeq.groupBy { case ((_, s), cl) => (s, cl) }
+      .map { case ((s, cl), members) =>
+        val vs = members.map { case ((id, _), _) => sub(embs(id), s) }
+        (s, cl) -> Array.tabulate(subDim) { d =>
+          vs.map(v => math.round(v(d) * 1000000)).sum / 1000000.0 / vs.size
+        }
+      }
+    val expCodes = assign(cent1)
+
+    val gotCodes = Similarity.pqCodes(
+      Tables.embeddings(spark, sf), m, subDim, seedEvery, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1).toInt) -> r.getLong(2))
+      .toMap
+    assert(gotCodes === expCodes)
+    // compression is real: >1 distinct code per subspace, ≪ corpus size
+    val perSub = expCodes.groupBy(_._1._2).map(_._2.values.toSet.size)
+    assert(perSub.forall(n => n > 1 && n <= embs.size / seedEvery + 1))
+
+    val expAdc = (0L until nQ).flatMap { q =>
+      val scored = embs.keys.filter(_ != q).map { v =>
+        var acc = 0.0
+        for (s <- 0 until m) acc += l2(sub(embs(q), s), cent1((s, expCodes((v, s)))))
+        (v, acc)
+      }.toSeq.sortBy { case (v, d) => (d, v) }.take(k)
+      scored.zipWithIndex.map { case ((v, d), i) => (q, v) -> ((d, i + 1L)) }
+    }.toMap
+    val gotAdc = Similarity.pqAdcTopK(
+      Tables.embeddings(spark, sf), m, subDim, seedEvery, 2, nQ, k)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getLong(3)))).toMap
+    assert(gotAdc === expAdc)
   }
 
   test("pitJoin: TTL masks stale features; values match a brute-force as-of") {
