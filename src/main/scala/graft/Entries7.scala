@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ops.{Decay, JoinStats, Snapshots, ZoneMap}
+import graft.ops.{Decay, JoinStats, Retail, Snapshots, ZoneMap}
 import graft.ext.Similarity
 import graft.ExtEntries.Q
 
@@ -115,8 +115,9 @@ object Entries7 {
         Tables.lineitem(s, d).select(
           (col("l_orderkey") * 10 + col("l_linenumber")).as("id"),
           col("l_partkey").as("x"),
-          (graft.ops.Relational.epochUs(col("l_shipdate")) / 86400000000L)
-            .cast("long").as("y")),
+          graft.ops.Relational.epochUs(col("l_shipdate")).as("eus"))
+          // integer DIV (not `/`, which is double division) = oracle's //
+          .withColumn("y", expr("eus DIV 86400000000")).drop("eus"),
         pkLo, pkHi, dayLo, dayHi),
       Some(ZoneMap.zoneMapPruneSql(pkLo, pkHi, dayLo, dayHi))),
 
@@ -192,6 +193,19 @@ object Entries7 {
               |    CAST(row_number() OVER (PARTITION BY q_id
               |      ORDER BY adist ASC, n_id ASC) AS BIGINT) AS rnk
               |  FROM pairs)
-              |WHERE rnk <= 5""".stripMargin))
+              |WHERE rnk <= 5""".stripMargin)),
+
+    // RFM quintile segmentation: per-customer recency/frequency/monetary
+    // from integer epochs and cents, ntile(5) scores with id tie-breaks.
+    Q("q146_rfm",
+      (s, d) => Retail.rfmScores(Tables.orders(s, d)),
+      Some(Retail.rfmScoresSql)),
+
+    // Market-basket association rules with a-priori pruning: infrequent
+    // items are removed BEFORE the per-order pair expansion; support/
+    // confidence/lift from exact BIGINT counts.
+    Q("q147_assoc_rules",
+      (s, d) => Retail.assocRules(Tables.lineitem(s, d), 20L, 3L),
+      Some(Retail.assocRulesSql(20L, 3L)))
   )
 }

@@ -38,7 +38,10 @@ object Decay {
   def decayedFeatures(df: DataFrame): DataFrame = {
     val weekly = df
       .select(col("user_id"),
-        (col("ts_us") / WeekUs).cast("long").as("week"), // ts_us ≥ 0: DIV ok
+        // integer DIV, never `/` (double) — a quotient that double-rounds
+        // up to an exact integer would land events in the next week vs the
+        // oracle's floor division (ts_us ≥ 0, so DIV == floor)
+        expr(s"ts_us DIV $WeekUs").as("week"),
         round(col("value") * 100).cast("long").as("cents"))
       .groupBy(col("user_id"), col("week"))
       .agg(sum(col("cents")).as("cents"), count(lit(1)).as("n"))

@@ -1,0 +1,138 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Retail-domain analytics the reference's feature pipeline points at but
+  * never ships: RFM segmentation and market-basket association rules.
+  * Both are integer-exact with one pinned double expression at the end.
+  */
+object Retail {
+
+  /** RFM quintile scoring — the classic retail customer segmentation:
+    * Recency (days since last order, vs the corpus max date), Frequency
+    * (order count), Monetary (lifetime cents). Each metric is scored 1–5
+    * by `ntile(5)` with a customer-id tie-break for determinism (reference
+    * computes per-customer aggregates of exactly this shape, without the
+    * scoring: jobs/build_feature_views.py:41-58).
+    *
+    * Scale shape: orders collapse to one row per customer FIRST (partial-
+    * aggregated shuffle); the three ntile windows run on |customers| rows.
+    * A global ntile is a single-partition sort of the reduced table — at
+    * true 100 TB (billions of customers) swap in quantile-bin thresholds
+    * from approx_percentile (q57's shape) instead; the quintile semantics
+    * here follow the standard exact definition.
+    *
+    * orders: (o_custkey, o_orderdate ts, o_totalprice double). */
+  def rfmScores(orders: DataFrame): DataFrame = {
+    val perCust = orders
+      .select(col("o_custkey").as("customer_id"),
+        Relational.epochUs(col("o_orderdate")).as("ts_us"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy(col("customer_id"))
+      .agg(max(col("ts_us")).as("last_ts_us"),
+        count(lit(1)).as("frequency"),
+        sum(col("cents")).as("monetary_cents"))
+      .withColumn("recency_days",
+        expr("(max(last_ts_us) OVER () - last_ts_us) DIV 86400000000"))
+    // recency: smaller = better = higher score → ntile over DESC days
+    val rW = Window.orderBy(col("recency_days").desc, col("customer_id").asc)
+    val fW = Window.orderBy(col("frequency").asc, col("customer_id").asc)
+    val mW = Window.orderBy(col("monetary_cents").asc, col("customer_id").asc)
+    perCust
+      .withColumn("r_score", ntile(5).over(rW).cast("long"))
+      .withColumn("f_score", ntile(5).over(fW).cast("long"))
+      .withColumn("m_score", ntile(5).over(mW).cast("long"))
+      .select(col("customer_id"), col("recency_days"), col("frequency"),
+        col("monetary_cents"), col("r_score"), col("f_score"), col("m_score"),
+        (col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+          .as("rfm_cell"))
+  }
+
+  /** DuckDB mirror of [[rfmScores]] over orders. */
+  val rfmScoresSql: String =
+    """WITH pc AS (
+      |  SELECT o_custkey AS customer_id,
+      |    max(epoch_us(o_orderdate)) AS last_ts_us,
+      |    CAST(count(*) AS BIGINT) AS frequency,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS monetary_cents
+      |  FROM orders GROUP BY 1),
+      |rec AS (
+      |  SELECT *, (max(last_ts_us) OVER () - last_ts_us) // 86400000000
+      |    AS recency_days
+      |  FROM pc)
+      |SELECT customer_id, recency_days, frequency, monetary_cents,
+      |  CAST(ntile(5) OVER (ORDER BY recency_days DESC, customer_id ASC)
+      |    AS BIGINT) AS r_score,
+      |  CAST(ntile(5) OVER (ORDER BY frequency ASC, customer_id ASC)
+      |    AS BIGINT) AS f_score,
+      |  CAST(ntile(5) OVER (ORDER BY monetary_cents ASC, customer_id ASC)
+      |    AS BIGINT) AS m_score,
+      |  CAST(ntile(5) OVER (ORDER BY recency_days DESC, customer_id ASC) * 100
+      |    + ntile(5) OVER (ORDER BY frequency ASC, customer_id ASC) * 10
+      |    + ntile(5) OVER (ORDER BY monetary_cents ASC, customer_id ASC)
+      |    AS BIGINT) AS rfm_cell
+      |FROM rec""".stripMargin
+
+  /** Market-basket association rules over order item-sets with A-PRIORI
+    * pruning — the scale trick that makes pair mining feasible: an item
+    * pair can only reach `minPairSupport` if BOTH items individually do,
+    * so infrequent items are semi-joined away BEFORE the quadratic
+    * per-order pair expansion. Per pair (a < b): support counts,
+    * confidence in both directions, and lift — all from exact BIGINT
+    * counts, divisions pinned at the end.
+    *
+    * Scale shape: baskets = distinct (order, item) — one shuffle;
+    * frequent-item filter broadcasts (items table ≪ facts); the pair
+    * expansion is a per-order self-join that only ever sees frequent
+    * items; pair counting partial-aggregates map-side.
+    *
+    * lineitem: (l_orderkey, l_partkey). */
+  def assocRules(lineitem: DataFrame, minItemSupport: Long,
+                 minPairSupport: Long): DataFrame = {
+    val baskets = lineitem
+      .select(col("l_orderkey").as("oid"), col("l_partkey").as("item"))
+      .distinct()
+    val nOrders = baskets.select(col("oid")).distinct().count()
+    val itemCnt = baskets.groupBy(col("item"))
+      .agg(count(lit(1)).as("n_item"))
+      .filter(col("n_item") >= minItemSupport)
+    val frequent = baskets.join(broadcast(itemCnt), Seq("item"))
+    val pairs = frequent.select(col("oid"), col("item").as("a"), col("n_item").as("n_a"))
+      .join(frequent.select(col("oid"), col("item").as("b"), col("n_item").as("n_b")),
+        Seq("oid"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minPairSupport)
+    pairs.select(col("a"), col("b"), col("n_a"), col("n_b"), col("n_ab"),
+      (col("n_ab").cast("double") / col("n_a").cast("double")).as("conf_a_b"),
+      (col("n_ab").cast("double") / col("n_b").cast("double")).as("conf_b_a"),
+      (col("n_ab").cast("double") * lit(nOrders).cast("double") /
+        (col("n_a").cast("double") * col("n_b").cast("double"))).as("lift"))
+  }
+
+  /** DuckDB mirror of [[assocRules]] over lineitem. */
+  def assocRulesSql(minItemSupport: Long, minPairSupport: Long): String =
+    s"""WITH baskets AS (
+       |  SELECT DISTINCT l_orderkey AS oid, l_partkey AS item FROM lineitem),
+       |n AS (SELECT CAST(count(DISTINCT oid) AS BIGINT) AS n_orders FROM baskets),
+       |ic AS (
+       |  SELECT item, CAST(count(*) AS BIGINT) AS n_item
+       |  FROM baskets GROUP BY 1 HAVING count(*) >= $minItemSupport),
+       |freq AS (SELECT b.oid, b.item, ic.n_item
+       |         FROM baskets b JOIN ic ON b.item = ic.item),
+       |pairs AS (
+       |  SELECT f1.item AS a, f2.item AS b, f1.n_item AS n_a, f2.n_item AS n_b,
+       |    CAST(count(*) AS BIGINT) AS n_ab
+       |  FROM freq f1 JOIN freq f2 ON f1.oid = f2.oid AND f1.item < f2.item
+       |  GROUP BY 1, 2, 3, 4 HAVING count(*) >= $minPairSupport)
+       |SELECT a, b, n_a, n_b, n_ab,
+       |  CAST(n_ab AS DOUBLE) / CAST(n_a AS DOUBLE) AS conf_a_b,
+       |  CAST(n_ab AS DOUBLE) / CAST(n_b AS DOUBLE) AS conf_b_a,
+       |  CAST(n_ab AS DOUBLE) * CAST(n.n_orders AS DOUBLE)
+       |    / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS lift
+       |FROM pairs, n""".stripMargin
+}

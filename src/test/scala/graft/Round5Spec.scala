@@ -95,8 +95,8 @@ class Round5Spec extends SparkSpec {
     val base = Tables.lineitem(spark, sf).select(
       (col("l_orderkey") * 10 + col("l_linenumber")).as("id"),
       col("l_partkey").as("x"),
-      (graft.ops.Relational.epochUs(col("l_shipdate")) / 86400000000L)
-        .cast("long").as("y"))
+      graft.ops.Relational.epochUs(col("l_shipdate")).as("eus"))
+      .withColumn("y", expr("eus DIV 86400000000")).drop("eus")
     val (xLo, xHi, yLo, yHi) = (64L, 255L, 9000L, 9365L)
     val zm = ZoneMap.zoneMapPrune(base, xLo, xHi, yLo, yHi).collect()
     // soundness: a pruned chunk may not contain any qualifying row
@@ -172,6 +172,65 @@ class Round5Spec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)) ->
         ((r.getDouble(2), r.getLong(3)))).toMap
     assert(gotAdc === expAdc)
+  }
+
+  test("RFM scores: quintiles are balanced and monotone in the underlying metric") {
+    val out = graft.ops.Retail.rfmScores(Tables.orders(spark, sf)).collect()
+    val n = out.length
+    assert(n > 0)
+    // every score in 1..5, quintile sizes differ by at most 1
+    for (c <- Seq("r_score", "f_score", "m_score")) {
+      val byScore = out.groupBy(_.getAs[Long](c)).view.mapValues(_.length).toMap
+      assert(byScore.keySet.subsetOf((1L to 5L).toSet), s"$c out of range")
+      if (n >= 5) {
+        assert(byScore.keySet === (1L to 5L).toSet, s"$c missing buckets")
+        assert(byScore.values.max - byScore.values.min <= 1, s"$c unbalanced")
+      }
+    }
+    // monotone: a customer with strictly higher monetary never scores lower
+    val sorted = out.sortBy(_.getAs[Long]("monetary_cents"))
+    sorted.sliding(2).foreach {
+      case Array(lo, hi) =>
+        if (lo.getAs[Long]("monetary_cents") < hi.getAs[Long]("monetary_cents"))
+          assert(lo.getAs[Long]("m_score") <= hi.getAs[Long]("m_score"))
+      case _ =>
+    }
+    // rfm_cell composes the three digits
+    out.foreach { r =>
+      assert(r.getAs[Long]("rfm_cell") === r.getAs[Long]("r_score") * 100 +
+        r.getAs[Long]("f_score") * 10 + r.getAs[Long]("m_score"))
+    }
+  }
+
+  test("assocRules matches a brute-force basket replay and a-priori is lossless") {
+    val (minItem, minPair) = (20L, 3L)
+    val got = graft.ops.Retail.assocRules(
+      Tables.lineitem(spark, sf), minItem, minPair)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getDouble(6), r.getDouble(7)))).toMap
+
+    val baskets = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val nOrders = baskets.map(_._1).distinct.length
+    val itemCnt = baskets.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    // brute force WITHOUT a-priori pruning: all pairs, then thresholds —
+    // proves the item-level prune loses nothing
+    val byOrder = baskets.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val pairCnt = byOrder.values.flatMap(items =>
+      for (i <- items.indices; j <- i + 1 until items.length)
+        yield (items(i), items(j)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expected = pairCnt.collect {
+      case ((a, b), nab) if nab >= minPair &&
+        itemCnt(a) >= minItem && itemCnt(b) >= minItem =>
+        (a, b) -> ((itemCnt(a), itemCnt(b), nab,
+          nab.toDouble / itemCnt(a), nab.toDouble / itemCnt(b),
+          nab.toDouble * nOrders / (itemCnt(a).toDouble * itemCnt(b).toDouble)))
+    }.toMap
+    assert(got.nonEmpty, "no rules at these thresholds; lower them")
+    assert(got === expected)
   }
 
   test("pitJoin: TTL masks stale features; values match a brute-force as-of") {
