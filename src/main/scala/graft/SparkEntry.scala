@@ -606,7 +606,8 @@ object SparkEntry {
       Entries4.all.map(q => q.name -> q.fn) ++
       Entries5.all.map(q => q.name -> q.fn) ++
       Entries6.all.map(q => q.name -> q.fn) ++
-      Entries7.all.map(q => q.name -> q.fn)).toMap
+      Entries7.all.map(q => q.name -> q.fn) ++
+      Entries8.all.map(q => q.name -> q.fn)).toMap
 
   def oracleSql: Map[String, String] =
     (all.flatMap(q => q.sql.map(q.name -> _)) ++
@@ -615,5 +616,6 @@ object SparkEntry {
       Entries4.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries5.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries6.all.flatMap(q => q.sql.map(q.name -> _)) ++
-      Entries7.all.flatMap(q => q.sql.map(q.name -> _))).toMap
+      Entries7.all.flatMap(q => q.sql.map(q.name -> _)) ++
+      Entries8.all.flatMap(q => q.sql.map(q.name -> _))).toMap
 }

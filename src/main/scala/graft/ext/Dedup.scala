@@ -429,4 +429,94 @@ object Dedup {
     }.reduce(_ unionByName _)
     pairs.filter(col("jw") >= thr)
   }
+
+  /** EXACT DUPLICATED-SUBSTRING SPANS (the Lee et al. 2022 "Deduplicating
+    * Training Data" exact-substring primitive, re-expressed relationally):
+    * every maximal character span of a document that also occurs verbatim
+    * in at least one OTHER document, found as overlapping `k`-gram
+    * collisions merged per doc with the interval-coalescing sweep
+    * (ops/Relational.coalesceIntervals — the q116 operator, reused as a
+    * library call). Two docs sharing a run of length L ≥ k produce L−k+1
+    * colliding grams whose [pos, pos+k) intervals chain into ONE span —
+    * exactly the maximal duplicated region.
+    *
+    * Scale shape: grams explode to ~n_chars rows per doc; the collision
+    * test is one partial-aggregated exchange on the gram (count distinct
+    * docs ≥ 2 via a two-level agg, no distinct-set buffering), then the
+    * span merge is one exchange on doc_id. A suffix array is the
+    * single-node formulation; gram-collision + coalesce is the shardable
+    * one. Grams travel as `xxhash64` (8 B on the wire instead of k chars,
+    * collisions vanishing at 2^-64); the oracle groups the raw text
+    * because DuckDB lacks xxhash64 — semantics identical short of a
+    * same-corpus 64-bit collision.
+    */
+  def dupSpans(documents: DataFrame, k: Int): DataFrame = {
+    val grams = documents
+      // guard: Spark's sequence(0, n) runs DESCENDING for n < 0 (it would
+      // emit bogus negative positions for docs shorter than k; DuckDB's
+      // range() is empty there)
+      .filter(length(col("text")) >= k)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0), length(col("text")) - k)).as("pos"))
+      // gram text leaves the plan IMMEDIATELY as an 8 B xxhash64: every
+      // exchange and aggregate below keys on the hash, not the k chars
+      // (the 2^-64 collision would have to pair two grams inside the same
+      // corpus to flip a span boundary). Materialized once (localCheckpoint)
+      // because both the collision census and the position pass consume it —
+      // uncut, the explode+substring subtree plans twice.
+      .select(col("doc_id"), col("pos"),
+        xxhash64(substring_index_safe(col("text"), col("pos"), k)).as("gh"))
+      .localCheckpoint()
+    // grams present in ≥ 2 DISTINCT docs: two-level aggregate (gh, doc)
+    // → gh keeps the shuffle partial-aggregable — no collect_set
+    val dupGrams = grams
+      .groupBy(col("gh"), col("doc_id")).agg(count(lit(1)).as("__c"))
+      .groupBy(col("gh")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .select(col("gh"))
+    val hits = grams.join(dupGrams, Seq("gh"), "left_semi")
+      .select(col("doc_id"), col("pos").cast("long").as("span_start"),
+        (col("pos") + k).cast("long").as("span_end"))
+    graft.ops.Relational
+      .coalesceIntervals(hits, "doc_id", "span_start", "span_end",
+        "span_start")
+      .withColumnRenamed("interval_start", "span_start")
+      .withColumnRenamed("interval_end", "span_end")
+      .withColumnRenamed("n_rows", "n_grams")
+  }
+
+  // substring() needs a column start in Spark via expr; 1-based
+  private def substring_index_safe(text: Column, pos0: Column,
+                                   k: Int): Column =
+    text.substr(pos0 + 1, lit(k))
+
+  /** DuckDB mirror of [[dupSpans]]. */
+  def dupSpansSql(k: Int): String =
+    s"""WITH grams AS (
+       |  SELECT doc_id, i AS pos, substr(text, i + 1, $k) AS gram
+       |  FROM documents, unnest(range(0, length(text) - $k + 1)) t(i)),
+       |dup AS (
+       |  SELECT gram FROM (
+       |    SELECT gram, doc_id FROM grams GROUP BY 1, 2)
+       |  GROUP BY gram HAVING count(*) >= 2),
+       |hits AS (
+       |  SELECT g.doc_id, CAST(g.pos AS BIGINT) AS s,
+       |    CAST(g.pos + $k AS BIGINT) AS e
+       |  FROM grams g JOIN dup USING (gram)),
+       |marked AS (
+       |  SELECT doc_id, s, e,
+       |    CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+       |      OR s > max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |      THEN 1 ELSE 0 END AS new_grp
+       |  FROM hits),
+       |grp AS (
+       |  SELECT doc_id, s, e,
+       |    sum(new_grp) OVER (PARTITION BY doc_id ORDER BY s, e
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+       |  FROM marked)
+       |SELECT doc_id, min(s) AS span_start, max(e) AS span_end,
+       |  CAST(count(*) AS BIGINT) AS n_grams
+       |FROM grp GROUP BY doc_id, g""".stripMargin
 }

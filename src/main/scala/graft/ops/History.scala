@@ -1,0 +1,253 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal-history operators the feature store needs around its
+  * point-in-time core: SCD Type-2 dimension builds (the validity-interval
+  * twin of the as-of join in ops/Snapshots.scala), multi-touch revenue
+  * attribution, linear-interpolation gap fill, and the compaction
+  * bin-packing planner that keeps the partitioned gold table
+  * (store/FeatureStore.scala, reference: jobs/build_feature_views.py:75-82)
+  * from accumulating small files. All integer-exact (epoch micros + cents).
+  */
+object History {
+
+  /** SCD TYPE-2 dimension build from a change log: per key, collapse
+    * consecutive equal values (change detection via lag), then assign each
+    * surviving change row a validity interval `[valid_from, valid_to)` via
+    * lead(), a 1-based version number, and an `is_current` flag (open
+    * interval → valid_to NULL). This is the write-side complement of the
+    * backward as-of join: `asOfJoin(facts, scd2)` at ts t picks exactly the
+    * row with `valid_from <= t < valid_to` (pinned in Round6Spec).
+    *
+    * The reference keeps only latest-per-key state (reference:
+    * jobs/materialize_online.py:19); SCD2 is what makes historical
+    * training-data reconstruction possible without replaying the log.
+    *
+    * Scale shape: ONE exchange on the key feeds a single in-partition sort
+    * shared by the lag (change detect), lead (interval close), and
+    * row_number (version) windows — Catalyst collapses same-spec windows
+    * into one WindowExec. No joins, no second shuffle.
+    *
+    * log: (key, ts_us, cents) — cents is the tracked attribute. */
+  def scd2Build(log: DataFrame, keyCol: String, tsCol: String,
+                valCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol).asc)
+    val changes = log
+      .withColumn("__prev", lag(col(valCol), 1).over(w))
+      // first row per key (prev NULL) always opens a version; equal-value
+      // rows extend the open version (standard SCD2 change suppression)
+      .filter(col("__prev").isNull || col(valCol) =!= col("__prev"))
+      .drop("__prev")
+    changes
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select(col(keyCol), col(valCol), col("valid_from"), col("valid_to"),
+        col("version"), col("is_current"))
+  }
+
+  /** DuckDB mirror of [[scd2Build]] over purchase events (value → cents). */
+  val scd2Sql: String =
+    """WITH log AS (
+      |  SELECT user_id, epoch_us(ts) AS ts_us,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase'),
+      |chg AS (
+      |  SELECT * FROM (
+      |    SELECT user_id, ts_us, cents,
+      |      lag(cents) OVER (PARTITION BY user_id ORDER BY ts_us) AS prev
+      |    FROM log)
+      |  WHERE prev IS NULL OR cents <> prev)
+      |SELECT user_id, cents, ts_us AS valid_from,
+      |  lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) AS valid_to,
+      |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts_us)
+      |    AS BIGINT) AS version,
+      |  (lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) IS NULL)
+      |    AS is_current
+      |FROM chg""".stripMargin
+
+  // deterministic small channel codes for the attribution encoding
+  private val channelCode: Map[String, Int] =
+    Map("click" -> 1, "view" -> 2, "signup" -> 3, "error" -> 4)
+
+  /** MULTI-TOUCH REVENUE ATTRIBUTION: for every purchase, find the FIRST and
+    * LAST non-purchase touch inside the lookback window `[t - lookback, t]`
+    * (event-time range frame), then roll purchase revenue up per
+    * (first_channel, last_channel) pair — the marketing-science view of the
+    * reference's event stream (reference models only the purchase side:
+    * jobs/build_feature_views.py:41-54).
+    *
+    * The arg-min/arg-max over the range frame is ONE integer min/max: each
+    * touch is encoded as `ts_us * 8 + code` (codes 1..4, ts < 2^60 so no
+    * overflow) — min of the encoding = earliest touch with deterministic
+    * channel tie-break at equal ts, no struct comparison, stays inside
+    * whole-stage codegen. Purchase rows carry NULL so they never attribute
+    * to themselves.
+    *
+    * Scale shape: one exchange on user_id + one sort feeds both range-frame
+    * windows; the final rollup is a pre-combined two-level aggregate over
+    * ≤ |channels|² groups.
+    */
+  def attribution(events: DataFrame, lookbackUs: Long): DataFrame = {
+    val codeExpr = channelCode.foldLeft(lit(null).cast("int")) {
+      case (acc, (name, code)) =>
+        when(col("event_type") === name, lit(code)).otherwise(acc)
+    }
+    val encoded = events.select(
+      col("user_id"), col("ts_us"), col("event_type"),
+      round(col("value") * 100).cast("long").as("cents"),
+      (col("ts_us") * 8 + codeExpr.cast("long")).as("__touch"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us").asc)
+      .rangeBetween(-lookbackUs, 0)
+    val decode = (enc: org.apache.spark.sql.Column) =>
+      channelCode.foldLeft(lit(null).cast("string")) {
+        case (acc, (name, code)) =>
+          when(enc % 8 === code, lit(name)).otherwise(acc)
+      }
+    encoded
+      .withColumn("__first", min(col("__touch")).over(w))
+      .withColumn("__last", max(col("__touch")).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("cents"),
+        coalesce(decode(col("__first")), lit("none")).as("first_channel"),
+        coalesce(decode(col("__last")), lit("none")).as("last_channel"))
+      .groupBy(col("first_channel"), col("last_channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("cents")).as("revenue_cents"))
+  }
+
+  /** DuckDB mirror of [[attribution]] (7-day lookback hardcoded by caller). */
+  def attributionSql(lookbackUs: Long): String =
+    s"""WITH enc AS (
+       |  SELECT user_id, epoch_us(ts) AS ts_us, event_type,
+       |    CAST(round(value * 100) AS BIGINT) AS cents,
+       |    epoch_us(ts) * 8 + CASE event_type
+       |      WHEN 'click' THEN 1 WHEN 'view' THEN 2
+       |      WHEN 'signup' THEN 3 WHEN 'error' THEN 4 END AS touch
+       |  FROM events),
+       |fl AS (
+       |  SELECT *,
+       |    min(touch) OVER (PARTITION BY user_id ORDER BY ts_us
+       |      RANGE BETWEEN $lookbackUs PRECEDING AND CURRENT ROW) AS f,
+       |    max(touch) OVER (PARTITION BY user_id ORDER BY ts_us
+       |      RANGE BETWEEN $lookbackUs PRECEDING AND CURRENT ROW) AS l
+       |  FROM enc)
+       |SELECT
+       |  coalesce(CASE f % 8 WHEN 1 THEN 'click' WHEN 2 THEN 'view'
+       |    WHEN 3 THEN 'signup' WHEN 4 THEN 'error' END, 'none')
+       |    AS first_channel,
+       |  coalesce(CASE l % 8 WHEN 1 THEN 'click' WHEN 2 THEN 'view'
+       |    WHEN 3 THEN 'signup' WHEN 4 THEN 'error' END, 'none')
+       |    AS last_channel,
+       |  CAST(count(*) AS BIGINT) AS n_purchases,
+       |  CAST(sum(cents) AS BIGINT) AS revenue_cents
+       |FROM fl WHERE event_type = 'purchase'
+       |GROUP BY 1, 2""".stripMargin
+
+  /** LINEAR-INTERPOLATION GAP FILL: for each key's irregular integer time
+    * series, attach to every point the straight-line estimate from its
+    * neighbors — the previous and next observation by time — as the EXACT
+    * RATIONAL `(interp_num, interp_den)`:
+    *
+    *   value(t) ≈ (prev_c·(t_next − t) + next_c·(t − t_prev)) / (t_next − t_prev)
+    *
+    * Emitting numerator/denominator instead of dividing keeps the result
+    * BIGINT-exact — no float rounding and no engine-specific integer
+    * division semantics (Spark `DIV` truncates toward zero, so a negative
+    * numerator would floor differently than an oracle that floors).
+    * Boundary rows (no prev or no next) get NULLs: interpolation, not
+    * extrapolation. The anomaly-detection use reads `|cents·den − num|`
+    * as the deviation-from-trend (q52's forward fill is the step-function
+    * sibling of this operator).
+    *
+    * Scale shape: one exchange on the key, one sort, two lag/lead windows
+    * collapsed into a single WindowExec, then a narrow Project.
+    */
+  def interpolate(series: DataFrame, keyCol: String, tsCol: String,
+                  valCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol).asc)
+    series
+      .withColumn("__pt", lag(col(tsCol), 1).over(w))
+      .withColumn("__pv", lag(col(valCol), 1).over(w))
+      .withColumn("__nt", lead(col(tsCol), 1).over(w))
+      .withColumn("__nv", lead(col(valCol), 1).over(w))
+      .select(col(keyCol), col(tsCol), col(valCol),
+        (col("__pv") * (col("__nt") - col(tsCol)) +
+          col("__nv") * (col(tsCol) - col("__pt"))).as("interp_num"),
+        (col("__nt") - col("__pt")).as("interp_den"))
+  }
+
+  /** DuckDB mirror of [[interpolate]] over per-user purchase cents. */
+  val interpolateSql: String =
+    """WITH s AS (
+      |  SELECT user_id, epoch_us(ts) AS ts_us,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase'),
+      |n AS (
+      |  SELECT user_id, ts_us, cents,
+      |    lag(ts_us)  OVER (PARTITION BY user_id ORDER BY ts_us) AS pt,
+      |    lag(cents)  OVER (PARTITION BY user_id ORDER BY ts_us) AS pv,
+      |    lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) AS nt,
+      |    lead(cents) OVER (PARTITION BY user_id ORDER BY ts_us) AS nv
+      |  FROM s)
+      |SELECT user_id, ts_us, cents,
+      |  pv * (nt - ts_us) + nv * (ts_us - pt) AS interp_num,
+      |  nt - pt AS interp_den
+      |FROM n""".stripMargin
+
+  /** COMPACTION BIN-PACKING (the OPTIMIZE planner): group each partition's
+    * small files into target-size compaction batches by running-size
+    * assignment — batch id = exclusive-prefix-sum DIV target, the same
+    * policy Spark's own scan batching (`files.maxPartitionBytes` /
+    * `openCostInBytes`) applies when coalescing splits. Paired with the
+    * Z-order layout writer (ops/ZOrder.scala) this is the table-maintenance
+    * loop that keeps the gold store scannable: the reference rewrites one
+    * file per date partition on every run and never compacts
+    * (reference: jobs/build_feature_views.py:75-82).
+    *
+    * Files are ordered by (size DESC, name) inside the partition — packing
+    * big files first tightens the bins under the same single-pass policy
+    * and keeps the assignment deterministic.
+    *
+    * Scale shape: one exchange on the partition key + one sort feeds the
+    * running sum; output is one row per file. The file INVENTORY (not data)
+    * is what flows through — at 100 TB that is millions of rows, not
+    * billions.
+    *
+    * files: (partCol, nameCol, bytesCol). */
+  def compactionBins(files: DataFrame, partCol: String, nameCol: String,
+                     bytesCol: String, targetBytes: Long): DataFrame = {
+    val w = Window.partitionBy(col(partCol))
+      .orderBy(col(bytesCol).desc, col(nameCol).asc)
+    files
+      .withColumn("__cum", coalesce(
+        sum(col(bytesCol)).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      // integer DIV, never `/` (double division truncated back to long
+      // drifts past 2^53 cumulative bytes — reachable at 100 TB)
+      .select(col(partCol), col(nameCol), col(bytesCol),
+        expr(s"__cum DIV $targetBytes").as("bin"))
+  }
+
+  /** DuckDB mirror of [[compactionBins]]: the per-day gold "files" are
+    * simulated from orders (partition = order month, file = order date,
+    * bytes = total order cents that day). */
+  def compactionBinsSql(targetBytes: Long): String =
+    s"""WITH files AS (
+       |  SELECT year(o_orderdate) * 100 + month(o_orderdate) AS mon,
+       |    CAST(o_orderdate AS DATE) AS file_date,
+       |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+       |      AS bytes
+       |  FROM orders GROUP BY 1, 2),
+       |c AS (
+       |  SELECT mon, file_date, bytes,
+       |    coalesce(sum(bytes) OVER (PARTITION BY mon
+       |      ORDER BY bytes DESC, file_date ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+       |  FROM files)
+       |SELECT mon, file_date, bytes, cum // $targetBytes AS bin FROM c""".stripMargin
+}
