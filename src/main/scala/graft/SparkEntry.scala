@@ -607,7 +607,8 @@ object SparkEntry {
       Entries5.all.map(q => q.name -> q.fn) ++
       Entries6.all.map(q => q.name -> q.fn) ++
       Entries7.all.map(q => q.name -> q.fn) ++
-      Entries8.all.map(q => q.name -> q.fn)).toMap
+      Entries8.all.map(q => q.name -> q.fn) ++
+      Entries9.all.map(q => q.name -> q.fn)).toMap
 
   def oracleSql: Map[String, String] =
     (all.flatMap(q => q.sql.map(q.name -> _)) ++
@@ -617,5 +618,6 @@ object SparkEntry {
       Entries5.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries6.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries7.all.flatMap(q => q.sql.map(q.name -> _)) ++
-      Entries8.all.flatMap(q => q.sql.map(q.name -> _))).toMap
+      Entries8.all.flatMap(q => q.sql.map(q.name -> _)) ++
+      Entries9.all.flatMap(q => q.sql.map(q.name -> _))).toMap
 }

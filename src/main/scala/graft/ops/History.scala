@@ -199,6 +199,90 @@ object History {
       |  nt - pt AS interp_den
       |FROM n""".stripMargin
 
+  /** ACTIVITY STREAKS — longest run of CONSECUTIVE active days per user
+    * (gaps-and-islands over the integer epoch-day domain): distinct active
+    * days, island id = `day − dense-position` (constant exactly while days
+    * are consecutive), then per-island lengths → per-user max/count. The
+    * engagement feature family the reference's window counts (SURVEY §2.4
+    * A1) can't express: streaks need ordering, not a time frame.
+    *
+    * Scale shape: raw events collapse to distinct (user, day) FIRST (one
+    * partial-agg exchange); the row_number + two aggregates all run
+    * key-partitioned on the reduced table. Epoch day is integer `DIV`
+    * (never a date function — oracle parity on the exact bucket).
+    */
+  def streaks(events: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("day").asc)
+    events
+      .select(col(keyCol), expr(s"$tsCol DIV 86400000000").as("day"))
+      .groupBy(col(keyCol), col("day")).agg(count(lit(1)).as("__n"))
+      .withColumn("__isl", col("day") - row_number().over(w))
+      .groupBy(col(keyCol), col("__isl"))
+      .agg(count(lit(1)).as("len"), max(col("day")).as("isl_end"))
+      .groupBy(col(keyCol))
+      .agg(max(col("len")).as("longest_streak_days"),
+        count(lit(1)).as("n_streaks"),
+        max(col("isl_end")).as("last_active_day"))
+  }
+
+  /** DuckDB mirror of [[streaks]] over all events. */
+  val streaksSql: String =
+    """WITH days AS (
+      |  SELECT user_id, epoch_us(ts) // 86400000000 AS day
+      |  FROM events GROUP BY 1, 2),
+      |isl AS (
+      |  SELECT user_id, day,
+      |    day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS g
+      |  FROM days),
+      |runs AS (
+      |  SELECT user_id, g, CAST(count(*) AS BIGINT) AS len,
+      |    max(day) AS isl_end
+      |  FROM isl GROUP BY 1, 2)
+      |SELECT user_id, max(len) AS longest_streak_days,
+      |  CAST(count(*) AS BIGINT) AS n_streaks,
+      |  max(isl_end) AS last_active_day
+      |FROM runs GROUP BY 1""".stripMargin
+
+  /** CDC APPLY — collapse an ordered change feed (Insert/Update/Delete ops
+    * per key) to the final table state: the LAST op per key wins (ts order,
+    * id tie-break); keys whose last op is a delete vanish. This is the
+    * change-feed consumer that keeps a downstream mirror of the gold table
+    * in sync without replaying history — the read-side complement of
+    * `FeatureStore.upsertGold` (which produces such a feed's effects on the
+    * primary).
+    *
+    * Scale shape: latest-per-key is ONE exchange + WindowGroupLimit
+    * (row_number desc = 1 — each mapper ships at most one candidate row
+    * per key), then a narrow filter on the op. No joins.
+    *
+    * feed: (key, ts, tie, op ∈ {I,U,D}, value). */
+  def cdcApply(feed: DataFrame, keyCol: String, tsCol: String,
+               tieCol: String, opCol: String, valCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).desc, col(tieCol).desc)
+    feed
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col(opCol) =!= "D")
+      .select(col(keyCol), col(tsCol).as("applied_ts"),
+        col(valCol).as("value"))
+  }
+
+  /** DuckDB mirror of [[cdcApply]] over the events-derived feed
+    * (signup→I, click→U, error→D; cents payload). */
+  val cdcApplySql: String =
+    """WITH feed AS (
+      |  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+      |    CASE event_type WHEN 'signup' THEN 'I' WHEN 'click' THEN 'U'
+      |      ELSE 'D' END AS op,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events WHERE event_type IN ('signup', 'click', 'error')),
+      |latest AS (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id
+      |    ORDER BY ts_us DESC, event_id DESC) AS rn
+      |  FROM feed)
+      |SELECT user_id, ts_us AS applied_ts, cents AS value
+      |FROM latest WHERE rn = 1 AND op <> 'D'""".stripMargin
+
   /** COMPACTION BIN-PACKING (the OPTIMIZE planner): group each partition's
     * small files into target-size compaction batches by running-size
     * assignment — batch id = exclusive-prefix-sum DIV target, the same

@@ -235,6 +235,32 @@ object Relational {
     * One shuffle on the key, one sort, all four lags/leads share the single
     * WindowExec. Weights: causal 8-4-2-1 (current..t-3), centered 1-2-1.
     */
+  /** GROUP TOP-K AS AN ORDERED LIST COLUMN: per group, the top-k items by
+    * (metric desc, item asc) rendered as one comma-joined string — the
+    * "favorite items" feature column shape (one row per entity, ordered
+    * multi-value payload), vs q56's one-row-per-rank relational form.
+    *
+    * Determinism despite `collect_list` (whose order is partition-arrival):
+    * the list is rebuilt inside the row by `sort_array` over
+    * (rank, item) structs — struct comparison is field-ordinal, so the
+    * array order is the window's rank order regardless of arrival. The
+    * ranked input is a WindowGroupLimit (≤ k rows per group leave each
+    * mapper); the final aggregate carries k smalls per group.
+    */
+  def groupTopKList(df: DataFrame, groupCol: String, itemCol: String,
+                    metricCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(metricCol).desc, col(itemCol).asc)
+    df.withColumn("__rnk", row_number().over(w))
+      .filter(col("__rnk") <= k)
+      .groupBy(col(groupCol))
+      .agg(array_join(transform(
+        sort_array(collect_list(struct(col("__rnk").as("r"),
+          col(itemCol).cast("string").as("i")))),
+        x => x.getField("i")), ",").as("top_items"),
+        count(lit(1)).as("n_items"))
+  }
+
   def kernelSmooth(df: DataFrame, keyCol: String, tsCol: String,
                    tieCol: String, valCol: String): DataFrame = {
     val w = Window.partitionBy(col(keyCol))

@@ -104,6 +104,120 @@ object Tpch {
         count(lit(1)).as("n_lines"))
   }
 
+  /** TPC-H Q11 shape — share-of-total filter: parts whose revenue exceeds
+    * `1/denom` of GLOBAL revenue. Classic form compares a per-group sum
+    * against a scalar subquery over the whole fact table (a second full
+    * scan). Rewrite: one partial-aggregated pass to per-part sums, then the
+    * global total as `sum OVER ()` on the |parts|-sized aggregate — the
+    * predicate is the exact integer cross-multiplication
+    * `part_cents · denom > total_cents`. The single-partition window runs
+    * over the REDUCED table (domain-bounded, the q117/q125 trick), never
+    * the fact rows.
+    */
+  def revenueShare(lineitem: DataFrame, denom: Long): DataFrame = {
+    val perPart = lineitem
+      .select(col("l_partkey"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+          .cast("long").as("cents"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("cents")).as("part_cents"))
+    perPart
+      .withColumn("total_cents",
+        sum(col("part_cents")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy()))
+      .filter(col("part_cents") * denom > col("total_cents"))
+      .select(col("l_partkey"), col("part_cents"))
+  }
+
+  /** DuckDB mirror of [[revenueShare]] — literal scalar-subquery HAVING. */
+  def revenueShareSql(denom: Long): String =
+    s"""WITH pp AS (
+       |  SELECT l_partkey, CAST(sum(CAST(round(l_extendedprice
+       |      * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS part_cents
+       |  FROM lineitem GROUP BY 1)
+       |SELECT l_partkey, part_cents FROM pp
+       |WHERE part_cents * $denom > (SELECT sum(part_cents) FROM pp)""".stripMargin
+
+  /** TPC-H Q15 shape — top supplier(s) by revenue inside a time window,
+    * ties kept (the classic `= (SELECT max(...))` view pattern). Rewrite:
+    * per-supplier sums (one partial-agg exchange), then `max OVER ()` on
+    * the |suppliers|-sized aggregate instead of a second scan.
+    */
+  def topRevenueSupplier(lineitem: DataFrame, supplier: DataFrame,
+                         fromDate: String, toDate: String): DataFrame = {
+    val perSupp = lineitem
+      .filter(col("l_shipdate") >= lit(fromDate).cast("timestamp") &&
+        col("l_shipdate") < lit(toDate).cast("timestamp"))
+      .select(col("l_suppkey"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+          .cast("long").as("cents"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("cents")).as("total_rev_cents"))
+    perSupp
+      .withColumn("__mx",
+        max(col("total_rev_cents")).over(org.apache.spark.sql.expressions
+          .Window.partitionBy()))
+      .filter(col("total_rev_cents") === col("__mx"))
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_rev_cents"))
+  }
+
+  /** DuckDB mirror of [[topRevenueSupplier]] — literal `= (SELECT max)`. */
+  def topRevenueSupplierSql(fromDate: String, toDate: String): String =
+    s"""WITH ps AS (
+       |  SELECT l_suppkey, CAST(sum(CAST(round(l_extendedprice
+       |      * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+       |    AS total_rev_cents
+       |  FROM lineitem
+       |  WHERE l_shipdate >= TIMESTAMP '$fromDate'
+       |    AND l_shipdate < TIMESTAMP '$toDate'
+       |  GROUP BY 1)
+       |SELECT s.s_suppkey, s.s_name, ps.total_rev_cents
+       |FROM ps JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+       |WHERE ps.total_rev_cents = (SELECT max(total_rev_cents) FROM ps)""".stripMargin
+
+  /** TPC-H Q22 shape — rich-but-idle customers: per market segment, the
+    * count and total balance of customers whose balance (cents) is
+    * strictly above the average POSITIVE balance and who have placed no
+    * orders since `idleSince`. The average test is the exact
+    * cross-multiplication `bal_c · n_pos > sum_pos_c` (no double average),
+    * the "no recent orders" test a left-anti join with the date predicate
+    * pushed INTO the anti side's scan (the decorrelated NOT EXISTS).
+    */
+  def richIdleCustomers(customer: DataFrame, orders: DataFrame,
+                        idleSince: String): DataFrame = {
+    val cust = customer.select(col("c_custkey"), col("c_mktsegment"),
+      round(col("c_acctbal") * 100).cast("long").as("bal_c"))
+    val posStats = cust.filter(col("bal_c") > 0)
+      .agg(sum(col("bal_c")).as("sum_pos"), count(lit(1)).as("n_pos"))
+    cust.crossJoin(broadcast(posStats))
+      .filter(col("bal_c") * col("n_pos") > col("sum_pos"))
+      .join(orders
+        .filter(col("o_orderdate") >= lit(idleSince).cast("timestamp"))
+        .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_custs"), sum(col("bal_c")).as("total_bal_cents"))
+  }
+
+  /** DuckDB mirror of [[richIdleCustomers]] — literal scalar-avg +
+    * NOT EXISTS (cross-multiplied identically). */
+  def richIdleCustomersSql(idleSince: String): String =
+    s"""WITH cust AS (
+       |  SELECT c_custkey, c_mktsegment,
+       |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+       |  FROM customer)
+       |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_custs,
+       |  CAST(sum(bal_c) AS BIGINT) AS total_bal_cents
+       |FROM cust c1
+       |WHERE c1.bal_c * (SELECT count(*) FROM cust WHERE bal_c > 0)
+       |    > (SELECT CAST(sum(bal_c) AS BIGINT) FROM cust WHERE bal_c > 0)
+       |  AND NOT EXISTS (SELECT 1 FROM orders o
+       |    WHERE o.o_custkey = c1.c_custkey
+       |      AND o.o_orderdate >= TIMESTAMP '$idleSince')
+       |GROUP BY 1""".stripMargin
+
   /** DuckDB mirror of [[smallQtyRevenue]] — the LITERAL correlated scalar
     * subquery, in the same exact integer form. */
   def smallQtyRevenueSql(brand: String): String =

@@ -313,4 +313,75 @@ object StreamingFeatures {
           next
       }
   }
+
+  /** Output row of [[statefulLastK]]: the "recent purchases" feature —
+    * last-k cents newest-first, plus the lifetime count. */
+  case class LastK(user_id: Long, recent_cents: Seq[Long], n_total: Long)
+
+  /** transformWithState (Spark 4.x arbitrary-state API) last-k feature:
+    * per user, maintain the k most recent purchase amounts (event-ts
+    * order, event-id tie-break) in a `ListState` plus a lifetime counter
+    * in a `ValueState` — the online "recent purchases" feature vector the
+    * reference rebuilds from scratch on every materialization run
+    * (reference: jobs/materialize_online.py:14-19 re-reads ALL history;
+    * this carries O(k) state per user forever, under the RocksDB store).
+    *
+    * Chosen over mapGroupsWithState for the typed per-field state
+    * primitives (list + value instead of one monolithic case-class blob):
+    * only the touched state keys are read/written per micro-batch — the
+    * difference between O(k) and O(state) I/O per user per batch at
+    * 100 TB. Requires the RocksDB state store provider (set in the spec /
+    * session conf).
+    */
+  def statefulLastK(spark: SparkSession, eventsDir: String, k: Int,
+                    maxFilesPerTrigger: Int = 0)
+      : org.apache.spark.sql.Dataset[LastK] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor,
+      TimeMode, TimerValues, TTLConfig}
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(eventsDir).schema
+    val reader = spark.readStream.schema(schema)
+    val ev = (if (maxFilesPerTrigger > 0)
+      reader.option("maxFilesPerTrigger", maxFilesPerTrigger) else reader)
+      .parquet(eventsDir)
+      .filter(col("event_type") === "purchase")
+      .withColumn("ts_us", expr("ts DIV 1000L"))
+      .withColumn("cents", round(coalesce(col("value"), lit(0.0)) * 100)
+        .cast("long"))
+      .select(col("user_id").as[Long], col("ts_us").as[Long],
+        col("event_id").as[Long], col("cents").as[Long])
+      .as[(Long, Long, Long, Long)]
+
+    class LastKProcessor extends StatefulProcessor[Long,
+        (Long, Long, Long, Long), LastK] {
+      // (ts_us, event_id, cents) triples, kept sorted newest-first
+      @transient private var recent: org.apache.spark.sql.streaming
+        .ListState[(Long, Long, Long)] = _
+      @transient private var total: org.apache.spark.sql.streaming
+        .ValueState[Long] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+        recent = getHandle.getListState[(Long, Long, Long)]("recent",
+          implicitly[org.apache.spark.sql.Encoder[(Long, Long, Long)]],
+          TTLConfig.NONE)
+        total = getHandle.getValueState[Long]("total",
+          implicitly[org.apache.spark.sql.Encoder[Long]], TTLConfig.NONE)
+      }
+      override def handleInputRows(user: Long,
+          rows: Iterator[(Long, Long, Long, Long)],
+          timerValues: TimerValues): Iterator[LastK] = {
+        val incoming = rows.map(r => (r._2, r._3, r._4)).toSeq
+        val prev = if (recent.exists()) recent.get().toSeq else Seq.empty
+        val merged = (prev ++ incoming)
+          .sortBy { case (ts, id, _) => (-ts, -id) }.take(k)
+        recent.put(merged.toArray)
+        val n = (if (total.exists()) total.get() else 0L) + incoming.size
+        total.update(n)
+        Iterator.single(LastK(user, merged.map(_._3), n))
+      }
+    }
+    ev.groupByKey(_._1)
+      .transformWithState(new LastKProcessor, TimeMode.None(),
+        OutputMode.Update())
+  }
 }

@@ -195,6 +195,62 @@ class Round6Spec extends SparkSpec {
     assert(rewritten.nonEmpty)
   }
 
+  test("streaks: brute-force islands per user agree") {
+    val out = History.streaks(
+      Tables.events(spark, sf).select(col("user_id"), col("ts_us")),
+      "user_id", "ts_us")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val byUser = Tables.events(spark, sf)
+      .select(col("user_id"), expr("ts_us DIV 86400000000").as("day"))
+      .as[(Long, Long)].collect().groupBy(_._1)
+    byUser.foreach { case (u, rows) =>
+      val days = rows.map(_._2).distinct.sorted
+      var (longest, cur, streakN) = (1L, 1L, 1L)
+      days.sliding(2).foreach {
+        case Array(a, b) =>
+          if (b == a + 1) cur += 1 else { streakN += 1; cur = 1 }
+          longest = math.max(longest, cur)
+        case _ =>
+      }
+      assert(out(u) === ((longest, streakN, days.max)), s"user $u")
+    }
+  }
+
+  test("cdcApply: deletes drop keys, latest op wins, ties break by id") {
+    val feed = Seq(
+      (1L, 100L, 1L, "I", 10L), (1L, 200L, 2L, "U", 20L), // live, value 20
+      (2L, 100L, 3L, "I", 30L), (2L, 300L, 4L, "D", 0L),  // deleted
+      (3L, 100L, 5L, "I", 40L), (3L, 100L, 6L, "U", 50L)  // same-ts: id 6 wins
+    ).toDF("k", "ts", "id", "op", "v")
+    val out = History.cdcApply(feed, "k", "ts", "id", "op", "v")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out === Map(1L -> ((200L, 20L)), 3L -> ((100L, 50L))))
+  }
+
+  test("groupTopKList: list order is rank order, independent of arrival") {
+    val df = Seq((1L, "b", 5L), (1L, "a", 5L), (1L, "c", 9L), (1L, "d", 1L),
+      (2L, "x", 2L)).toDF("g", "item", "m")
+    val out = graft.ops.Relational.groupTopKList(df, "g", "item", "m", 3)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    // ties on metric break by item asc: c(9), a(5), b(5)
+    assert(out === Map(1L -> (("c,a,b", 3L)), 2L -> (("x", 1L))))
+  }
+
+  test("revenueShare / topRevenueSupplier: share and max invariants hold") {
+    val li = Tables.lineitem(spark, sf)
+    val share = Tpch.revenueShare(li, 2000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val total = li.select(sum(round(col("l_extendedprice") *
+      (lit(1.0) - col("l_discount")) * 100).cast("long"))).as[Long].head()
+    assert(share.nonEmpty)
+    share.foreach { case (_, c) => assert(c * 2000L > total) }
+    val top = Tpch.topRevenueSupplier(li, Tables.supplier(spark, sf),
+      "1996-01-01 00:00:00", "1996-04-01 00:00:00")
+      .select(col("total_rev_cents")).as[Long].collect()
+    assert(top.nonEmpty && top.distinct.length === 1) // ties all carry the max
+  }
+
   test("smallQtyRevenue: decorrelated predicate equals the correlated scalar form") {
     val li = Tables.lineitem(spark, sf); val p = Tables.part(spark, sf)
     val out = Tpch.smallQtyRevenue(li, p, "Brand#13")

@@ -232,4 +232,79 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count() == batchIds.count())
     assert(streamed.select($"event_id").except(batchIds).count() == 0)
   }
+
+  test("transformWithState last-k feature equals the batch window (RocksDB store)") {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // two time-ordered half-files + maxFilesPerTrigger=1: a user's
+      // purchases span micro-batches, so the ListState MUST merge across
+      // batches (a single-batch run never exercises read-modify-write)
+      val dir = java.nio.file.Files.createTempDirectory("lastk_stream").toString
+      // RAW schema halves (ts stays a nanos long — statefulLastK re-derives
+      // ts_us itself, same as every file-source op here)
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.read.parquet(s"$sf/events.parquet")
+      val midTs = raw.agg(percentile_approx($"ts", lit(0.5), lit(100)))
+        .first().getLong(0)
+      raw.filter($"ts" <= midTs).coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/b0")
+      raw.filter($"ts" > midTs).coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/b1")
+      val stage = java.nio.file.Files.createTempDirectory("lastk_in").toString
+      def onlyParquet(sub: String, name: String): Unit = {
+        val f = new java.io.File(s"$dir/$sub").listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.copy(f.toPath,
+          java.nio.file.Paths.get(s"$stage/$name"))
+      }
+      onlyParquet("b0", "part-000.parquet")
+      onlyParquet("b1", "part-001.parquet")
+      val out = StreamingFeatures.statefulLastK(spark, stage, 3,
+        maxFilesPerTrigger = 1)
+      val q = out.writeStream.outputMode(OutputMode.Update())
+        .format("memory").queryName("last_k")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("ck_lastk").toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.processAllAvailable(); q.stop()
+      // Update mode: the final emission per user carries the max n_total
+      val streamed = spark.table("last_k")
+        .groupBy($"user_id")
+        .agg(max(struct($"n_total", $"recent_cents")).as("s"))
+        .select($"user_id", $"s.recent_cents".as("recent"), $"s.n_total")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"ts_us".desc, $"event_id".desc)
+      val batch = Tables.events(spark, sf)
+        .filter($"event_type" === "purchase")
+        .withColumn("cents",
+          round(coalesce($"value", lit(0.0)) * 100).cast("long"))
+        .withColumn("rn", row_number().over(w))
+        .groupBy($"user_id")
+        .agg(array_join(transform(sort_array(collect_list(
+            struct($"rn", $"cents".cast("string").as("c")))),
+          x => x.getField("c")), ",").as("all_recent"),
+          count(lit(1)).as("n_total"))
+        .withColumn("expected", array_join(slice(
+          split($"all_recent", ","), 1, 3), ","))
+      val got = streamed
+        .withColumn("got", array_join(transform($"recent",
+          c => c.cast("string")), ","))
+      val j = got.join(batch, Seq("user_id"), "full")
+      assert(j.filter($"got".isNull || $"expected".isNull ||
+        $"got" =!= $"expected" ||
+        got("n_total") =!= batch("n_total")).count() == 0)
+      assert(streamed.count() > 0)
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
