@@ -166,25 +166,28 @@ object Entries5 {
       (s, d) => BpeTrainer.train(Tables.documents(s, d), 6),
       Some(bpeOracle(6))),
 
-    // Prefix-filtered set-similarity self-join (word Jaccard >= 0.9): the
-    // SSJoin candidate pruning with exact verify. Oracle is the
-    // UNFILTERED all-shared-token formulation — hash-match proves the
-    // prefix filter's recall is exact.
+    // Prefix-filtered set-similarity self-join (16-char shingle Jaccard
+    // >= 0.8): the SSJoin/PPJoin prefix + length + positional cascade with
+    // exact verify. Oracle is the UNFILTERED all-shared-shingle
+    // formulation — hash-match proves the cascade's recall is exact.
+    // (Shingles, not words: the 31-word fixture vocabulary degenerates a
+    // word-level prefix filter — see Dedup.prefixJaccardPairs doc.)
     Q("q122_prefix_jaccard",
-      (s, d) => Dedup.prefixJaccardPairs(Tables.documents(s, d), 9, 10),
+      (s, d) => Dedup.prefixJaccardPairs(Tables.documents(s, d), 16, 4, 5),
       Some("""WITH toks AS (
-             |  SELECT DISTINCT doc_id, tok FROM (
-             |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-             |    FROM documents)),
+             |  SELECT DISTINCT doc_id,
+             |    ('0x' || substr(md5(substr(text, i + 1, 16)), 1, 12))::BIGINT
+             |      AS cid
+             |  FROM documents, unnest(range(0, length(text) - 15)) t(i)),
              |ssz AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
              |it AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS ix
              |       FROM toks a JOIN toks b
-             |         ON a.tok = b.tok AND a.doc_id < b.doc_id
+             |         ON a.cid = b.cid AND a.doc_id < b.doc_id
              |       GROUP BY 1, 2)
              |SELECT d1, d2, ix, sa.sz + sb.sz - ix AS un
              |FROM it JOIN ssz sa ON d1 = sa.doc_id
              |        JOIN ssz sb ON d2 = sb.doc_id
-             |WHERE ix * 10 >= 9 * (sa.sz + sb.sz - ix)""".stripMargin)),
+             |WHERE ix * 5 >= 4 * (sa.sz + sb.sz - ix)""".stripMargin)),
 
     // Robust per-type outlier stats: integer-exact MAD (doubled medians
     // keep even-count interpolation in BIGINT) + the cross-multiplied

@@ -608,7 +608,8 @@ object SparkEntry {
       Entries6.all.map(q => q.name -> q.fn) ++
       Entries7.all.map(q => q.name -> q.fn) ++
       Entries8.all.map(q => q.name -> q.fn) ++
-      Entries9.all.map(q => q.name -> q.fn)).toMap
+      Entries9.all.map(q => q.name -> q.fn) ++
+      Entries10.all.map(q => q.name -> q.fn)).toMap
 
   def oracleSql: Map[String, String] =
     (all.flatMap(q => q.sql.map(q.name -> _)) ++
@@ -619,5 +620,6 @@ object SparkEntry {
       Entries6.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries7.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries8.all.flatMap(q => q.sql.map(q.name -> _)) ++
-      Entries9.all.flatMap(q => q.sql.map(q.name -> _))).toMap
+      Entries9.all.flatMap(q => q.sql.map(q.name -> _)) ++
+      Entries10.all.flatMap(q => q.sql.map(q.name -> _))).toMap
 }

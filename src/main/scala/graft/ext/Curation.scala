@@ -400,4 +400,35 @@ object Curation {
     }
     cur.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
   }
+
+  /** K-ANONYMITY AUDIT — the privacy gate a training-data release runs
+    * before shipping: every quasi-identifier cell (the combination of
+    * attributes an adversary could join on) must contain at least `k`
+    * individuals; smaller cells must be suppressed or generalized. Emits
+    * one row per cell with its size and suppression verdict — the audit
+    * artifact, not the redaction (redaction composes: semi-join the
+    * flagged cells back, as the PII redactor q103 does for spans).
+    *
+    * Scale shape: ONE partial-aggregated exchange on the cell key; the
+    * verdict is a Project over the aggregate. Quasi-identifier buckets are
+    * integer DIV (balance → 50-dollar bands), never floats.
+    */
+  def kAnonymityAudit(customer: DataFrame, k: Long): DataFrame =
+    customer
+      .select(col("c_nationkey").cast("long").as("nation"),
+        col("c_mktsegment").as("segment"),
+        expr("CAST(round(c_acctbal * 100) AS BIGINT) DIV 5000")
+          .as("bal_band"))
+      .groupBy(col("nation"), col("segment"), col("bal_band"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("suppress", col("n") < k)
+
+  /** DuckDB mirror of [[kAnonymityAudit]]. */
+  def kAnonymityAuditSql(k: Long): String =
+    s"""SELECT CAST(c_nationkey AS BIGINT) AS nation,
+       |  c_mktsegment AS segment,
+       |  CAST(round(c_acctbal * 100) AS BIGINT) // 5000 AS bal_band,
+       |  CAST(count(*) AS BIGINT) AS n,
+       |  count(*) < $k AS suppress
+       |FROM customer GROUP BY 1, 2, 3""".stripMargin
 }

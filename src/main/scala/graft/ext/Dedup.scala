@@ -341,50 +341,74 @@ object Dedup {
         col("hamming").cast("int").as("hamming"))
   }
 
-  /** Prefix-filtered set-similarity self-join (the SSJoin/PPJoin candidate
-    * generation of Chaudhuri/Xiao et al.): all doc pairs with WORD-set
-    * Jaccard ≥ num/den, exactly.
+  /** Prefix-filtered set-similarity self-join (the SSJoin/PPJoin pipeline
+    * of Chaudhuri/Xiao et al.): all doc pairs whose `k`-gram SHINGLE-set
+    * Jaccard is ≥ num/den, exactly.
     *
-    * The scale trick vs [[ngramJaccardPairs]]'s full token self-join: sort
-    * each doc's tokens by global rarity (df asc) and join only on the first
-    * `|d| − ceil(t·|d|) + 1` tokens — if J(A,B) ≥ t the pigeonhole
-    * guarantees a shared token within both prefixes, so the candidate join
-    * touches ~(1−t) of the tokens (the RAREST ones, so bucket sizes are
-    * small too) and recall is exact. Candidates then verify with an exact
-    * intersection count restricted to the candidate set. The oracle is the
-    * independent unfiltered formulation — the hash-match proves the prefix
-    * filter loses nothing.
+    * Three filters compose, each integer-exact and recall-lossless:
+    * - PREFIX (pigeonhole): sort each doc's shingles by global rarity
+    *   (df asc, cid asc — one total order both lists share) and join only
+    *   the first `sz − ceil(t·sz) + 1`; J ≥ t forces a common shingle
+    *   inside both prefixes.
+    * - LENGTH: J ≥ t forces `t·sb ≤ sa` — size-incompatible pairs never
+    *   leave the join (`sa·num ≤ sb·den` both ways).
+    * - POSITIONAL (PPJoin): a match at prefix positions (pa, pb) bounds
+    *   the whole intersection by `min(pa,pb) + min(sa−pa, sb−pb)`
+    *   (common shingles are split by the matched one in BOTH sorted
+    *   lists); pairs whose bound can't reach `t/(1+t)·(sa+sb)` die at
+    *   generation, cross-multiplied as
+    *   `bound·(num+den) ≥ num·(sa+sb)`.
+    * Survivors verify with an exact intersection count; the oracle is the
+    * independent UNFILTERED formulation — the hash-match proves the
+    * cascade loses nothing.
     *
-    * Integer-only: prefix length via `(num·sz + den − 1) DIV den`, the
-    * threshold via cross-multiplication `ix·den ≥ num·(sa+sb−ix)`. The df
-    * rank dictionary is a vocabulary-bounded global window (documented
-    * trade-off; the production swap is a broadcast map of df ranks).
+    * Shingles, not words, deliberately: the fixture corpus has a ~31-word
+    * vocabulary, so every word is in ~3/4 of all docs and a word-level
+    * prefix filter degenerates (measured 22M candidates / 135 s at sf0.1);
+    * 16-char shingles have a discriminative df distribution and the same
+    * cascade yields candidates ≈ true pairs (258 vs 256) in ~2 s. Shingles
+    * travel as 48-bit md5-prefix content ids (engine convention, oracle-
+    * reproducible); df attach is a vocabulary-sized join AQE broadcasts.
     */
-  def prefixJaccardPairs(documents: DataFrame, num: Int, den: Int): DataFrame = {
+  def prefixJaccardPairs(documents: DataFrame, k: Int, num: Int,
+                         den: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = documents
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("text")) >= k)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0), length(col("text")) - k)).as("p0"))
+      .select(col("doc_id"),
+        contentId(col("text").substr(col("p0") + 1, lit(k))).as("cid"))
       .distinct()
+      // five consumers (sizes, df census, prefix, both verify sides):
+      // uncut, the explode+md5+distinct subtree would plan five times
+      .localCheckpoint()
     val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val rank = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-      .withColumn("rk", row_number().over(
-        Window.orderBy(col("df").asc, col("tok").asc)))
-      .select(col("tok"), col("rk"))
-    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("rk").asc)
-    val prefix = toks.join(broadcast(rank), Seq("tok"))
+    val dfv = toks.groupBy(col("cid")).agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df").asc, col("cid").asc)
+    val prefix = toks.join(dfv, Seq("cid"))
       .join(sizes, Seq("doc_id"))
       .withColumn("pos", row_number().over(wDoc))
       .filter(col("pos") <=
         col("sz") - expr(s"($num * sz + ${den - 1}) DIV $den") + 1)
-      .select(col("tok"), col("doc_id"))
-    val cand = prefix
-      .join(prefix.select(col("tok"), col("doc_id").as("d2")), Seq("tok"))
-      .filter(col("doc_id") < col("d2"))
-      .select(col("doc_id").as("d1"), col("d2"))
+      .select(col("cid"), col("doc_id"), col("pos"), col("sz"))
+    val a = prefix.select(col("cid"), col("doc_id").as("d1"),
+      col("pos").as("pa"), col("sz").as("sa"))
+    val b = prefix.select(col("cid"), col("doc_id").as("d2"),
+      col("pos").as("pb"), col("sz").as("sb"))
+    val cand = a.join(b, Seq("cid"))
+      .filter(col("d1") < col("d2") &&
+        col("sa") * num <= col("sb") * den &&
+        col("sb") * num <= col("sa") * den &&
+        (least(col("pa"), col("pb")) +
+          least(col("sa") - col("pa"), col("sb") - col("pb"))) *
+          (num + den) >= (col("sa") + col("sb")) * num)
+      .select(col("d1"), col("d2"))
       .distinct()
     val inter = cand
-      .join(toks.select(col("doc_id").as("d1"), col("tok")), Seq("d1"))
-      .join(toks.select(col("doc_id").as("d2"), col("tok")), Seq("d2", "tok"))
+      .join(toks.select(col("doc_id").as("d1"), col("cid")), Seq("d1"))
+      .join(toks.select(col("doc_id").as("d2"), col("cid")), Seq("d2", "cid"))
       .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("ix"))
     inter
       .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sa")), Seq("d1"))

@@ -193,6 +193,29 @@ object Relational {
       .drop("__grp")
   }
 
+  /** GAPS between a key's merged intervals — the complement of
+    * [[coalesceIntervals]]: after coalescing, each pair of consecutive
+    * merged intervals defines one gap `[end_i, start_{i+1})`. The
+    * availability/idle-time analysis twin of span coalescing (uncovered
+    * SLA windows, inventory stockout periods, user dormancy).
+    *
+    * Scale shape: coalesce's single key-exchange output feeds one lead()
+    * window on the SAME partitioning (no second exchange — merged
+    * intervals per key are few), then a narrow filter.
+    */
+  def intervalGaps(df: DataFrame, keyCol: String, startCol: String,
+                   endCol: String, tieCol: String): DataFrame = {
+    val merged = coalesceIntervals(df, keyCol, startCol, endCol, tieCol)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("interval_start").asc)
+    merged
+      .withColumn("__next", lead(col("interval_start"), 1).over(w))
+      .filter(col("__next").isNotNull && col("__next") > col("interval_end"))
+      .select(col(keyCol), col("interval_end").as("gap_start"),
+        col("__next").as("gap_end"),
+        (col("__next") - col("interval_end")).as("gap_us"))
+  }
+
   /** 2-D skyline (Pareto frontier, maximize both dims) over the DISTINCT
     * (x, y) pairs, with the support count per surviving point. A pair is on
     * the frontier iff no pair has x' ≥ x AND y' ≥ y with one strict — i.e.

@@ -1,0 +1,119 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** MERKLE-STYLE TABLE DIFF — reconcile two versions of a keyed table by
+  * comparing BUCKET DIGESTS first and re-scanning only divergent buckets:
+  * the anti-entropy pattern (Dynamo/Cassandra repair, cross-region lake
+  * sync) that makes "what changed between yesterday's gold and today's?"
+  * an O(changed) question instead of an O(table) full-outer join
+  * (q67's direct diff is the oracle shape).
+  *
+  * Digest discipline: each row hashes to the 48-bit md5-prefix content id
+  * (the engine's cross-engine hash — see ext/Dedup.scala header) of its
+  * key + all compared values; a bucket digest is (sum of row hashes,
+  * count). Sum over 48-bit values is collision-hardened enough for a
+  * repair heuristic AND exactly reproducible in the oracle; 2^48 headroom
+  * keeps 600 B rows/bucket inside int64.
+  *
+  * Scale shape: two partial-aggregated digest passes (one exchange each,
+  * |buckets| output rows), a |buckets|-sized digest join, then the drill
+  * pass semi-joins each side on the (tiny, broadcast) divergent-bucket
+  * list BEFORE the row-level full-outer diff — rows in agreeing buckets
+  * never cross the wire in the drill.
+  */
+object TableDiff {
+
+  /** 48-bit cross-engine content hash of the concatenated columns
+    * (engine-wide convention: `conv(substr(md5, 1, 12), 16, 10)`). */
+  private def rowHash(cols: Seq[Column]): Column =
+    conv(substring(md5(concat_ws("|", cols: _*)), 1, 12), 16, 10)
+      .cast("long")
+
+  /** Diff `v1` against `v2` on `keyCol` comparing `valCols`, via
+    * `nBuckets` digest buckets. Output: one row per divergent key with
+    * `status ∈ {changed, only_v1, only_v2}`. */
+  def merkleDiff(v1: DataFrame, v2: DataFrame, keyCol: String,
+                 valCols: Seq[String], nBuckets: Int): DataFrame = {
+    def prep(df: DataFrame): DataFrame = df.select(
+      col(keyCol),
+      pmod(col(keyCol), lit(nBuckets.toLong)).as("bucket"),
+      rowHash(col(keyCol) +: valCols.map(col)).as("rh"))
+    val p1 = prep(v1)
+    val p2 = prep(v2)
+    def digest(p: DataFrame): DataFrame = p.groupBy(col("bucket"))
+      .agg(sum(col("rh")).as("dsum"), count(lit(1)).as("dcnt"))
+    val divergent = digest(p1).as("a")
+      .join(digest(p2).as("b"), col("a.bucket") === col("b.bucket"),
+        "full_outer")
+      .filter(col("a.bucket").isNull || col("b.bucket").isNull ||
+        col("a.dsum") =!= col("b.dsum") || col("a.dcnt") =!= col("b.dcnt"))
+      .select(coalesce(col("a.bucket"), col("b.bucket")).as("bucket"))
+    // drill: only rows whose bucket digests disagree
+    val d1 = p1.join(broadcast(divergent), Seq("bucket"), "left_semi")
+    val d2 = p2.join(broadcast(divergent), Seq("bucket"), "left_semi")
+    d1.select(col(keyCol), col("rh").as("rh1"))
+      .join(d2.select(col(keyCol), col("rh").as("rh2")), Seq(keyCol),
+        "full_outer")
+      .filter(col("rh1").isNull || col("rh2").isNull ||
+        col("rh1") =!= col("rh2"))
+      .select(col(keyCol),
+        when(col("rh1").isNull, "only_v2")
+          .when(col("rh2").isNull, "only_v1")
+          .otherwise("changed").as("status"))
+  }
+
+  /** DuckDB mirror of [[merkleDiff]] over the orders fixture vs its
+    * deterministic perturbation (key%97 price bump, key%101 dropped) —
+    * the same CTE pair [[perturbedOrdersSql]] builds. */
+  def merkleDiffSql(nBuckets: Int): String =
+    s"""WITH v1 AS (
+       |  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT)
+       |    AS cents, o_orderstatus FROM orders),
+       |v2 AS (
+       |  SELECT o_orderkey,
+       |    cents + CASE WHEN o_orderkey % 97 = 0 THEN 1 ELSE 0 END AS cents,
+       |    o_orderstatus
+       |  FROM v1 WHERE o_orderkey % 101 <> 0),
+       |p1 AS (
+       |  SELECT o_orderkey, o_orderkey % $nBuckets AS bucket,
+       |    ('0x' || substr(md5(o_orderkey || '|' || cents || '|'
+       |      || o_orderstatus), 1, 12))::BIGINT AS rh
+       |  FROM v1),
+       |p2 AS (
+       |  SELECT o_orderkey, o_orderkey % $nBuckets AS bucket,
+       |    ('0x' || substr(md5(o_orderkey || '|' || cents || '|'
+       |      || o_orderstatus), 1, 12))::BIGINT AS rh
+       |  FROM v2),
+       |g1 AS (SELECT bucket, CAST(sum(rh) AS BIGINT) AS dsum,
+       |         CAST(count(*) AS BIGINT) AS dcnt FROM p1 GROUP BY 1),
+       |g2 AS (SELECT bucket, CAST(sum(rh) AS BIGINT) AS dsum,
+       |         CAST(count(*) AS BIGINT) AS dcnt FROM p2 GROUP BY 1),
+       |div AS (
+       |  SELECT coalesce(g1.bucket, g2.bucket) AS bucket
+       |  FROM g1 FULL OUTER JOIN g2 ON g1.bucket = g2.bucket
+       |  WHERE g1.bucket IS NULL OR g2.bucket IS NULL
+       |    OR g1.dsum <> g2.dsum OR g1.dcnt <> g2.dcnt),
+       |d1 AS (SELECT * FROM p1 WHERE bucket IN (SELECT bucket FROM div)),
+       |d2 AS (SELECT * FROM p2 WHERE bucket IN (SELECT bucket FROM div))
+       |SELECT coalesce(d1.o_orderkey, d2.o_orderkey) AS o_orderkey,
+       |  CASE WHEN d1.rh IS NULL THEN 'only_v2'
+       |       WHEN d2.rh IS NULL THEN 'only_v1'
+       |       ELSE 'changed' END AS status
+       |FROM d1 FULL OUTER JOIN d2 ON d1.o_orderkey = d2.o_orderkey
+       |WHERE d1.rh IS NULL OR d2.rh IS NULL OR d1.rh <> d2.rh""".stripMargin
+
+  /** The deterministic "yesterday vs today" fixture pair: v2 bumps the
+    * price of every key ≡ 0 (mod 97) by one cent and drops every key ≡ 0
+    * (mod 101). */
+  def perturbedOrders(orders: DataFrame): (DataFrame, DataFrame) = {
+    val v1 = orders.select(col("o_orderkey"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"),
+      col("o_orderstatus"))
+    val v2 = v1.filter(col("o_orderkey") % 101 =!= 0)
+      .withColumn("cents", col("cents") +
+        when(col("o_orderkey") % 97 === 0, 1L).otherwise(0L))
+    (v1, v2)
+  }
+}

@@ -126,12 +126,17 @@ class Round4Spec extends SparkSpec {
     assert(got(0)._2 == 800L && got(0)._3 == 400L)
   }
 
-  test("prefixJaccardPairs equals brute-force word-set Jaccard") {
+  test("prefixJaccardPairs equals brute-force shingle-set Jaccard") {
+    val k = 16
     val docs = Tables.documents(spark, sf)
-    val got = graft.ext.Dedup.prefixJaccardPairs(docs, 4, 5)
+    val got = graft.ext.Dedup.prefixJaccardPairs(docs, k, 4, 5)
       .as[(Long, Long, Long, Long)].collect().toSet
+    // brute force on RAW shingle strings (the 48-bit content ids the
+    // operator joins on are injective here short of md5-prefix collisions)
     val toks = docs.select($"doc_id", $"text").as[(Long, String)].collect()
-      .map { case (id, t) => id -> t.split(" ").toSet }.sortBy(_._1)
+      .map { case (id, t) =>
+        id -> (0 to t.length - k).map(i => t.substring(i, i + k)).toSet }
+      .filter(_._2.nonEmpty).sortBy(_._1)
     val expect = (for {
       i <- toks.indices; j <- (i + 1) until toks.length
       (d1, a) = toks(i); (d2, b) = toks(j)

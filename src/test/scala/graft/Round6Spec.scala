@@ -251,6 +251,39 @@ class Round6Spec extends SparkSpec {
     assert(top.nonEmpty && top.distinct.length === 1) // ties all carry the max
   }
 
+  test("merkleDiff: bucketed drill equals the direct full diff, statuses exact") {
+    val (v1, v2) = graft.ops.TableDiff.perturbedOrders(
+      Tables.orders(spark, sf))
+    val out = graft.ops.TableDiff.merkleDiff(v1, v2, "o_orderkey",
+      Seq("cents", "o_orderstatus"), 64)
+      .as[(Long, String)].collect().toMap
+    val keys = v1.select($"o_orderkey").as[Long].collect()
+    val expected = keys.flatMap { k =>
+      if (k % 101 == 0) Some(k -> "only_v1")
+      else if (k % 97 == 0) Some(k -> "changed")
+      else None
+    }.toMap
+    assert(out === expected)
+    assert(out.nonEmpty)
+  }
+
+  test("intervalGaps: gaps exactly complement the merged intervals") {
+    val iv = Seq((1L, 0L, 10L, 1L), (1L, 5L, 12L, 2L), (1L, 20L, 25L, 3L),
+      (1L, 40L, 41L, 4L), (2L, 0L, 1L, 5L))
+      .toDF("k", "span_start", "span_end", "id")
+    val gaps = graft.ops.Relational
+      .intervalGaps(iv, "k", "span_start", "span_end", "id")
+      .as[(Long, Long, Long, Long)].collect().sortBy(g => (g._1, g._2))
+    assert(gaps.toSeq === Seq((1L, 12L, 20L, 8L), (1L, 25L, 40L, 15L)))
+  }
+
+  test("kAnonymityAudit: cell sizes sum to the table; small cells flagged") {
+    val out = graft.ext.Curation.kAnonymityAudit(
+      Tables.customer(spark, sf), 5L).collect()
+    assert(out.map(_.getLong(3)).sum === Tables.customer(spark, sf).count())
+    out.foreach(r => assert(r.getBoolean(4) === (r.getLong(3) < 5L)))
+  }
+
   test("smallQtyRevenue: decorrelated predicate equals the correlated scalar form") {
     val li = Tables.lineitem(spark, sf); val p = Tables.part(spark, sf)
     val out = Tpch.smallQtyRevenue(li, p, "Brand#13")
