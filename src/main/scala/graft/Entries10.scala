@@ -73,6 +73,30 @@ object Entries10 {
     // verdict at k=5.
     Q("q164_k_anonymity",
       (s, d) => Curation.kAnonymityAudit(Tables.customer(s, d), 5L),
-      Some(Curation.kAnonymityAuditSql(5L)))
+      Some(Curation.kAnonymityAuditSql(5L))),
+
+    // Semi-structured analytics over the VARIANT type (Spark 4): the JSON
+    // payload parses ONCE into the binary variant encoding, typed paths
+    // shred out with variant_get, and the aggregation runs on the shredded
+    // longs — the open-schema ingestion path (vs q45's per-access
+    // get_json_object string re-parse).
+    Q("q165_variant_shred",
+      (s, d) => Tables.events(s, d)
+        .select(col("event_type"),
+          variant_get(parse_json(col("props")), "$.k", "long").as("k"))
+        .groupBy(col("event_type"), expr("k DIV 10").as("k_bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("k_sum"),
+          min(col("k")).as("k_min"), max(col("k")).as("k_max")),
+      Some("""SELECT event_type,
+             |  CAST(json_extract_string(props, '$.k') AS BIGINT) // 10
+             |    AS k_bucket,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+             |    AS BIGINT) AS k_sum,
+             |  min(CAST(json_extract_string(props, '$.k') AS BIGINT))
+             |    AS k_min,
+             |  max(CAST(json_extract_string(props, '$.k') AS BIGINT))
+             |    AS k_max
+             |FROM events GROUP BY 1, 2""".stripMargin))
   )
 }

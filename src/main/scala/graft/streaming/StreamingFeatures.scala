@@ -384,4 +384,90 @@ object StreamingFeatures {
       .transformWithState(new LastKProcessor, TimeMode.None(),
         OutputMode.Update())
   }
+
+  /** Output row of [[statefulSessionTimers]]. */
+  case class TimerSession(user_id: Long, t_start_us: Long, t_end_us: Long,
+                          n_events: Long)
+
+  /** transformWithState sessionization with EVENT-TIME TIMERS — the
+    * timer-driven form of streamSessionize's flatMapGroupsWithState
+    * timeout: each batch folds the user's events into a (start, end, n)
+    * ValueState and re-arms ONE timer at `end + gap`; the session row is
+    * emitted from `handleExpiredTimer` when the WATERMARK crosses that
+    * instant — i.e. when no in-flight event can extend the session any
+    * more. Timers are the new API's replacement for
+    * GroupStateTimeout.EventTimeTimeout, with two wins at scale: multiple
+    * independent timers per key are possible, and expiry scans are
+    * state-store-native (RocksDB range scan) instead of a full state
+    * sweep per micro-batch.
+    *
+    * Intra-batch gap splits are walked in event order (a micro-batch can
+    * carry several complete sessions for one user — certainly in replay);
+    * only the LAST, still-open session stays in state with a timer armed.
+    */
+  def statefulSessionTimers(spark: SparkSession, eventsDir: String,
+                            gapUs: Long, maxFilesPerTrigger: Int = 0)
+      : org.apache.spark.sql.Dataset[TimerSession] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor,
+      TimeMode, TimerValues, ExpiredTimerInfo, TTLConfig}
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(eventsDir).schema
+    val reader = spark.readStream.schema(schema)
+    val ev = (if (maxFilesPerTrigger > 0)
+      reader.option("maxFilesPerTrigger", maxFilesPerTrigger) else reader)
+      .parquet(eventsDir)
+      .withColumn("ts_us", expr("ts DIV 1000L"))
+      .withColumn("ts_t", timestamp_micros(col("ts_us")))
+      .withWatermark("ts_t", "1 hour")
+      .select(col("user_id").as[Long], col("ts_us").as[Long])
+      .as[(Long, Long)]
+
+    class SessionProcessor extends StatefulProcessor[Long, (Long, Long),
+        TimerSession] {
+      @transient private var sess: org.apache.spark.sql.streaming
+        .ValueState[(Long, Long, Long)] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        sess = getHandle.getValueState[(Long, Long, Long)]("sess",
+          implicitly[org.apache.spark.sql.Encoder[(Long, Long, Long)]],
+          TTLConfig.NONE)
+      override def handleInputRows(user: Long,
+          rows: Iterator[(Long, Long)],
+          timerValues: TimerValues): Iterator[TimerSession] = {
+        val ts = rows.map(_._2).toArray.sorted
+        // walk in event order: a beyond-gap event closes the running
+        // session immediately (its timer may not have fired yet)
+        val closed = scala.collection.mutable.ArrayBuffer[TimerSession]()
+        var cur = if (sess.exists()) Some(sess.get()) else None
+        ts.foreach { t =>
+          cur = cur match {
+            case Some((s0, e0, n0)) if t > e0 + gapUs =>
+              closed += TimerSession(user, s0, e0, n0)
+              Some((t, t, 1L))
+            case Some((s0, e0, n0)) =>
+              Some((s0, math.max(e0, t), n0 + 1))
+            case None => Some((t, t, 1L))
+          }
+        }
+        val open = cur.get // ts nonempty, so a session is always open here
+        sess.update(open)
+        // re-arm: exactly one live timer per key, at session end + gap
+        getHandle.listTimers().foreach(getHandle.deleteTimer)
+        getHandle.registerTimer(open._2 / 1000 + gapUs / 1000)
+        closed.iterator
+      }
+      override def handleExpiredTimer(user: Long, timerValues: TimerValues,
+          expiredTimerInfo: ExpiredTimerInfo): Iterator[TimerSession] = {
+        if (!sess.exists()) Iterator.empty
+        else {
+          val (s0, e0, n0) = sess.get()
+          sess.clear()
+          Iterator.single(TimerSession(user, s0, e0, n0))
+        }
+      }
+    }
+    ev.groupByKey(_._1)
+      .transformWithState(new SessionProcessor, TimeMode.EventTime(),
+        OutputMode.Append())
+  }
 }

@@ -233,6 +233,50 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.select($"event_id").except(batchIds).count() == 0)
   }
 
+  test("transformWithState event-time timers close exactly the batch sessions") {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val gapUs = 30 * 60 * 1000000L
+      val out = StreamingFeatures.statefulSessionTimers(spark,
+        stageEventsDir(), gapUs)
+      val q = out.writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName("timer_sessions")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("ck_timers").toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.processAllAvailable(); q.stop()
+      val streamed = spark.table("timer_sessions")
+        .select($"user_id", $"t_start_us", $"t_end_us", $"n_events")
+      val batch = graft.ops.Sessions
+        .sessionize(Tables.events(spark, sf), gapUs)
+        .select($"user_id", $"t_start_us", $"t_end_us", $"n_events")
+      assert(streamed.count() > 0)
+      // everything emitted is a genuine batch session, byte-for-byte
+      assert(streamed.except(batch).count() == 0)
+      // every session superseded by a later same-user event (i.e. closed
+      // by DATA, not by the trailing watermark) must have been emitted
+      val maxTsUs = Tables.events(spark, sf).agg(max($"ts_us"))
+        .first().getLong(0)
+      val lastEnd = batch.groupBy($"user_id")
+        .agg(max($"t_end_us").as("last_end"))
+      val dataClosed = batch.join(lastEnd, Seq("user_id"))
+        .filter($"t_end_us" < $"last_end")
+        .select($"user_id", $"t_start_us", $"t_end_us", $"n_events")
+      assert(dataClosed.except(streamed).count() == 0)
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("transformWithState last-k feature equals the batch window (RocksDB store)") {
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
     val prevProvider = spark.conf.getOption(
