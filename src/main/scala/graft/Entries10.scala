@@ -97,6 +97,67 @@ object Entries10 {
              |    AS k_min,
              |  max(CAST(json_extract_string(props, '$.k') AS BIGINT))
              |    AS k_max
-             |FROM events GROUP BY 1, 2""".stripMargin))
+             |FROM events GROUP BY 1, 2""".stripMargin)),
+
+    // Sketch set-INTERSECTION algebra: per week, exact purchaser/clicker
+    // audiences as stored bitmaps, overlap via bitmap AND — the
+    // cohort-overlap question OR-mergeable sketches alone can't answer,
+    // answered without re-scanning facts.
+    Q("q166_sketch_overlap",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        import graft.functions.GraftFunctions._
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("event_type"),
+            expr("ts_us DIV 604800000000").as("week"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .groupBy(col("week")).agg(bitmapSketch(col("user_id")).as("ps"))
+        val c = ev.filter(col("event_type") === "click")
+          .groupBy(col("week")).agg(bitmapSketch(col("user_id")).as("cs"))
+        p.join(c, Seq("week"))
+          .select(col("week"), bitmapCount(col("ps")).as("n_purchasers"),
+            bitmapCount(col("cs")).as("n_clickers"),
+            bitmapAndCount(col("ps"), col("cs")).as("n_both"))
+      },
+      Some("""WITH w AS (
+             |  SELECT user_id, event_type,
+             |    epoch_us(ts) // 604800000000 AS week
+             |  FROM events),
+             |p AS (SELECT week, CAST(count(DISTINCT user_id) AS BIGINT) AS
+             |        n_purchasers FROM w WHERE event_type = 'purchase'
+             |      GROUP BY 1),
+             |c AS (SELECT week, CAST(count(DISTINCT user_id) AS BIGINT) AS
+             |        n_clickers FROM w WHERE event_type = 'click' GROUP BY 1)
+             |SELECT p.week, p.n_purchasers, c.n_clickers,
+             |  (SELECT CAST(count(DISTINCT a.user_id) AS BIGINT)
+             |   FROM w a JOIN w b ON a.user_id = b.user_id
+             |     AND a.week = b.week
+             |   WHERE a.week = p.week AND a.event_type = 'purchase'
+             |     AND b.event_type = 'click') AS n_both
+             |FROM p JOIN c ON p.week = c.week""".stripMargin)),
+
+    // TPC-H Q4 shape: order-priority count over orders having at least one
+    // late-shipping lineitem (EXISTS → left-semi decorrelation).
+    Q("q167_priority_count",
+      (s, d) => {
+        val late = Tables.lineitem(s, d)
+          .join(broadcast(Tables.orders(s, d)
+            .select(col("o_orderkey").as("ok"), col("o_orderdate"))),
+            col("l_orderkey") === col("ok"))
+          .filter(col("l_shipdate") >
+            col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+          .select(col("l_orderkey"))
+        Tables.orders(s, d)
+          .join(late, col("o_orderkey") === col("l_orderkey"), "left_semi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("order_count"))
+      },
+      Some("""SELECT o_orderpriority,
+             |  CAST(count(*) AS BIGINT) AS order_count
+             |FROM orders o
+             |WHERE EXISTS (SELECT 1 FROM lineitem l
+             |  WHERE l.l_orderkey = o.o_orderkey
+             |    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+             |GROUP BY 1""".stripMargin))
   )
 }

@@ -76,6 +76,22 @@ object BitmapCodec {
     bos.toByteArray
   }
 
+  /** |a ∩ b| without materializing the intersection: pages align by key,
+    * popcount of word-wise AND. */
+  def andCardinality(a: State, b: State): Long = {
+    val (small, big) = if (a.size <= b.size) (a, b) else (b, a)
+    var n = 0L
+    small.foreach { case (hi, words) =>
+      big.get(hi).foreach { w =>
+        var i = 0
+        while (i < PageWords) {
+          n += java.lang.Long.bitCount(words(i) & w(i)); i += 1
+        }
+      }
+    }
+    n
+  }
+
   def deserialize(bytes: Array[Byte]): State = {
     val bb = ByteBuffer.wrap(bytes)
     val st: State = mutable.LongMap.empty
@@ -170,4 +186,60 @@ case class BitmapMergeCountAgg(
   override def dataType: DataType = LongType
   override def nullable: Boolean = false
   override def prettyName: String = "bitmap_merge_count"
+}
+
+/** Exact |a ∩ b| of two serialized bitmaps — the set-INTERSECTION algebra
+  * the OR-mergeable sketches can't answer alone (audience overlap, funnel
+  * conversion between cohorts: materialize one sketch per cohort cell,
+  * intersect pairs at query time — no fact re-scan, exact).
+  *
+  * Scalar, runs once per (already aggregated) group row — CodegenFallback
+  * is irrelevant here; the hot path is the sketch build below it. */
+case class BitmapAndCount(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(s"bitmap_and_count needs two serialized bitmaps " +
+        s"(binary), got ${left.dataType} / ${right.dataType}")
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    BitmapCodec.andCardinality(
+      BitmapCodec.deserialize(a.asInstanceOf[Array[Byte]]),
+      BitmapCodec.deserialize(b.asInstanceOf[Array[Byte]]))
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BitmapAndCount =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "bitmap_and_count"
+}
+
+/** Exact cardinality of one serialized bitmap (the unary companion). */
+case class BitmapCount(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(s"bitmap_count needs a serialized bitmap (binary), " +
+        s"got ${child.dataType}")
+
+  override def nullSafeEval(b: Any): Any =
+    BitmapCodec.cardinality(
+      BitmapCodec.deserialize(b.asInstanceOf[Array[Byte]]))
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : BitmapCount = copy(child = newChild)
+  override def prettyName: String = "bitmap_count"
 }

@@ -23,7 +23,9 @@ object GraftFunctions {
     "jaro_winkler" -> (exprs => JaroWinkler(exprs(0), exprs(1))),
     "graft_word_stats" -> (exprs => WordStats(exprs.head, stopwordArg(exprs))),
     "bitmap_sketch" -> (exprs => BitmapSketchAgg(exprs.head)),
-    "bitmap_merge_count" -> (exprs => BitmapMergeCountAgg(exprs.head)))
+    "bitmap_merge_count" -> (exprs => BitmapMergeCountAgg(exprs.head)),
+    "bitmap_and_count" -> (exprs => BitmapAndCount(exprs(0), exprs(1))),
+    "bitmap_count" -> (exprs => BitmapCount(exprs.head)))
 
   /** Second arg of graft_word_stats is a foldable array of string literals
     * (the stopword vocabulary) — evaluated once at resolution time. */
@@ -75,6 +77,12 @@ object GraftFunctions {
 
   def bitmapMergeCount(c: Column): Column =
     org.apache.spark.sql.functions.call_function("bitmap_merge_count", c)
+
+  def bitmapAndCount(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function("bitmap_and_count", a, b)
+
+  def bitmapCount(c: Column): Column =
+    org.apache.spark.sql.functions.call_function("bitmap_count", c)
 
   def wordStats(c: Column, stopwords: Seq[String]): Column =
     org.apache.spark.sql.functions.call_function("graft_word_stats", c,

@@ -138,6 +138,36 @@ object FeatureStore {
     writeGold(merged, path)
   }
 
+  /** RETENTION ENFORCEMENT — drop every `date=` partition strictly older
+    * than `cutoff` from the gold table, as a METADATA-ONLY operation:
+    * whole partition directories are deleted by name, no file is read, no
+    * row is scanned. The O(partitions) retention job a date-partitioned
+    * layout buys (vs the O(table) anti-join rewrite a row-level TTL would
+    * need); pairs with the compaction planner (ops/History.compactionBins)
+    * as the table-maintenance loop. Returns the dropped partition dates.
+    *
+    * Hadoop FileSystem API throughout (works on HDFS/S3, same lesson as
+    * upsertGold's existence check). */
+  def expireOldPartitions(spark: SparkSession, path: String,
+                          cutoff: java.time.LocalDate): Seq[String] = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(hPath)) return Seq.empty
+    val dropped = fs.listStatus(hPath).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .filter(_.getName.startsWith("date="))
+      .filter { p =>
+        val d = p.getName.stripPrefix("date=")
+        // non-date dirs are never silently deleted
+        scala.util.Try(java.time.LocalDate.parse(d))
+          .toOption.exists(_.isBefore(cutoff))
+      }
+    dropped.foreach(fs.delete(_, true))
+    spark.catalog.refreshByPath(path)
+    dropped.map(_.getName.stripPrefix("date="))
+  }
+
   /** S4 — append-only prediction log, date-partitioned (reference:
     * serving/pred_logger.py:14-18). Append mode: concurrent writers add
     * files, never clobber. */

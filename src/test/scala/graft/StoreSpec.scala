@@ -93,4 +93,49 @@ class StoreSpec extends SparkSpec {
     FeatureStore.logPredictions(preds, dir)
     assert(spark.read.parquet(dir).count() == 2) // append semantics
   }
+
+  test("expireOldPartitions drops exactly the pre-cutoff dates, metadata-only") {
+    val dir = java.nio.file.Files.createTempDirectory("retention").toString
+    // three partition dates: Jan 10, Jan 15, Jan 20 (epoch micros, UTC)
+    val rows = Seq(
+      (1L, 1704844800000000L, 10.0), // 2024-01-10
+      (2L, 1705276800000000L, 20.0), // 2024-01-15
+      (3L, 1705708800000000L, 30.0)) // 2024-01-20
+      .toDF("user_id", "ts_us", "value")
+    FeatureStore.writeGold(rows, dir)
+    val dropped = FeatureStore.expireOldPartitions(spark, dir,
+      java.time.LocalDate.parse("2024-01-15"))
+    assert(dropped.sorted == Seq("2024-01-10"))
+    val left = spark.read.parquet(dir)
+    assert(left.count() == 2)
+    assert(left.select($"user_id").as[Long].collect().sorted.toSeq ==
+      Seq(2L, 3L))
+    // idempotent; missing table is a no-op, never an error
+    assert(FeatureStore.expireOldPartitions(spark, dir,
+      java.time.LocalDate.parse("2024-01-15")).isEmpty)
+    assert(FeatureStore.expireOldPartitions(spark, dir + "_missing",
+      java.time.LocalDate.parse("2024-01-15")).isEmpty)
+  }
+
+  test("bitmap AND/cardinality: exact intersection on the codec and in SQL") {
+    import graft.functions.BitmapCodec
+    val a: BitmapCodec.State = scala.collection.mutable.LongMap.empty
+    val b: BitmapCodec.State = scala.collection.mutable.LongMap.empty
+    Seq(1L, 2L, 65536L, 999999L).foreach(BitmapCodec.set(a, _))
+    Seq(2L, 3L, 999999L, 123456789L).foreach(BitmapCodec.set(b, _))
+    assert(BitmapCodec.andCardinality(a, b) === 2L) // {2, 999999}
+    // through the SQL function surface
+    graft.functions.GraftFunctions.register(spark)
+    val df = Seq((1L, 10L), (1L, 20L), (2L, 20L), (2L, 30L))
+      .toDF("grp", "id")
+    val sk = df.groupBy($"grp")
+      .agg(graft.functions.GraftFunctions.bitmapSketch($"id").as("s"))
+    val pair = sk.filter($"grp" === 1L).select($"s".as("s1"))
+      .crossJoin(sk.filter($"grp" === 2L).select($"s".as("s2")))
+      .select(
+        graft.functions.GraftFunctions.bitmapAndCount($"s1", $"s2"),
+        graft.functions.GraftFunctions.bitmapCount($"s1"))
+      .as[(Long, Long)].head()
+    assert(pair === ((1L, 2L))) // overlap {20}; |{10,20}| = 2
+  }
 }
