@@ -158,6 +158,67 @@ object Entries10 {
              |WHERE EXISTS (SELECT 1 FROM lineitem l
              |  WHERE l.l_orderkey = o.o_orderkey
              |    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
-             |GROUP BY 1""".stripMargin))
+             |GROUP BY 1""".stripMargin)),
+
+    // ANN recall@5 gate: IVF (nprobe=2) top-5 judged against the exact
+    // brute-force top-5, per query, in exact integers — the quality gate
+    // before an approximate index replaces brute force. Oracle replays
+    // BOTH pipelines and the comparison.
+    Q("q168_ann_recall",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        import graft.ext.{Eval, Similarity}
+        val emb = Tables.embeddings(s, d)
+        Eval.annRecall(Similarity.ivfTopK(emb, 20, 5, 100, 2),
+          Similarity.bruteForceTopK(emb, 20, 5), 5)
+      },
+      Some {
+        val cos = ExtEntries.cosSql _
+        s"""WITH cent AS (SELECT vec_id AS c_id, embedding AS c_emb
+           |             FROM embeddings WHERE vec_id % 100 = 0),
+           |assigned AS (
+           |  SELECT n_id, n_emb, c_id FROM (
+           |    SELECT e.vec_id AS n_id, e.embedding AS n_emb, c.c_id,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${cos("e.embedding", "c.c_emb")} DESC,
+           |          c.c_id ASC) AS arn
+           |    FROM embeddings e, cent c)
+           |  WHERE arn = 1),
+           |probes AS (
+           |  SELECT q_id, q_emb, c_id FROM (
+           |    SELECT e.vec_id AS q_id, e.embedding AS q_emb, c.c_id,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${cos("e.embedding", "c.c_emb")} DESC,
+           |          c.c_id ASC) AS prn
+           |    FROM embeddings e, cent c WHERE e.vec_id < 20)
+           |  WHERE prn <= 2),
+           |ivf AS (
+           |  SELECT q_id, n_id FROM (
+           |    SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+           |        ORDER BY cos DESC, n_id ASC) AS rank
+           |    FROM (SELECT p.q_id, a.n_id,
+           |            ${cos("p.q_emb", "a.n_emb")} AS cos
+           |          FROM assigned a JOIN probes p USING (c_id)
+           |          WHERE p.q_id <> a.n_id))
+           |  WHERE rank <= 5),
+           |brute AS (
+           |  SELECT q_id, n_id, rank FROM (
+           |    SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+           |      row_number() OVER (PARTITION BY q.vec_id
+           |        ORDER BY ${cos("q.embedding", "e.embedding")} DESC,
+           |          e.vec_id ASC) AS rank
+           |    FROM embeddings q JOIN embeddings e ON q.vec_id <> e.vec_id
+           |    WHERE q.vec_id < 20)
+           |  WHERE rank <= 5)
+           |SELECT b.q_id,
+           |  CAST(sum(CASE WHEN i.n_id IS NOT NULL THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS hits,
+           |  CAST(5 AS BIGINT) AS k,
+           |  max(CASE WHEN i.n_id IS NOT NULL
+           |    THEN CAST(b.rank AS BIGINT) END) AS worst_kept_rank
+           |FROM brute b LEFT JOIN ivf i
+           |  ON b.q_id = i.q_id AND b.n_id = i.n_id
+           |GROUP BY 1""".stripMargin
+      })
   )
 }

@@ -67,6 +67,33 @@ object Eval {
     * per-row work is a partial aggregate on (score); only distinct scores
     * reach the single-partition window (cents-valued scores: bounded domain).
     */
+  /** ANN RECALL@k — the quality gate every approximate-similarity pipeline
+    * needs before swapping in for brute force: per query, how many of the
+    * approximate index's top-k survive in the EXACT top-k. Emits one row
+    * per query (hits, k) plus the query's worst surviving exact rank —
+    * exact integers, so the whole evaluation is oracle-checkable (the
+    * usual float "recall = 0.97" is the caller's one division away).
+    *
+    * Scale shape: both sides are the already-WindowGroupLimit'd top-k edge
+    * lists (|queries|·k rows); the comparison is an equi-join + count on
+    * that reduced table, never on raw scores.
+    */
+  def annRecall(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    val a = approx.select(col("q_id"), col("n_id"))
+      .withColumn("__hit", lit(1L))
+    val e = exact.select(col("q_id"), col("n_id"),
+      col("rank").cast("long").as("exact_rank"))
+    // left join from the EXACT side: zero-hit queries must still appear
+    // (they are the whole point of a recall gate)
+    e.join(a, Seq("q_id", "n_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(sum(coalesce(col("__hit"), lit(0L))).as("hits"),
+        max(when(col("__hit").isNotNull, col("exact_rank")))
+          .as("worst_kept_rank"))
+      .select(col("q_id"), col("hits"), lit(k.toLong).as("k"),
+        col("worst_kept_rank"))
+  }
+
   def rankAuc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
     val perScore = df
       .filter(col(scoreCol).isNotNull)

@@ -284,6 +284,24 @@ class Round6Spec extends SparkSpec {
     out.foreach(r => assert(r.getBoolean(4) === (r.getLong(3) < 5L)))
   }
 
+  test("annRecall: self-evaluation is perfect, hits bounded by k, zero-hit queries kept") {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, sf)
+    val brute = graft.ext.Similarity.bruteForceTopK(emb, 10, 5)
+    val self = graft.ext.Eval.annRecall(brute, brute, 5)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(self.length === 10)
+    assert(self.forall { case (_, hits, k, worst) =>
+      hits == 5 && k == 5 && worst == 5 })
+    // disjoint approx (shifted neighbor ids guaranteed absent) → 0 hits,
+    // query rows still present, worst_kept_rank NULL
+    val none = graft.ext.Eval.annRecall(
+      brute.withColumn("n_id", col("n_id") + 1000000L), brute, 5)
+      .collect()
+    assert(none.length === 10)
+    assert(none.forall(r => r.getLong(1) == 0L && r.isNullAt(3)))
+  }
+
   test("smallQtyRevenue: decorrelated predicate equals the correlated scalar form") {
     val li = Tables.lineitem(spark, sf); val p = Tables.part(spark, sf)
     val out = Tpch.smallQtyRevenue(li, p, "Brand#13")
