@@ -72,32 +72,32 @@ object BpeTrainer {
   }
 
   /** Greedy left-to-right application of ONE merge (a, b) to the symbol
-    * state: runs of consecutive matching positions (possible only when
-    * a == b) merge at odd ranks; the absorbed right-hand rows drop and
-    * positions re-index. Window-only on the hot path — the chosen-position
-    * set joins back at candidate size. */
+    * state, as PURE WINDOW arithmetic over one (w, pos) sort — zero joins
+    * (the original chosen-positions formulation joined the candidate set
+    * back twice per round; at 6 rounds that was 12 extra shuffles of
+    * latency on a vocabulary-sized frame):
+    * a position matches if (sym, next) = (a, b); within a RUN of
+    * consecutive matches (possible only when a == b) greedy pairing keeps
+    * the 0th, 2nd, … — i.e. chosen ⇔ the distance to the last non-match
+    * position is odd ("aaaa"+(a,a) → pairs at pos 1 and 3). A row is
+    * absorbed ⇔ its predecessor was chosen. Surviving rows re-index by
+    * row_number on the SAME partitioning (no new exchange). */
   private def applyMerge(seq: DataFrame, a: String, b: String): DataFrame = {
     val wOrd = Window.partitionBy(col("w")).orderBy(col("pos"))
-    val withNext = seq.withColumn("nxt", lead(col("sym"), 1).over(wOrd))
-    val matches = withNext
-      .filter(col("sym") === lit(a) && col("nxt") === lit(b))
-      .select(col("w"), col("pos"))
-      .withColumn("grp", col("pos") - row_number().over(wOrd))
-    val chosen = matches
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("w"), col("grp")).orderBy(col("pos"))))
-      .filter(col("rk") % 2 === 1)
-      .select(col("w").as("cw"), col("pos").as("cpos"))
+    val cum = wOrd.rowsBetween(Window.unboundedPreceding, 0)
     seq
-      .join(chosen, col("w") === col("cw") && col("pos") === col("cpos"),
-        "left")
-      .withColumn("hit", col("cpos").isNotNull)
-      .drop("cw", "cpos")
-      .join(chosen, col("w") === col("cw") && col("pos") === col("cpos") + 1,
-        "left")
-      .filter(col("cpos").isNull) // row after a merge site: absorbed
+      .withColumn("nxt", lead(col("sym"), 1).over(wOrd))
+      .withColumn("mrk", col("sym") === lit(a) && col("nxt") === lit(b))
+      // last non-matching position at-or-before this row (the run anchor)
+      .withColumn("anchor",
+        coalesce(max(when(!col("mrk"), col("pos"))).over(cum), lit(0)))
+      .withColumn("chosen",
+        col("mrk") && (col("pos") - col("anchor")) % 2 === 1)
+      .withColumn("absorbed",
+        coalesce(lag(col("chosen"), 1).over(wOrd), lit(false)))
+      .filter(!col("absorbed"))
       .select(col("w"), col("freq"), col("pos"),
-        when(col("hit"), lit(a + b)).otherwise(col("sym")).as("sym"))
+        when(col("chosen"), lit(a + b)).otherwise(col("sym")).as("sym"))
       .withColumn("pos", row_number().over(
         Window.partitionBy(col("w")).orderBy(col("pos"))))
       .localCheckpoint()
