@@ -852,10 +852,13 @@ object ExtEntries {
       (s, d) => Tables.lineitem(s, d)
         .withColumn("cents", round(col("l_extendedprice") * 100).cast("long"))
         .groupBy(col("l_returnflag"))
-        .agg(
-          percentile_approx(col("cents"), lit(0.5), lit(10000)).as("p50"),
-          percentile_approx(col("cents"), lit(0.9), lit(10000)).as("p90"),
-          percentile_approx(col("cents"), lit(0.99), lit(10000)).as("p99")),
+        // ONE KLL-style sketch per group answers all three quantiles —
+        // three separate percentile_approx calls each built their own
+        // 10k-capacity buffer over the same 600k rows (3× the agg work)
+        .agg(percentile_approx(col("cents"),
+          array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("ps"))
+        .select(col("l_returnflag"), col("ps").getItem(0).as("p50"),
+          col("ps").getItem(1).as("p90"), col("ps").getItem(2).as("p99")),
       None),
 
     // Generator with position: posexplode over the token array (first 5)

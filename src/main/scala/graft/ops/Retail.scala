@@ -95,6 +95,9 @@ object Retail {
     val baskets = lineitem
       .select(col("l_orderkey").as("oid"), col("l_partkey").as("item"))
       .distinct()
+      // four consumers (nOrders action, item census, both pair sides) —
+      // uncut, the distinct subtree evaluates four times
+      .localCheckpoint()
     val nOrders = baskets.select(col("oid")).distinct().count()
     val itemCnt = baskets.groupBy(col("item"))
       .agg(count(lit(1)).as("n_item"))
