@@ -219,6 +219,13 @@ object Entries10 {
            |FROM brute b LEFT JOIN ivf i
            |  ON b.q_id = i.q_id AND b.n_id = i.n_id
            |GROUP BY 1""".stripMargin
-      })
+      }),
+
+    // End-to-end curation funnel: length gate → quality gate → exact
+    // dedup keep-first → per-source quota, per-stage survivor counts in
+    // one scan + two window passes.
+    Q("q169_curation_funnel",
+      (s, d) => Curation.curationFunnel(Tables.documents(s, d), 100, 30, 15),
+      Some(Curation.curationFunnelSql(100, 30, 15)))
   )
 }

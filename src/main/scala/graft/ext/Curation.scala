@@ -401,6 +401,78 @@ object Curation {
     cur.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
   }
 
+  /** CURATION FUNNEL — the whole corpus-release pipeline as ONE pass with
+    * per-stage survivor counts (the report every data-curation run ships):
+    * length gate → integer quality gate (alpha ratio ≥ 81.5%, min token
+    * count) → boilerplate-prefix dedup keep-first (md5 of the leading 40
+    * chars, min doc_id — the corpus has no EXACT dup texts, so the funnel
+    * dedups on the shared-boilerplate key; q20 is the exact-hash form) →
+    * per-source quota (cap
+    * docs/source, doc_id order). Stages are CUMULATIVE flags computed in
+    * one DataFrame — one scan, two window passes (hash, source), one
+    * single-row aggregate; no per-stage re-evaluation of upstream filters.
+    *
+    * Each component exists standalone (q30–q34 quality/lang-id, q20 exact
+    * dedup, q56 group top-k); this is their composition — the answer to
+    * "could a user run their curation pipeline on this engine end to end"
+    * — plus the funnel accounting that silent-truncation review rules
+    * demand (every drop is a counted stage, never implicit).
+    */
+  def curationFunnel(documents: DataFrame, minChars: Int, minToks: Int,
+                     perSourceCap: Int): DataFrame = {
+    val base = documents.select(col("doc_id"), col("source"),
+      length(col("text")).as("len"),
+      length(regexp_replace(col("text"), "[^a-zA-Z]", "")).as("alpha"),
+      size(split(col("text"), " ")).as("ntok"),
+      md5(substring(col("text"), 1, 40)).as("h"))
+      .withColumn("s1", col("len") >= minChars)
+      .withColumn("s2", col("s1") && col("alpha") * 1000 >= col("len") * 815 &&
+        col("ntok") >= minToks)
+    val wHash = Window.partitionBy(col("h"))
+      .orderBy(col("s2").desc, col("doc_id").asc)
+    val wSrc = Window.partitionBy(col("source"))
+      .orderBy(col("s3").desc, col("doc_id").asc)
+    base
+      .withColumn("s3", col("s2") && row_number().over(wHash) === 1)
+      .withColumn("s4", col("s3") &&
+        row_number().over(wSrc) <= perSourceCap)
+      .agg(count(lit(1)).as("n_total"),
+        sum(col("s1").cast("long")).as("n_len_ok"),
+        sum(col("s2").cast("long")).as("n_quality_ok"),
+        sum(col("s3").cast("long")).as("n_deduped"),
+        sum(col("s4").cast("long")).as("n_released"))
+  }
+
+  /** DuckDB mirror of [[curationFunnel]]. */
+  def curationFunnelSql(minChars: Int, minToks: Int,
+                        perSourceCap: Int): String =
+    s"""WITH base AS (
+       |  SELECT doc_id, source, length(text) AS len,
+       |    length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha,
+       |    len(string_split(text, ' ')) AS ntok,
+       |    md5(substr(text, 1, 40)) AS h
+       |  FROM documents),
+       |f AS (
+       |  SELECT *, len >= $minChars AS s1,
+       |    (len >= $minChars AND alpha * 1000 >= len * 815
+       |      AND ntok >= $minToks) AS s2
+       |  FROM base),
+       |d AS (
+       |  SELECT *, s2 AND row_number() OVER (PARTITION BY h
+       |    ORDER BY s2 DESC, doc_id ASC) = 1 AS s3
+       |  FROM f),
+       |q AS (
+       |  SELECT *, s3 AND row_number() OVER (PARTITION BY source
+       |    ORDER BY s3 DESC, doc_id ASC) <= $perSourceCap AS s4
+       |  FROM d)
+       |SELECT CAST(count(*) AS BIGINT) AS n_total,
+       |  CAST(sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS n_len_ok,
+       |  CAST(sum(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_quality_ok,
+       |  CAST(sum(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS n_deduped,
+       |  CAST(sum(CASE WHEN s4 THEN 1 ELSE 0 END) AS BIGINT) AS n_released
+       |FROM q""".stripMargin
+
   /** K-ANONYMITY AUDIT — the privacy gate a training-data release runs
     * before shipping: every quasi-identifier cell (the combination of
     * attributes an adversary could join on) must contain at least `k`
