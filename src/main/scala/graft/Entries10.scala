@@ -226,6 +226,83 @@ object Entries10 {
     // one scan + two window passes.
     Q("q169_curation_funnel",
       (s, d) => Curation.curationFunnel(Tables.documents(s, d), 100, 30, 15),
-      Some(Curation.curationFunnelSql(100, 30, 15)))
+      Some(Curation.curationFunnelSql(100, 30, 15))),
+
+    // Overlapping hop-window chunking (the audio/speech framing pattern:
+    // window 160 B, hop 96 B → 64 B overlap between consecutive chunks),
+    // per-chunk position-weighted checksum replayed by the oracle.
+    Q("q170_audio_chunks",
+      (s, d) => graft.ext.Multimodal
+        .audioChunks(s, Tables.documents(s, d)).toDF(),
+      Some {
+        import graft.ext.TextAnalysis.{FpA, FpB, FpP}
+        s"""SELECT doc_id, c AS chunk_idx,
+           |  CAST(c * 96 AS BIGINT) AS start_byte,
+           |  least(160, CAST(strlen(text) AS BIGINT) - c * 96)
+           |    AS chunk_bytes,
+           |  CAST(coalesce(sum(ord(substr(text, CAST(c * 96 + i AS INT), 1))
+           |    * (($FpA * i + $FpB) % $FpP)), 0) % $FpP AS BIGINT)
+           |    AS checksum
+           |FROM documents
+           |JOIN (SELECT unnest(range(0, 16)) AS c) tc
+           |  ON c * 96 < strlen(text)
+           |LEFT JOIN (SELECT unnest(range(1, 161)) AS i) ti
+           |  ON c * 96 + i <= strlen(text)
+           |GROUP BY doc_id, c, strlen(text)""".stripMargin
+      }),
+
+    // Matryoshka-style truncation eval: recall@5 of 16-dim-truncated
+    // cosine search against the full 64-dim ground truth, through the same
+    // annRecall gate as the IVF index (q168) — the dimension-budget
+    // decision, measured.
+    Q("q171_truncdim_recall",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        import graft.ext.{Eval, Similarity}
+        val emb = Tables.embeddings(s, d)
+        val trunc = emb.withColumn("embedding",
+          slice(col("embedding"), 1, 16))
+        Eval.annRecall(Similarity.bruteForceTopK(trunc, 20, 5),
+          Similarity.bruteForceTopK(emb, 20, 5), 5)
+      },
+      Some {
+        val cos = ExtEntries.cosSql _
+        // 16-dim fold (ExtEntries.dotSql is fixed at 64 dims)
+        def dot16(a: String, b: String) =
+          s"list_reduce(list_transform(range(1, 17), " +
+            s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), " +
+            "(x, y) -> x + y)"
+        def cos16(a: String, b: String) =
+          s"(${dot16(a, b)} / (sqrt(${dot16(a, a)}) * sqrt(${dot16(b, b)})))"
+        s"""WITH t AS (SELECT vec_id, embedding[1:16] AS emb
+           |          FROM embeddings),
+           |approx AS (
+           |  SELECT q_id, n_id FROM (
+           |    SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+           |      row_number() OVER (PARTITION BY q.vec_id
+           |        ORDER BY ${cos16("q.emb", "e.emb")} DESC,
+           |          e.vec_id ASC) AS rank
+           |    FROM t q JOIN t e ON q.vec_id <> e.vec_id
+           |    WHERE q.vec_id < 20)
+           |  WHERE rank <= 5),
+           |brute AS (
+           |  SELECT q_id, n_id, rank FROM (
+           |    SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+           |      row_number() OVER (PARTITION BY q.vec_id
+           |        ORDER BY ${cos("q.embedding", "e.embedding")} DESC,
+           |          e.vec_id ASC) AS rank
+           |    FROM embeddings q JOIN embeddings e ON q.vec_id <> e.vec_id
+           |    WHERE q.vec_id < 20)
+           |  WHERE rank <= 5)
+           |SELECT b.q_id,
+           |  CAST(sum(CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS hits,
+           |  CAST(5 AS BIGINT) AS k,
+           |  max(CASE WHEN a.n_id IS NOT NULL
+           |    THEN CAST(b.rank AS BIGINT) END) AS worst_kept_rank
+           |FROM brute b LEFT JOIN approx a
+           |  ON b.q_id = a.q_id AND b.n_id = a.n_id
+           |GROUP BY 1""".stripMargin
+      })
   )
 }

@@ -82,6 +82,44 @@ object Multimodal {
       }
   }
 
+  /** One overlapping "audio" chunk: hop-window slice with per-chunk
+    * checksum (what a speech featurizer emits per frame window). */
+  case class ChunkFeature(doc_id: Long, chunk_idx: Long, start_byte: Long,
+                          chunk_bytes: Long, checksum: Long)
+
+  /** OVERLAPPING hop-window chunking — the audio/speech framing pattern
+    * (window > hop ⇒ consecutive chunks share window−hop bytes), vs
+    * [[frameSample]]'s disjoint strided frames. Chunk starts at every
+    * `hopBytes` while inside the payload; checksum positions are 1-based
+    * WITHIN the chunk (the oracle replays from the text). Same
+    * flatMap-partitions shape: swap the checksum body for a real
+    * mel/FFT kernel and the plumbing stands. */
+  def audioChunks(spark: SparkSession, documents: DataFrame,
+                  windowBytes: Int = 160, hopBytes: Int = 96)
+      : Dataset[ChunkFeature] = {
+    import spark.implicits._
+    val p = TextAnalysis.FpP
+    withPayload(documents)
+      .select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val nChunks = (bytes.length + hopBytes - 1) / hopBytes
+        (0 until nChunks).map { c =>
+          val start = c * hopBytes
+          val end = math.min(bytes.length, start + windowBytes)
+          var acc = 0L
+          var i = start
+          while (i < end) {
+            acc += (bytes(i) & 0xff).toLong *
+              ((TextAnalysis.FpA * (i - start + 1) + TextAnalysis.FpB) % p)
+            i += 1
+          }
+          ChunkFeature(id, c.toLong, start.toLong, (end - start).toLong,
+            acc % p)
+        }
+      }
+  }
+
   /** One resized media record: metadata + checksum of the downsampled
     * payload (what a real resize kernel would emit alongside the new blob). */
   case class ResizedFeature(doc_id: Long, orig_bytes: Long, resized_bytes: Long,
