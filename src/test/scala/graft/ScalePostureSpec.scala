@@ -413,4 +413,48 @@ class ScalePostureSpec extends SparkSpec {
     assert(plan.linesIterator.count(_.matches("""\(\d+\) Window.*""")) == 2,
       plan.linesIterator.filter(_.contains("Window")).mkString("\n"))
   }
+
+  test("q148 SCD2: one key exchange feeds every window pass") {
+    val plan = planOf(SparkEntry.queries("q148_scd2")(spark, sf))
+    assert(countExchanges(plan) == 1,
+      plan.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+  }
+
+  test("q150 interpolate: lag and lead fuse into ONE window over one exchange") {
+    val plan = planOf(SparkEntry.queries("q150_interpolate")(spark, sf))
+    assert(countExchanges(plan) == 1,
+      plan.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    assert(plan.linesIterator.count(_.matches("""\(\d+\) Window.*""")) == 1,
+      plan.linesIterator.filter(_.contains("Window")).mkString("\n"))
+  }
+
+  test("q157 CDC apply: latest-per-key is WindowGroupLimit-capped, one exchange") {
+    val plan = planOf(SparkEntry.queries("q157_cdc_apply")(spark, sf))
+    assert(countExchanges(plan) == 1,
+      plan.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    assert(plan.contains("WindowGroupLimit"),
+      "mappers must cap candidate rows per key:\n" + plan.take(600))
+  }
+
+  test("q162 merkle diff: digests aggregate below the join; drill is a broadcast semi") {
+    val plan = planOf(SparkEntry.queries("q162_merkle_diff")(spark, sf))
+    // both drill sides semi-join on the broadcast divergent-bucket list
+    // (tree section renders "BroadcastHashJoin LeftSemi BuildRight (id)")
+    assert(plan.linesIterator
+      .count(_.matches(""".*BroadcastHashJoin LeftSemi.*\(\d+\)""")) == 2,
+      plan.linesIterator.filter(_.contains("Join")).mkString("\n"))
+    // digest passes partial-aggregate before their exchange
+    val lines = plan.linesIterator.toSeq
+    val firstAgg = lines.indexWhere(_.matches("""\(\d+\) HashAggregate.*"""))
+    val firstEx = lines.indexWhere(_.matches("""\(\d+\) Exchange.*"""))
+    assert(firstAgg >= 0 && firstEx > firstAgg,
+      s"digest must combine map-side (agg@$firstAgg ex@$firstEx)")
+  }
+
+  test("q169 curation funnel: one scan of documents, no re-evaluation per stage") {
+    val plan = planOf(SparkEntry.queries("q169_curation_funnel")(spark, sf))
+    assert(plan.linesIterator
+      .count(_.matches("""\(\d+\) Scan parquet.*""")) == 1,
+      plan.linesIterator.filter(_.contains("Scan")).mkString("\n"))
+  }
 }
