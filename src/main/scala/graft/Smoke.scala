@@ -14,12 +14,17 @@ object Smoke {
       "orders", "lineitem", "events", "documents", "embeddings")
     for (t <- tables) {
       try {
-        val df = spark.read.parquet(s"/root/testdata/sf0.001/$t.parquet")
+        // Tables loaders, not raw reads: events needs the nanos-as-long
+        // conf (TIMESTAMP(NANOS) is rejected by the vanilla reader)
+        val df = if (t == "events") Tables.events(spark, "/root/testdata/sf0.001")
+          else spark.read.parquet(s"/root/testdata/sf0.001/$t.parquet")
         println(s"== $t rows=${df.count()} schema=${df.schema.simpleString}")
       } catch {
         case e: Throwable => println(s"== $t FAILED: ${e.toString.take(300)}")
       }
     }
+    val entry = SparkEntry.entry(spark)
+    println(s"== entry rows=${entry.count()} (driver smoke contract)")
     spark.stop()
   }
 }
