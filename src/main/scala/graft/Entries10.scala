@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ops.{Relational, TableDiff}
+import graft.ops.{History, Relational, TableDiff}
 import graft.ext.Curation
 import graft.ExtEntries.Q
 
@@ -303,6 +303,18 @@ object Entries10 {
            |FROM brute b LEFT JOIN approx a
            |  ON b.q_id = a.q_id AND b.n_id = a.n_id
            |GROUP BY 1""".stripMargin
-      })
+      }),
+
+    // Classical additive seasonal decomposition of daily revenue (weekly
+    // period), integer-exact: centered 7-day trend (full consecutive
+    // windows only), x7-scaled detrended residual, per-weekday seasonal
+    // rational.
+    Q("q172_seasonal_decompose",
+      (s, d) => History.seasonalDecompose(
+        Tables.orders(s, d).select(
+          graft.ops.Relational.epochUs(col("o_orderdate")).as("ts_us"),
+          round(col("o_totalprice") * 100).cast("long").as("cents")),
+        "ts_us", "cents"),
+      Some(History.seasonalDecomposeSql))
   )
 }

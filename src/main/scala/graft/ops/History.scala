@@ -283,6 +283,71 @@ object History {
       |SELECT user_id, ts_us AS applied_ts, cents AS value
       |FROM latest WHERE rn = 1 AND op <> 'D'""".stripMargin
 
+  /** CLASSICAL SEASONAL DECOMPOSITION (additive, weekly period) of the
+    * daily revenue series, integer-exact: trend = centered 7-day moving
+    * sum (valid only where the window holds exactly the 7 consecutive
+    * days — edges and gap-adjacent days get NULL, never a shortened
+    * window); detrended = 7·value − trend (everything scaled ×7 so no
+    * division happens); weekday seasonal = the exact rational
+    * (Σ detrended, n) per day-of-week. The decomposition table feeds both
+    * anomaly detection (|detrended·n − seasonal_sum| large) and naive
+    * seasonal forecasting.
+    *
+    * Scale shape: raw facts collapse to ONE row per day first
+    * (partial-agg exchange); every window below runs on the domain-bounded
+    * daily series (the q117/q125 reduced-table discipline), and the
+    * weekday seasonal joins back broadcast-sized.
+    */
+  def seasonalDecompose(facts: DataFrame, tsCol: String,
+                        centsCol: String): DataFrame = {
+    val daily = facts
+      .select(expr(s"$tsCol DIV 86400000000").as("day"),
+        col(centsCol).as("c"))
+      .groupBy(col("day")).agg(sum(col("c")).as("rev_c"))
+    val w = Window.orderBy(col("day")).rowsBetween(-3, 3)
+    val trended = daily
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__span", max(col("day")).over(w) - min(col("day")).over(w))
+      .withColumn("trend7",
+        when(col("__n") === 7 && col("__span") === 6, sum(col("rev_c")).over(w)))
+      .withColumn("detr7", col("rev_c") * 7 - col("trend7"))
+      .withColumn("weekday", pmod(col("day"), lit(7L)))
+    val seasonal = trended.filter(col("detr7").isNotNull)
+      .groupBy(col("weekday"))
+      .agg(sum(col("detr7")).as("seasonal_sum7"),
+        count(lit(1)).as("seasonal_n"))
+    trended
+      .join(broadcast(seasonal), Seq("weekday"), "left")
+      .select(col("day"), col("weekday"), col("rev_c"), col("trend7"),
+        col("detr7"), col("seasonal_sum7"), col("seasonal_n"))
+  }
+
+  /** DuckDB mirror of [[seasonalDecompose]] over order totals. */
+  val seasonalDecomposeSql: String =
+    """WITH daily AS (
+      |  SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS rev_c
+      |  FROM orders GROUP BY 1),
+      |t AS (
+      |  SELECT day, rev_c,
+      |    CASE WHEN count(*) OVER w = 7
+      |      AND max(day) OVER w - min(day) OVER w = 6
+      |      THEN sum(rev_c) OVER w END AS trend7
+      |  FROM daily
+      |  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      |d AS (
+      |  SELECT day, day % 7 AS weekday, rev_c, trend7,
+      |    rev_c * 7 - trend7 AS detr7
+      |  FROM t),
+      |s AS (
+      |  SELECT weekday, CAST(sum(detr7) AS BIGINT) AS seasonal_sum7,
+      |    CAST(count(*) AS BIGINT) AS seasonal_n
+      |  FROM d WHERE detr7 IS NOT NULL GROUP BY 1)
+      |SELECT d.day, d.weekday, d.rev_c, d.trend7, d.detr7,
+      |  s.seasonal_sum7, s.seasonal_n
+      |FROM d LEFT JOIN s USING (weekday)""".stripMargin
+
   /** COMPACTION BIN-PACKING (the OPTIMIZE planner): group each partition's
     * small files into target-size compaction batches by running-size
     * assignment — batch id = exclusive-prefix-sum DIV target, the same

@@ -302,6 +302,35 @@ class Round6Spec extends SparkSpec {
     assert(none.forall(r => r.getLong(1) == 0L && r.isNullAt(3)))
   }
 
+  test("seasonalDecompose: trend only on full consecutive windows; identities hold") {
+    val out = graft.ops.History.seasonalDecompose(
+      Tables.orders(spark, sf).select(
+        graft.ops.Relational.epochUs(col("o_orderdate")).as("ts_us"),
+        round(col("o_totalprice") * 100).cast("long").as("cents")),
+      "ts_us", "cents").collect()
+    val byDay = out.map(r => r.getLong(0) -> r).toMap
+    val days = byDay.keySet
+    out.foreach { r =>
+      val (day, wd, rev) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(wd === ((day % 7 + 7) % 7))
+      val windowDays = (day - 3) to (day + 3)
+      if (windowDays.forall(days.contains)) {
+        // full window: trend = sum of the 7 revenues, detr = 7·rev − trend
+        val t = windowDays.map(byDay(_).getLong(2)).sum
+        assert(!r.isNullAt(3) && r.getLong(3) === t)
+        assert(r.getLong(4) === rev * 7 - t)
+      } else assert(r.isNullAt(3) && r.isNullAt(4))
+    }
+    // seasonal rational: per weekday, sum of non-null detrended residuals
+    val expSeasonal = out.filter(!_.isNullAt(4))
+      .groupBy(_.getLong(1)).map { case (wd, rs) =>
+        wd -> (rs.map(_.getLong(4)).sum, rs.length.toLong) }
+    out.filter(!_.isNullAt(5)).foreach { r =>
+      val (s, n) = expSeasonal(r.getLong(1))
+      assert(r.getLong(5) === s && r.getLong(6) === n)
+    }
+  }
+
   test("smallQtyRevenue: decorrelated predicate equals the correlated scalar form") {
     val li = Tables.lineitem(spark, sf); val p = Tables.part(spark, sf)
     val out = Tpch.smallQtyRevenue(li, p, "Brand#13")
