@@ -315,6 +315,20 @@ object Entries10 {
           graft.ops.Relational.epochUs(col("o_orderdate")).as("ts_us"),
           round(col("o_totalprice") * 100).cast("long").as("cents")),
         "ts_us", "cents"),
-      Some(History.seasonalDecomposeSql))
+      Some(History.seasonalDecomposeSql)),
+
+    // Gini revenue concentration per nation as an exact rational — the
+    // whale-dependence KPI with zero floats.
+    Q("q173_gini",
+      (s, d) => graft.ops.Retail.giniByNation(Tables.orders(s, d),
+        Tables.customer(s, d)),
+      Some(graft.ops.Retail.giniByNationSql)),
+
+    // ABC (Pareto) inventory classification within brand: A ≤ 80 % of
+    // cumulative revenue share, B ≤ 95 %, else C — integer cross-mult.
+    Q("q174_abc_classes",
+      (s, d) => graft.ops.Retail.abcClasses(Tables.lineitem(s, d),
+        Tables.part(s, d)),
+      Some(graft.ops.Retail.abcClassesSql))
   )
 }

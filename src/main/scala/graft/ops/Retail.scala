@@ -76,6 +76,106 @@ object Retail {
       |    AS BIGINT) AS rfm_cell
       |FROM rec""".stripMargin
 
+  /** GINI CONCENTRATION of customer revenue per nation, as the EXACT
+    * RATIONAL (gini_num, gini_den): with per-customer revenues x₁≤…≤xₙ,
+    *   G = (2·Σ i·xᵢ − (n+1)·Σ xᵢ) / (n·Σ xᵢ)
+    * — the inequality KPI (is revenue concentrated in few whales?) with
+    * zero division, zero floats. Ties in x are order-invariant for the
+    * formula (swapping equal values leaves Σ i·xᵢ unchanged); the id
+    * tie-break just pins the row order.
+    *
+    * Scale shape: facts collapse to one row per customer (partial-agg
+    * exchange), the rank runs per nation on the reduced table, and the
+    * final aggregate is |nations| rows. */
+  def giniByNation(orders: DataFrame, customer: DataFrame): DataFrame = {
+    val perCust = orders
+      .select(col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy(col("o_custkey")).agg(sum(col("cents")).as("x"))
+      .join(customer.select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("x").asc, col("o_custkey").asc)
+    perCust
+      .withColumn("i", row_number().over(w).cast("long"))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("x")).as("total_cents"),
+        (sum(col("i") * col("x")) * 2).as("__2six"))
+      .select(col("c_nationkey"), col("n_customers"), col("total_cents"),
+        (col("__2six") - (col("n_customers") + 1) * col("total_cents"))
+          .as("gini_num"),
+        (col("n_customers") * col("total_cents")).as("gini_den"))
+  }
+
+  /** DuckDB mirror of [[giniByNation]]. */
+  val giniByNationSql: String =
+    """WITH pc AS (
+      |  SELECT o_custkey, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+      |    AS BIGINT) AS x
+      |  FROM orders GROUP BY 1),
+      |r AS (
+      |  SELECT c.c_nationkey, pc.x,
+      |    CAST(row_number() OVER (PARTITION BY c.c_nationkey
+      |      ORDER BY pc.x ASC, pc.o_custkey ASC) AS BIGINT) AS i
+      |  FROM pc JOIN customer c ON pc.o_custkey = c.c_custkey)
+      |SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_customers,
+      |  CAST(sum(x) AS BIGINT) AS total_cents,
+      |  CAST(2 * sum(i * x) - (count(*) + 1) * sum(x) AS BIGINT) AS gini_num,
+      |  CAST(count(*) * sum(x) AS BIGINT) AS gini_den
+      |FROM r GROUP BY 1""".stripMargin
+
+  /** ABC (Pareto) CLASSIFICATION of parts by revenue within brand: rank by
+    * revenue desc, class A while the inclusive cumulative share is ≤ 80 %
+    * of the brand total, B while ≤ 95 %, else C — the inventory-priority
+    * segmentation, all thresholds integer cross-multiplications.
+    *
+    * Scale shape: one partial-agg exchange to per-(brand, part) revenue,
+    * one brand-partitioned window pass for rank + running sum, a narrow
+    * classification Project. */
+  def abcClasses(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val rev = lineitem
+      .select(col("l_partkey"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+          .cast("long").as("cents"))
+      .groupBy(col("l_partkey")).agg(sum(col("cents")).as("rev_c"))
+      .join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("rev_c").desc, col("l_partkey").asc)
+    rev
+      .withColumn("cum_c",
+        sum(col("rev_c")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("total_c",
+        sum(col("rev_c")).over(Window.partitionBy(col("p_brand"))))
+      .select(col("p_brand"), col("l_partkey"), col("rev_c"), col("cum_c"),
+        when(col("cum_c") * 100 <= col("total_c") * 80, "A")
+          .when(col("cum_c") * 100 <= col("total_c") * 95, "B")
+          .otherwise("C").as("abc_class"))
+  }
+
+  /** DuckDB mirror of [[abcClasses]]. */
+  val abcClassesSql: String =
+    """WITH rev AS (
+      |  SELECT l.l_partkey, p.p_brand,
+      |    CAST(sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount)
+      |      * 100) AS BIGINT)) AS BIGINT) AS rev_c
+      |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |  GROUP BY 1, 2),
+      |c AS (
+      |  SELECT p_brand, l_partkey, rev_c,
+      |    CAST(sum(rev_c) OVER (PARTITION BY p_brand
+      |      ORDER BY rev_c DESC, l_partkey ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum_c,
+      |    CAST(sum(rev_c) OVER (PARTITION BY p_brand) AS BIGINT) AS total_c
+      |  FROM rev)
+      |SELECT p_brand, l_partkey, rev_c, cum_c,
+      |  CASE WHEN cum_c * 100 <= total_c * 80 THEN 'A'
+      |       WHEN cum_c * 100 <= total_c * 95 THEN 'B'
+      |       ELSE 'C' END AS abc_class
+      |FROM c""".stripMargin
+
   /** Market-basket association rules over order item-sets with A-PRIORI
     * pruning — the scale trick that makes pair mining feasible: an item
     * pair can only reach `minPairSupport` if BOTH items individually do,
