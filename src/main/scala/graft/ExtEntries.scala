@@ -21,7 +21,7 @@ object ExtEntries {
   /** 3-word shingles, distinct per doc (mirror of Dedup.shingles(k=3)).
     * Position bound 1000 ≫ the fixtures' ≤100 words; the Spark side is
     * uncapped, so the bound must stay comfortably above any fixture. */
-  private val shinglesCte =
+  private[graft] val shinglesCte =
     """shd AS (
       |  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS sh
       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) d,
@@ -30,7 +30,7 @@ object ExtEntries {
 
   /** shingle → 48-bit content id (mirror of Dedup.shingleIds; every
     * count/intersection below runs on ids, exactly like the Spark side). */
-  private val shingleIdCte =
+  private[graft] val shingleIdCte =
     """shid AS (
       |  SELECT doc_id, ('0x' || substr(md5(sh), 1, 12))::BIGINT AS sid
       |  FROM shd)""".stripMargin
@@ -44,10 +44,10 @@ object ExtEntries {
       |      x -> CAST(floor((len(x) + 3) / 4.0) AS BIGINT))) AS BIGINT) AS n_subword_tokens
       |  FROM documents)""".stripMargin
 
-  private val shingleCountCte =
+  private[graft] val shingleCountCte =
     """shcnt AS (SELECT doc_id, count(*) AS n FROM shid GROUP BY doc_id)""".stripMargin
 
-  private val shingleInterCte =
+  private[graft] val shingleInterCte =
     """shint AS (
       |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS ix
       |  FROM shid a JOIN shid b ON a.sid = b.sid AND a.doc_id < b.doc_id
@@ -55,7 +55,7 @@ object ExtEntries {
 
   /** minhash signatures in long format (mirror of Dedup.minhashLong;
     * operates on shid's 48-bit content ids). */
-  private val minhashLongCte =
+  private[graft] val minhashLongCte =
     s"""hj AS (SELECT unnest(range(0, ${Dedup.NumHashes})) AS j),
        |sigs AS (
        |  SELECT doc_id, j,

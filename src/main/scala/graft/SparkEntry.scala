@@ -609,7 +609,8 @@ object SparkEntry {
       Entries7.all.map(q => q.name -> q.fn) ++
       Entries8.all.map(q => q.name -> q.fn) ++
       Entries9.all.map(q => q.name -> q.fn) ++
-      Entries10.all.map(q => q.name -> q.fn)).toMap
+      Entries10.all.map(q => q.name -> q.fn) ++
+      Entries11.all.map(q => q.name -> q.fn)).toMap
 
   def oracleSql: Map[String, String] =
     (all.flatMap(q => q.sql.map(q.name -> _)) ++
@@ -621,5 +622,6 @@ object SparkEntry {
       Entries7.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries8.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries9.all.flatMap(q => q.sql.map(q.name -> _)) ++
-      Entries10.all.flatMap(q => q.sql.map(q.name -> _))).toMap
+      Entries10.all.flatMap(q => q.sql.map(q.name -> _)) ++
+      Entries11.all.flatMap(q => q.sql.map(q.name -> _))).toMap
 }

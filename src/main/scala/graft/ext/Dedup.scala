@@ -61,7 +61,7 @@ object Dedup {
 
   /** Exact Jaccard pairs from a (doc_id, sid) table; `cands` = optional
     * pre-filter of (doc_id, doc_id2) pairs to verify (the LSH path). */
-  private def jaccardFromShingleIds(sh: DataFrame, threshold: Double,
+  private[ext] def jaccardFromShingleIds(sh: DataFrame, threshold: Double,
                                     cands: Option[DataFrame] = None): DataFrame = {
     val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val left = cands match {
@@ -123,6 +123,17 @@ object Dedup {
                       threshold: Double = 0.5): DataFrame = {
     // one cached shingle-id pass feeds signatures, counts AND the verify join
     val sh = shingleIds(documents, k).cache()
+    // exact-verify ONLY candidate pairs: join candidates to their shingle
+    // sets first — computing the full co-shingle self-join here would be the
+    // same quadratic blowup LSH exists to avoid
+    jaccardFromShingleIds(sh, threshold, Some(minhashLshCandidates(sh)))
+  }
+
+  /** The CANDIDATE stage of [[minhashLshPairs]] alone — distinct banding
+    * collisions with no exact verify. Exposed so the recall gate (ext/Eval
+    * lshRecall) can measure what the banding finds vs exact ground truth.
+    * `sh` is a shingle-id table from [[shingleIds]]. */
+  def minhashLshCandidates(sh: DataFrame): DataFrame = {
     val wide = minhashWideFromIds(sh)
     def bandSig(b: Int): Column =
       concat_ws(",", (0 until BandSize).map(r => col(s"h${b * BandSize + r}")): _*)
@@ -140,16 +151,12 @@ object Dedup {
         .map(bp => col("sigs")(bp) =!= col("sigs2")(bp))
         .foldLeft(lit(true))(_ && _)
     }.reduce(_ || _)
-    val cands = bands.as("x")
+    bands.as("x")
       .join(bands.select(col("doc_id").as("doc_id2"), col("band"),
         col("sig"), col("sigs").as("sigs2")).as("y"), Seq("band", "sig"))
       .filter(col("doc_id") < col("doc_id2"))
       .filter(firstMatch)
       .select(col("doc_id"), col("doc_id2"))
-    // exact-verify ONLY candidate pairs: join candidates to their shingle
-    // sets first — computing the full co-shingle self-join here would be the
-    // same quadratic blowup LSH exists to avoid
-    jaccardFromShingleIds(sh, threshold, Some(cands))
   }
 
   /** Near-dup CLUSTER formation: connected components over the similarity

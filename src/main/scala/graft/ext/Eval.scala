@@ -94,6 +94,38 @@ object Eval {
         col("worst_kept_rank"))
   }
 
+  /** MinHash-LSH BANDING recall gate — the dedup-side sibling of
+    * [[annRecall]]: ground truth is the exact n-gram Jaccard pair set at
+    * `minJaccard`, the candidate set is the banding stage of the LSH
+    * pipeline ALONE (no exact verify), and the output is per-similarity-
+    * decile (n_truth, n_hit, recall). This measures the S-curve the banding
+    * parameters (bands × rows) actually deliver on THIS corpus — the
+    * go/no-go before trusting LSH to replace the quadratic exact join, and
+    * the instrument for tuning band geometry when recall at the target
+    * threshold is too low.
+    *
+    * Scale shape: the ground-truth join is the exact co-shingle self-join —
+    * affordable at eval-sample scale, which is how a production gate runs
+    * (sample, not corpus); the candidate side is the same banding plan the
+    * full pipeline uses. The comparison itself joins two pair lists.
+    */
+  def lshRecall(documents: DataFrame, k: Int = 3,
+                minJaccard: Double = 0.3): DataFrame = {
+    val sh = Dedup.shingleIds(documents, k).cache()
+    val truth = Dedup.jaccardFromShingleIds(sh, minJaccard)
+    val cands = Dedup.minhashLshCandidates(sh)
+      .select(col("doc_id").as("d1"), col("doc_id2").as("d2"),
+        lit(1L).as("__hit"))
+    truth.join(cands, Seq("d1", "d2"), "left")
+      // decile via floor(j*10) on the SAME double both engines compute from
+      // identical integer operands — bit-stable, like every jaccard filter
+      // in the suite
+      .groupBy(floor(col("jaccard") * 10).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_truth"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall", col("n_hit").cast("double") / col("n_truth"))
+  }
+
   def rankAuc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
     val perScore = df
       .filter(col(scoreCol).isNotNull)

@@ -25,7 +25,8 @@ object GraftFunctions {
     "bitmap_sketch" -> (exprs => BitmapSketchAgg(exprs.head)),
     "bitmap_merge_count" -> (exprs => BitmapMergeCountAgg(exprs.head)),
     "bitmap_and_count" -> (exprs => BitmapAndCount(exprs(0), exprs(1))),
-    "bitmap_count" -> (exprs => BitmapCount(exprs.head)))
+    "bitmap_count" -> (exprs => BitmapCount(exprs.head)),
+    "cms_sketch" -> (exprs => CmsSketchAgg(exprs.head)))
 
   /** Second arg of graft_word_stats is a foldable array of string literals
     * (the stopword vocabulary) — evaluated once at resolution time. */
@@ -83,6 +84,24 @@ object GraftFunctions {
 
   def bitmapCount(c: Column): Column =
     org.apache.spark.sql.functions.call_function("bitmap_count", c)
+
+  def cmsSketch(c: Column): Column =
+    org.apache.spark.sql.functions.call_function("cms_sketch", c)
+
+  /** Point estimate from a [[CmsSketchAgg]] sketch — fully declarative
+    * (md5-prefix double hashing + `element_at`, mirroring CmsCodec exactly),
+    * so probes stay in whole-stage codegen and the DuckDB oracle replays
+    * them with the same integer arithmetic. */
+  def cmsEstimate(sketch: Column, key: Column): Column = {
+    import org.apache.spark.sql.functions._
+    val h = conv(substring(md5(key), 1, 12), 16, 10).cast("long")
+    val h1 = h % 16777216L
+    val h2 = shiftright(h, 24).bitwiseOR(lit(1L))
+    least((0 until CmsCodec.Depth).map { j =>
+      val bucket = (h1 + lit(j.toLong) * h2) % CmsCodec.Width
+      element_at(sketch, (lit(j * CmsCodec.Width) + bucket + 1L).cast("int"))
+    }: _*)
+  }
 
   def wordStats(c: Column, stopwords: Seq[String]): Column =
     org.apache.spark.sql.functions.call_function("graft_word_stats", c,

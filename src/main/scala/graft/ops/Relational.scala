@@ -284,6 +284,45 @@ object Relational {
         count(lit(1)).as("n_items"))
   }
 
+  /** SURVIVORSHIP (golden-record merge) — the step after entity resolution
+    * clusters records: collapse each entity's event history into ONE profile
+    * row by per-field merge rules, every rule deterministic:
+    *   - first_seen_us / last_seen_us / n_events: plain min/max/count;
+    *   - max_value_cents: max of the integerized amount (nulls ignored);
+    *   - last_sku: MOST RECENT NON-NULL value (recency survivorship), ties
+    *     broken by event_id desc — a null-skipping argmax, expressed as one
+    *     row_number over (non-null-first, ts desc, id desc) so a key whose
+    *     values are ALL null still yields a row (with NULL sku);
+    *   - top_event_type: modal value, ties by lexicographic min (the A7
+    *     mode discipline).
+    *
+    * Scale shape: three key-partitioned passes (hash agg + two windows) over
+    * the same shuffle key, then two joins on the |entities|-sized outputs —
+    * the raw events never join each other.
+    */
+  def goldenRecord(events: DataFrame): DataFrame = {
+    val aggs = events.groupBy(col("user_id")).agg(
+      min(col("ts_us")).as("first_seen_us"),
+      max(col("ts_us")).as("last_seen_us"),
+      count(lit(1)).as("n_events"),
+      max(round(col("value") * 100).cast("long")).as("max_value_cents"))
+    val skuW = Window.partitionBy(col("user_id"))
+      .orderBy(col("props").isNotNull.desc, col("ts_us").desc,
+        col("event_id").desc)
+    val lastSku = events
+      .withColumn("__rn", row_number().over(skuW))
+      .filter(col("__rn") === 1)
+      .select(col("user_id"), col("props").as("last_sku"))
+    val modeW = Window.partitionBy(col("user_id"))
+      .orderBy(col("__cnt").desc, col("event_type").asc)
+    val topType = events.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__rn", row_number().over(modeW))
+      .filter(col("__rn") === 1)
+      .select(col("user_id"), col("event_type").as("top_event_type"))
+    aggs.join(lastSku, Seq("user_id")).join(topType, Seq("user_id"))
+  }
+
   def kernelSmooth(df: DataFrame, keyCol: String, tsCol: String,
                    tieCol: String, valCol: String): DataFrame = {
     val w = Window.partitionBy(col(keyCol))

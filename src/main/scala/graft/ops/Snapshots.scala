@@ -172,6 +172,49 @@ object Snapshots {
     GraftInternal.ofRows(spark, node)
   }
 
+  /** NEAREST-within-tolerance temporal join: for every left row, the right
+    * row with the same key minimizing |right.ts − left.ts|, considered only
+    * when the distance is ≤ `tolUs`; ties (equidistant before/after) go to
+    * the EARLIER right row (backward wins), matching the "closest known
+    * reading" semantics of sensor/price alignment. No match ⇒ NULL payload.
+    *
+    * Composition: one backward [[asOfJoin]] + one forward [[asOfJoinForward]]
+    * (each a single key-shuffle + incremental window — no range-join
+    * explosion), both carrying the matched right ts inside the payload
+    * struct; a final Project picks the closer in-tolerance side per row.
+    * The per-side candidates are provably sufficient: the nearest right row
+    * overall is either the latest at-or-before or the earliest at-or-after.
+    *
+    * Output: left columns ++ rightVals ++ (`r_ts`, `delta_us`) — the matched
+    * right timestamp and its absolute distance (NULL when unmatched).
+    */
+  def nearestJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                  tsCol: String, rightTieCol: String, tolUs: Long,
+                  rightVals: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    def renamed(prefix: String) = right.select(
+      Seq(col(keyCol), col(tsCol), col(rightTieCol).as(s"${prefix}tie")) ++
+        rightVals.map(c => col(c).as(s"$prefix$c")) :+
+        col(tsCol).as(s"${prefix}ts"): _*)
+    val bVals = rightVals.map("__b_" + _) :+ "__b_ts"
+    val fVals = rightVals.map("__f_" + _) :+ "__f_ts"
+    val afterB = asOfJoin(left, renamed("__b_"), keyCol, tsCol, bVals)
+    val afterF = asOfJoinForward(afterB, renamed("__f_"), keyCol, tsCol,
+      "__f_tie", fVals)
+    val bDelta = col(tsCol) - col("__b_ts")
+    val fDelta = col("__f_ts") - col(tsCol)
+    val bOk = col("__b_ts").isNotNull && bDelta <= tolUs
+    val fOk = col("__f_ts").isNotNull && fDelta <= tolUs
+    // backward wins exact ties: bDelta <= fDelta keeps the earlier row
+    val useB = bOk && (!fOk || bDelta <= fDelta)
+    val useF = fOk && !useB
+    afterF.select(leftCols.map(col) ++
+      rightVals.map(c => when(useB, col(s"__b_$c"))
+        .when(useF, col(s"__f_$c")).as(c)) ++ Seq(
+      when(useB, col("__b_ts")).when(useF, col("__f_ts")).as("r_ts"),
+      when(useB, bDelta).when(useF, fDelta).as("delta_us")): _*)
+  }
+
   /** One feature group for [[pitJoin]]: a timestamped feature table keyed
     * like the entity frame, its value columns, and a max-age TTL. */
   case class FeatureGroup(df: DataFrame, vals: Seq[String], ttlUs: Long)

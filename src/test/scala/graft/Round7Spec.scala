@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Dedup, Eval}
+import graft.functions.GraftFunctions
+import graft.ops.{Relational, Snapshots}
+
+/** Round-6 batch 1: nearest-tolerance join, Count-Min sketch, LSH recall
+  * gate, survivorship merge. Each pinned against a brute-force reference or
+  * a structural invariant computed differently. */
+class Round7Spec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("nearestJoin: matches the brute-force argmin with backward tie-break") {
+    val left = Seq(
+      (1L, 100L, "a"), (1L, 205L, "b"), (1L, 400L, "c"),
+      (2L, 50L, "d"), (3L, 10L, "e"))
+      .toDF("k", "ts", "tag")
+    val right = Seq(
+      (1L, 90L, 900L), (1L, 210L, 2100L), (1L, 200L, 2000L),
+      (2L, 500L, 5000L))
+      .toDF("k", "ts", "v")
+    val tol = 20L
+    val out = Snapshots.nearestJoin(left, right, "k", "ts", "ts", tol,
+      Seq("v")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (Option(r.get(3)).map(_.asInstanceOf[Long]),
+          Option(r.get(4)).map(_.asInstanceOf[Long])))
+      .toMap
+    val rightRows = Seq((1L, 90L, 900L), (1L, 210L, 2100L), (1L, 200L, 2000L),
+      (2L, 500L, 5000L))
+    def brute(k: Long, ts: Long): Option[(Long, Long)] = {
+      val c = rightRows.filter(r => r._1 == k && math.abs(r._2 - ts) <= tol)
+      // min distance, earlier right ts on tie (backward preferred)
+      if (c.isEmpty) None
+      else Some {
+        val best = c.minBy(r => (math.abs(r._2 - ts), r._2))
+        (best._3, best._2)
+      }
+    }
+    for ((k, ts) <- Seq((1L, 100L), (1L, 205L), (1L, 400L), (2L, 50L), (3L, 10L))) {
+      val expected = brute(k, ts)
+      assert(out((k, ts))._1 === expected.map(_._1),
+        s"payload for ($k,$ts)")
+      assert(out((k, ts))._2 === expected.map(_._2), s"r_ts for ($k,$ts)")
+    }
+    // (1,205): backward 200 (d=5) beats forward 210 (d=5) on the tie
+    assert(out((1L, 205L))._2 === Some(200L))
+  }
+
+  test("cms: estimate >= exact for every key; merge across partitionings identical") {
+    GraftFunctions.register(spark)
+    val keys = Tables.lineitem(spark, sf)
+      .select(col("l_partkey").cast("string").as("k"))
+    val sk1 = keys.coalesce(1).agg(GraftFunctions.cmsSketch(col("k")))
+      .head.getSeq[Long](0)
+    val skN = keys.repartition(7).agg(GraftFunctions.cmsSketch(col("k")))
+      .head.getSeq[Long](0)
+    // merge order/partitioning cannot change a counter matrix
+    assert(sk1 === skN)
+    // total mass = row count in every depth row
+    val n = keys.count()
+    val w = graft.functions.CmsCodec.Width
+    (0 until graft.functions.CmsCodec.Depth).foreach { j =>
+      assert(sk1.slice(j * w, (j + 1) * w).sum === n)
+    }
+    // point estimates dominate exact counts (CMS one-sided error)
+    val sketch = keys.agg(GraftFunctions.cmsSketch(col("k")).as("sk"))
+    val bad = keys.groupBy(col("k")).agg(count(lit(1)).as("exact"))
+      .join(broadcast(sketch))
+      .select(col("k"), col("exact"),
+        GraftFunctions.cmsEstimate(col("sk"), col("k")).as("est"))
+      .filter(col("est") < col("exact"))
+    assert(bad.count() === 0)
+  }
+
+  test("lshRecall: hits bounded by truth; every verified LSH pair is a hit") {
+    val docs = Tables.documents(spark, sf)
+    val out = Eval.lshRecall(docs, 3, 0.0).collect()
+    out.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1)) // n_hit <= n_truth
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+    // the verified pipeline's output (banding + exact >= 0.5) is a subset
+    // of the banding candidates, so every such pair must be counted a hit:
+    // total hits >= verified pair count at the same shingle size
+    val verified = Dedup.minhashLshPairs(docs, 3, 0.5).count()
+    assert(out.map(_.getLong(2)).sum >= verified)
+  }
+
+  test("goldenRecord: agrees with an independent max(struct) formulation") {
+    val ev = Tables.events(spark, sf)
+    val out = Relational.goldenRecord(ev)
+    // alternative last_sku: max over (notnull, ts, id) struct, then unpack
+    val alt = ev.groupBy(col("user_id")).agg(
+      max(when(col("props").isNotNull,
+        struct(col("ts_us"), col("event_id"), col("props"))))
+        .getField("props").as("alt_sku"),
+      count(lit(1)).as("alt_n"))
+    val joined = out.join(alt, Seq("user_id"))
+    assert(joined.filter(not(col("last_sku") <=> col("alt_sku"))).count() === 0)
+    assert(joined.filter(col("n_events") =!= col("alt_n")).count() === 0)
+    // profile grain: exactly one row per user present in the events
+    assert(out.count() === ev.select("user_id").distinct.count())
+    // mode tie-break is lexicographic-min among max-count types (recompute)
+    val tc = ev.groupBy(col("user_id"), col("event_type")).agg(count(lit(1)).as("c"))
+    val expMode = tc.collect().groupBy(_.getLong(0)).map { case (u, rws) =>
+      val mx = rws.map(_.getLong(2)).max
+      u -> rws.filter(_.getLong(2) == mx).map(_.getString(1)).min
+    }
+    out.collect().foreach { r =>
+      assert(r.getString(6) === expMode(r.getLong(0)), s"mode for ${r.getLong(0)}")
+    }
+  }
+}
