@@ -610,7 +610,8 @@ object SparkEntry {
       Entries8.all.map(q => q.name -> q.fn) ++
       Entries9.all.map(q => q.name -> q.fn) ++
       Entries10.all.map(q => q.name -> q.fn) ++
-      Entries11.all.map(q => q.name -> q.fn)).toMap
+      Entries11.all.map(q => q.name -> q.fn) ++
+      Entries12.all.map(q => q.name -> q.fn)).toMap
 
   def oracleSql: Map[String, String] =
     (all.flatMap(q => q.sql.map(q.name -> _)) ++
@@ -623,5 +624,6 @@ object SparkEntry {
       Entries8.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries9.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries10.all.flatMap(q => q.sql.map(q.name -> _)) ++
-      Entries11.all.flatMap(q => q.sql.map(q.name -> _))).toMap
+      Entries11.all.flatMap(q => q.sql.map(q.name -> _)) ++
+      Entries12.all.flatMap(q => q.sql.map(q.name -> _))).toMap
 }

@@ -298,6 +298,75 @@ object Similarity {
         col("b.rank").cast("long").as("rank21"), col("a.cos").as("cos"))
   }
 
+  /** k-CENTER GREEDY (farthest-point traversal) CORESET selection — the
+    * classic 2-approximation to the k-center cover (Gonzalez 1985), used to
+    * pick a maximally-diverse training subsample: start from the smallest
+    * vec_id, then k−1 times add the point FARTHEST from every center chosen
+    * so far (squared L2; ties by smallest id). Returns the k selected rows
+    * as (sel_order, vec_id, d2) where d2 is the point's min distance to the
+    * earlier centers at the moment of its selection — the running coverage
+    * radius, so the output doubles as the "how much diversity is left"
+    * curve.
+    *
+    * Scale shape: the per-point state is ONE double (min distance so far),
+    * updated by a broadcast of the single new center per round and argmax'd
+    * by a partial-aggregable max(struct) — no global sort, no k×n
+    * re-scoring (each round touches each point once). The k-round driver
+    * loop collects k scalars, never vectors of data; localCheckpoint per
+    * round keeps lineage flat (same discipline as kmeans/BFS).
+    */
+  def kCenterGreedy(embeddings: DataFrame, k: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    // pre-cast to double so the diff runs in double (the pq discipline —
+    // the oracle mirrors CAST(a[i] AS DOUBLE) - CAST(b[i] AS DOUBLE))
+    val e = embeddings.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+    val firstId = e.agg(min(col("vec_id"))).head.getLong(0)
+    var selected = Vector[(Long, Long, Option[Double])]((0L, firstId, None))
+    var centerId = firstId
+    var st = e.withColumn("d2", lit(null).cast("double"))
+    for (i <- 1 until k) {
+      val c = e.filter(col("vec_id") === centerId).select(col("emb").as("c_emb"))
+      val nd = l2sq(col("emb"), col("c_emb"))
+      st = st.crossJoin(broadcast(c))
+        .withColumn("d2",
+          when(col("d2").isNull, nd).otherwise(least(col("d2"), nd)))
+        .drop("c_emb")
+        .localCheckpoint()
+      val top = st
+        .filter(!col("vec_id").isInCollection(selected.map(_._2)))
+        .agg(max(struct(col("d2"), (-col("vec_id")).as("nid"))).as("m"))
+        .select(col("m.d2"), col("m.nid")).head
+      centerId = -top.getLong(1)
+      selected = selected :+ ((i.toLong, centerId, Some(top.getDouble(0))))
+    }
+    selected.toDF("sel_order", "vec_id", "d2")
+  }
+
+  /** RECIPROCAL-RANK FUSION (Cormack et al. 2009) of two ranked retrieval
+    * lists (columns q_id, rank, n_id): fused score = Σ 1/(c + rank) over
+    * the lists containing the candidate, re-ranked per query (score desc,
+    * n_id asc). The standard zero-training way to combine heterogeneous
+    * retrievers (full-dim exact + truncated-dim cheap, lexical + dense, …).
+    * Scale shape: both inputs are already |queries|·k edge lists; the fuse
+    * is a full-outer join + window on that reduced table.
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, c: Int, topK: Int): DataFrame = {
+    val an = a.select(col("q_id"), col("n_id"), col("rank").as("rank_a"))
+    val bn = b.select(col("q_id"), col("n_id"), col("rank").as("rank_b"))
+    val joined = an.join(bn, Seq("q_id", "n_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(c.toDouble) + col("rank_a")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(c.toDouble) + col("rank_b")), lit(0.0)))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("rrf").desc, col("n_id").asc)
+    joined.withColumn("fused_rank", row_number().over(w))
+      .filter(col("fused_rank") <= topK)
+      .select(col("q_id"), col("fused_rank").cast("int").as("fused_rank"),
+        col("n_id"), col("rrf"), col("rank_a"), col("rank_b"))
+  }
+
   // ------------------------------------------------------------------ PQ
 
   /** Squared L2 with the same fold discipline as [[dot]]: elementwise diff,

@@ -284,6 +284,40 @@ object Relational {
         count(lit(1)).as("n_items"))
   }
 
+  /** One referential-integrity edge for [[fkAudit]]: child table+key →
+    * parent table+key, labeled. */
+  case class FkEdge(name: String, child: DataFrame, childKey: String,
+                    parent: DataFrame, parentKey: String)
+
+  /** REFERENTIAL-INTEGRITY AUDIT — the data-quality gate a warehouse runs
+    * before promoting a load: for every declared FK edge, the child row
+    * count, orphan rows (non-null child key with no parent), distinct
+    * orphan keys, and null child keys. All-zeros on a clean load IS the
+    * audit's output — the value is the guarantee, produced scalably.
+    *
+    * Scale shape: per edge, one left join of the child's key projection
+    * against the parent's DISTINCT key (a pre-aggregated, usually
+    * broadcastable side) feeding a single partial-aggregable summary row —
+    * the fact table is scanned once per edge with only the key column
+    * read (column pruning reaches the parquet scan).
+    */
+  def fkAudit(edges: Seq[FkEdge]): DataFrame =
+    edges.map { e =>
+      val c = e.child.select(col(e.childKey).as("__ck"))
+      val p = e.parent.select(col(e.parentKey).as("__ck")).distinct()
+        .withColumn("__p", lit(1))
+      c.join(p, Seq("__ck"), "left")
+        .agg(
+          count(lit(1)).as("child_rows"),
+          sum(when(col("__p").isNull && col("__ck").isNotNull, 1L)
+            .otherwise(0L)).as("orphan_rows"),
+          countDistinct(when(col("__p").isNull && col("__ck").isNotNull,
+            col("__ck"))).as("orphan_keys"),
+          sum(when(col("__ck").isNull, 1L).otherwise(0L)).as("null_keys"))
+        .select(lit(e.name).as("rel"), col("child_rows"),
+          col("orphan_rows"), col("orphan_keys"), col("null_keys"))
+    }.reduce(_ unionByName _)
+
   /** SURVIVORSHIP (golden-record merge) — the step after entity resolution
     * clusters records: collapse each entity's event history into ONE profile
     * row by per-field merge rules, every rule deterministic:

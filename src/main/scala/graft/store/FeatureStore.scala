@@ -168,6 +168,58 @@ object FeatureStore {
     dropped.map(_.getName.stripPrefix("date="))
   }
 
+  /** RIGHT-TO-ERASURE (GDPR art. 17) key deletion from the gold table: drop
+    * every row whose key appears in `keys`, rewriting ONLY the date
+    * partitions that actually contain such rows — the fourth
+    * table-maintenance op beside upsert, retention expiry, and compaction
+    * planning.
+    *
+    * Scale shape: the affected-partition list comes from a partition-
+    * column-only projection of the semi-join (broadcast when `keys` is an
+    * erasure request batch, i.e. small); untouched partitions are never
+    * scanned for the rewrite (partition-pruned `isin`) and never rewritten
+    * (dynamic partition overwrite). Returns the number of rows erased.
+    */
+  def eraseKeys(spark: SparkSession, path: String, keys: DataFrame,
+                keyCols: Seq[String]): Long = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(hPath)) return 0L
+    val existing = spark.read.parquet(path)
+    val k = broadcast(keys.select(keyCols.map(col): _*).distinct())
+    val hit = existing.join(k, keyCols, "left_semi")
+    // driver-side affected-date list: one row per distinct date, tiny
+    val dates = hit.select(col("date")).distinct()
+      .collect().map(_.getAs[java.sql.Date]("date"))
+    if (dates.isEmpty) return 0L
+    val erased = hit.count()
+    val kept = existing
+      .filter(col("date").isin(dates: _*)) // partition-pruned scan
+      .join(k, keyCols, "left_anti")
+      .drop("date")
+      // lineage break before overwriting the files being read (same
+      // reasoning as upsertGold)
+      .localCheckpoint()
+    kept.sparkSession.conf
+      .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val keptDated = kept
+      .withColumn("date", to_date(timestamp_micros(col("ts_us"))))
+    keptDated
+      .repartition(col("date"))
+      .write.mode(SaveMode.Overwrite).partitionBy("date").parquet(path)
+    // a partition whose rows were ALL erased emits no output rows, so
+    // dynamic overwrite never touches it and its files would SURVIVE —
+    // exactly the data the erasure must remove. Delete those partition
+    // dirs explicitly (metadata-only, same discipline as retention).
+    val keptDates = keptDated.select(col("date")).distinct()
+      .collect().map(_.getAs[java.sql.Date]("date")).toSet
+    dates.filterNot(keptDates).foreach { d =>
+      fs.delete(new org.apache.hadoop.fs.Path(hPath, s"date=$d"), true)
+    }
+    spark.catalog.refreshByPath(path)
+    erased
+  }
+
   /** S4 — append-only prediction log, date-partitioned (reference:
     * serving/pred_logger.py:14-18). Append mode: concurrent writers add
     * files, never clobber. */

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ext.{Dedup, Eval}
+import graft.ext.{Dedup, Eval, Similarity}
 import graft.functions.GraftFunctions
 import graft.ops.{Relational, Snapshots}
 
@@ -87,6 +87,85 @@ class Round7Spec extends SparkSpec {
     // total hits >= verified pair count at the same shingle size
     val verified = Dedup.minhashLshPairs(docs, 3, 0.5).count()
     assert(out.map(_.getLong(2)).sum >= verified)
+  }
+
+  test("kCenterGreedy: matches an in-memory replay of the greedy; radius shrinks") {
+    val emb = Tables.embeddings(spark, sf)
+    val k = 6
+    val out = Similarity.kCenterGreedy(emb, k).collect()
+      .sortBy(_.getLong(0))
+    // pure-Scala replay on the collected corpus
+    val vecs = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .sortBy(_._1)
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    var chosen = Vector(vecs.head._1)
+    val dist = scala.collection.mutable.Map(
+      vecs.map(v => v._1 -> Double.MaxValue): _*)
+    var expected = Vector[(Long, Double)]()
+    for (_ <- 1 until k) {
+      val c = vecs.find(_._1 == chosen.last).get._2
+      vecs.foreach { case (id, v) => dist(id) = math.min(dist(id), d2(v, c)) }
+      val cands = vecs.filterNot(v => chosen.contains(v._1))
+      val best = cands.maxBy(v => (dist(v._1), -v._1))
+      chosen :+= best._1
+      expected :+= ((best._1, dist(best._1)))
+    }
+    assert(out.head.getLong(1) === vecs.head._1)
+    assert(out.head.isNullAt(2))
+    out.tail.zip(expected).foreach { case (row, (id, d)) =>
+      assert(row.getLong(1) === id)
+      assert(row.getDouble(2) === d)
+    }
+    // coverage radius is non-increasing
+    val radii = out.tail.map(_.getDouble(2))
+    radii.sliding(2).foreach {
+      case Array(a, b) => assert(b <= a)
+      case _ =>
+    }
+  }
+
+  test("fkAudit: clean edges are all-zero; injected orphans and nulls are counted") {
+    val clean = Relational.fkAudit(Seq(
+      Relational.FkEdge("li->orders", Tables.lineitem(spark, sf), "l_orderkey",
+        Tables.orders(spark, sf), "o_orderkey"),
+      Relational.FkEdge("n->region", Tables.nation(spark, sf), "n_regionkey",
+        Tables.region(spark, sf), "r_regionkey"))).collect()
+    clean.foreach { r =>
+      assert(r.getLong(2) === 0L, s"orphans in ${r.getString(0)}")
+      assert(r.getLong(4) === 0L, s"null keys in ${r.getString(0)}")
+    }
+    assert(clean.find(_.getString(0) == "li->orders").get.getLong(1) ===
+      Tables.lineitem(spark, sf).count())
+    // synthetic: two orphan rows on one unknown key + one null key
+    val child = Seq(Some(1L), Some(1L), Some(9L), Some(9L), None)
+      .toDF("fk")
+    val parent = Seq(1L, 2L).toDF("pk")
+    val r = Relational.fkAudit(Seq(
+      Relational.FkEdge("t", child, "fk", parent, "pk"))).head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ===
+      ((5L, 2L, 1L, 1L)))
+  }
+
+  test("rrfFuse: known fusion on synthetic lists; both-list hits outrank") {
+    val a = Seq((1L, 1, 10L), (1L, 2, 11L), (1L, 3, 12L))
+      .toDF("q_id", "rank", "n_id")
+    val b = Seq((1L, 1, 11L), (1L, 2, 13L))
+      .toDF("q_id", "rank", "n_id")
+    val out = Similarity.rrfFuse(a, b, 60, 5).collect()
+      .map(r => r.getLong(2) -> (r.getInt(1), r.getDouble(3))).toMap
+    // 11 in both lists (ranks 2 and 1) beats 10 (single rank 1)
+    assert(out(11L)._1 === 1)
+    assert(out(11L)._2 === 1.0 / 62 + 1.0 / 61)
+    assert(out(10L)._2 === 1.0 / 61)
+    assert(out(13L)._2 === 1.0 / 62)
+    assert(out(12L)._2 === 1.0 / 63)
+    // ordering: 11, 10, 13, 12
+    assert(Seq(11L, 10L, 13L, 12L).map(out(_)._1) === Seq(1, 2, 3, 4))
   }
 
   test("goldenRecord: agrees with an independent max(struct) formulation") {

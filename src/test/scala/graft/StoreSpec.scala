@@ -85,6 +85,38 @@ class StoreSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 2)
   }
 
+  test("eraseKeys deletes every trace, rewrites only affected partitions, drops emptied ones") {
+    import graft.store.FeatureStore
+    val dir = java.nio.file.Files.createTempDirectory("gold_erase").toString
+    val day1 = 1705276800000000L // 2024-01-15
+    val day2 = day1 + 86400000000L
+    val day3 = day2 + 86400000000L
+    // day1: users 1,2 — day2: user 3 only (fully erased) — day3: user 4
+    val base = Seq(
+      (1L, 100L, day1, 10.0), (2L, 200L, day1, 20.0),
+      (3L, 300L, day2, 30.0), (4L, 400L, day3, 40.0))
+      .toDF("user_id", "event_id", "ts_us", "spend_7d")
+    FeatureStore.writeGold(base, dir)
+    val day3Dir = new java.io.File(dir, "date=2024-01-17")
+    val day3MTimes = day3Dir.listFiles().map(f => f.getName -> f.lastModified).toMap
+    val erased = FeatureStore.eraseKeys(spark, dir,
+      Seq(2L, 3L, 99L).toDF("user_id"), Seq("user_id"))
+    assert(erased === 2L) // user 99 has no rows
+    val left = spark.read.parquet(dir)
+    assert(left.select($"user_id").as[Long].collect().sorted.toSeq == Seq(1L, 4L))
+    // the fully-erased day2 partition directory is GONE (dynamic overwrite
+    // alone would have left its files behind)
+    assert(!new java.io.File(dir, "date=2024-01-16").exists())
+    // the untouched day3 partition was not rewritten (same files, same mtimes)
+    assert(day3Dir.listFiles().map(f => f.getName -> f.lastModified).toMap
+      == day3MTimes)
+    // no keys hit ⇒ no-op; missing table ⇒ 0, never an error
+    assert(FeatureStore.eraseKeys(spark, dir,
+      Seq(98L).toDF("user_id"), Seq("user_id")) === 0L)
+    assert(FeatureStore.eraseKeys(spark, dir + "_missing",
+      Seq(1L).toDF("user_id"), Seq("user_id")) === 0L)
+  }
+
   test("prediction log appends (never clobbers) under date partitions") {
     val dir = java.nio.file.Files.createTempDirectory("predlog").toString
     val preds = Seq((1L, 1705276800000000L, 0.9, 1))
