@@ -611,7 +611,8 @@ object SparkEntry {
       Entries9.all.map(q => q.name -> q.fn) ++
       Entries10.all.map(q => q.name -> q.fn) ++
       Entries11.all.map(q => q.name -> q.fn) ++
-      Entries12.all.map(q => q.name -> q.fn)).toMap
+      Entries12.all.map(q => q.name -> q.fn) ++
+      Entries13.all.map(q => q.name -> q.fn)).toMap
 
   def oracleSql: Map[String, String] =
     (all.flatMap(q => q.sql.map(q.name -> _)) ++
@@ -625,5 +626,6 @@ object SparkEntry {
       Entries9.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries10.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries11.all.flatMap(q => q.sql.map(q.name -> _)) ++
-      Entries12.all.flatMap(q => q.sql.map(q.name -> _))).toMap
+      Entries12.all.flatMap(q => q.sql.map(q.name -> _)) ++
+      Entries13.all.flatMap(q => q.sql.map(q.name -> _))).toMap
 }

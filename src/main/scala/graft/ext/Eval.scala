@@ -94,6 +94,34 @@ object Eval {
         col("worst_kept_rank"))
   }
 
+  /** CALIBRATION BINS (reliability diagram) — per score decile: population,
+    * positive count, exact integer score range, and the two pinned-division
+    * means (observed positive rate vs mean score) whose divergence IS
+    * miscalibration. The companion to [[rankAuc]]: AUC measures ranking,
+    * this measures whether the score's VALUE is trustworthy as a
+    * probability, which decides if a threshold (reference E5,
+    * serving/app.py:47-48) is meaningful.
+    *
+    * Decile assignment is ntile over (score, id) — deterministic under
+    * ties; all sums are BIGINT, the two means are single final divisions
+    * from identical operands.
+    */
+  def calibrationBins(df: DataFrame, scoreCol: String, labelCol: String,
+                      idCol: String, bins: Int): DataFrame = {
+    val w = Window.orderBy(col(scoreCol).asc, col(idCol).asc)
+    df.withColumn("bin", ntile(bins).over(w).cast("long"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(labelCol), 1L).otherwise(0L)).as("n_pos"),
+        min(col(scoreCol)).as("score_min"),
+        max(col(scoreCol)).as("score_max"),
+        sum(col(scoreCol)).as("score_sum"))
+      .select(col("bin"), col("n"), col("n_pos"), col("score_min"),
+        col("score_max"),
+        (col("n_pos").cast("double") / col("n")).as("pos_rate"),
+        (col("score_sum").cast("double") / col("n")).as("mean_score"))
+  }
+
   /** MinHash-LSH BANDING recall gate — the dedup-side sibling of
     * [[annRecall]]: ground truth is the exact n-gram Jaccard pair set at
     * `minJaccard`, the candidate set is the banding stage of the LSH

@@ -37,6 +37,37 @@ object TrainPrep {
     * One shuffle on the stratum key; the per-stratum sort is bounded by
     * stratum size (at 100 TB: top-n per group via partial top-k in AQE,
     * not a global sort). */
+  /** PURGED temporal k-fold with EMBARGO (López de Prado 2018, ch. 7) — the
+    * leakage discipline for time-ordered training data: rows are cut into k
+    * contiguous time folds, and every row whose timestamp falls within
+    * `embargoUs` BEFORE the next fold's start is flagged `embargoed` (a
+    * label whose horizon crosses the boundary would leak the validation
+    * fold into training; embargoed rows are dropped from the train side of
+    * the adjacent fold pair). The last fold has no successor and is never
+    * embargoed. Complements the hash split (q54: entity-leakage-free) and
+    * the reference's ordered prefix split (q10 / SURVEY T3).
+    *
+    * Fold assignment is `ntile(k)` over (ts, tie) — a global sort, exactly
+    * like the reference's T3 split (the semantics REQUIRE a total order).
+    * At 100 TB the same contract runs on approximate range boundaries
+    * (quantile cut points) instead; ntile keeps it oracle-exact here.
+    */
+  def purgedTimeFolds(df: DataFrame, tsCol: String, tieCol: String,
+                      k: Int, embargoUs: Long): DataFrame = {
+    val w = Window.orderBy(col(tsCol).asc, col(tieCol).asc)
+    val folded = df.withColumn("fold", ntile(k).over(w).cast("long"))
+    val starts = folded.groupBy(col("fold"))
+      .agg(min(col(tsCol)).as("fold_start"))
+      .withColumn("next_start",
+        lead(col("fold_start"), 1).over(Window.orderBy(col("fold"))))
+      .select(col("fold"), col("next_start"))
+    folded.join(broadcast(starts), Seq("fold"))
+      .withColumn("embargoed",
+        col("next_start").isNotNull &&
+          (col("next_start") - col(tsCol)) <= embargoUs)
+      .drop("next_start")
+  }
+
   def stratifiedSample(df: DataFrame, strataCol: String, keyCol: String,
                        n: Int): DataFrame = {
     val w = Window.partitionBy(col(strataCol))

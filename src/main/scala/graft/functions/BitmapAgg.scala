@@ -188,6 +188,49 @@ case class BitmapMergeCountAgg(
   override def prettyName: String = "bitmap_merge_count"
 }
 
+/** ORs serialized bitmaps into a MERGED serialized bitmap (binary → binary)
+  * — the re-aggregation step of incremental sketch maintenance: stored
+  * per-cell sketches from earlier runs/micro-batches OR with the current
+  * batch's partials and persist back, staying exact across any number of
+  * increments (union is idempotent and associative, so replays are safe). */
+case class BitmapMergeAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[BitmapCodec.State]
+  with UnaryLike[Expression] {
+
+  override def createAggregationBuffer(): BitmapCodec.State =
+    mutable.LongMap.empty
+
+  override def update(b: BitmapCodec.State, input: InternalRow): BitmapCodec.State = {
+    val v = child.eval(input)
+    if (v != null)
+      BitmapCodec.or(b, BitmapCodec.deserialize(v.asInstanceOf[Array[Byte]]))
+    b
+  }
+
+  override def merge(b1: BitmapCodec.State, b2: BitmapCodec.State): BitmapCodec.State =
+    BitmapCodec.or(b1, b2)
+
+  override def eval(b: BitmapCodec.State): Any = BitmapCodec.serialize(b)
+
+  override def serialize(b: BitmapCodec.State): Array[Byte] = BitmapCodec.serialize(b)
+  override def deserialize(bytes: Array[Byte]): BitmapCodec.State =
+    BitmapCodec.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(offset: Int): BitmapMergeAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): BitmapMergeAgg =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildInternal(newChild: Expression): BitmapMergeAgg =
+    copy(child = newChild)
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "bitmap_merge"
+}
+
 /** Exact |a ∩ b| of two serialized bitmaps — the set-INTERSECTION algebra
   * the OR-mergeable sketches can't answer alone (audience overlap, funnel
   * conversion between cohorts: materialize one sketch per cohort cell,

@@ -24,6 +24,7 @@ object GraftFunctions {
     "graft_word_stats" -> (exprs => WordStats(exprs.head, stopwordArg(exprs))),
     "bitmap_sketch" -> (exprs => BitmapSketchAgg(exprs.head)),
     "bitmap_merge_count" -> (exprs => BitmapMergeCountAgg(exprs.head)),
+    "bitmap_merge" -> (exprs => BitmapMergeAgg(exprs.head)),
     "bitmap_and_count" -> (exprs => BitmapAndCount(exprs(0), exprs(1))),
     "bitmap_count" -> (exprs => BitmapCount(exprs.head)),
     "cms_sketch" -> (exprs => CmsSketchAgg(exprs.head)))
@@ -78,6 +79,9 @@ object GraftFunctions {
 
   def bitmapMergeCount(c: Column): Column =
     org.apache.spark.sql.functions.call_function("bitmap_merge_count", c)
+
+  def bitmapMerge(c: Column): Column =
+    org.apache.spark.sql.functions.call_function("bitmap_merge", c)
 
   def bitmapAndCount(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function("bitmap_and_count", a, b)

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ext.{Dedup, Eval, Similarity}
+import graft.ext.{Dedup, Eval, Similarity, TrainPrep}
 import graft.functions.GraftFunctions
 import graft.ops.{Relational, Snapshots}
 
@@ -166,6 +166,51 @@ class Round7Spec extends SparkSpec {
     assert(out(12L)._2 === 1.0 / 63)
     // ordering: 11, 10, 13, 12
     assert(Seq(11L, 10L, 13L, 12L).map(out(_)._1) === Seq(1, 2, 3, 4))
+  }
+
+  test("purgedTimeFolds: contiguous balanced folds; embargo only at boundaries") {
+    val p = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts_us"))
+    val embargo = 86400000000L
+    val out = TrainPrep.purgedTimeFolds(p, "ts_us", "event_id", 5, embargo)
+    val rows = out.select("fold", "ts_us", "embargoed").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    // balanced: fold sizes differ by at most 1; folds are time-contiguous
+    val sizes = rows.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(sizes.keySet === (1L to 5L).toSet)
+    assert(sizes.values.max - sizes.values.min <= 1)
+    val ranges = rows.groupBy(_._1).view
+      .mapValues(v => (v.map(_._2).min, v.map(_._2).max)).toMap
+    (1L to 4L).foreach(f => assert(ranges(f)._2 <= ranges(f + 1)._1))
+    // embargo flag == within embargo of the next fold's start; fold 5 never
+    rows.foreach { case (f, ts, e) =>
+      val expected = f < 5 && (ranges(f + 1)._1 - ts) <= embargo
+      assert(e === expected, s"embargo at fold $f ts $ts")
+    }
+    assert(rows.exists(_._3), "fixture should produce some embargoed rows")
+  }
+
+  test("calibrationBins: partition of the population, exact ranges, pinned means") {
+    val c = Tables.customer(spark, sf)
+      .select(col("c_custkey"),
+        round(col("c_acctbal") * 100).cast("long").as("score"),
+        (col("c_mktsegment") === "BUILDING").as("label"))
+    val out = Eval.calibrationBins(c, "score", "label", "c_custkey", 10)
+      .collect().sortBy(_.getLong(0))
+    assert(out.map(_.getLong(0)).toSeq === (1L to 10L))
+    assert(out.map(_.getLong(1)).sum === c.count())
+    assert(out.map(_.getLong(2)).sum ===
+      c.filter(col("label")).count())
+    // bins ordered by score: ranges are non-overlapping and increasing
+    out.sliding(2).foreach {
+      case Array(a, b) => assert(a.getLong(4) <= b.getLong(3))
+      case _ =>
+    }
+    out.foreach { r =>
+      assert(r.getDouble(5) === r.getLong(2).toDouble / r.getLong(1))
+      assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0)
+    }
   }
 
   test("goldenRecord: agrees with an independent max(struct) formulation") {

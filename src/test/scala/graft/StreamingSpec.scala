@@ -195,6 +195,48 @@ class StreamingSpec extends SparkSpec {
       $"n_events" =!= $"n2" || $"value_sum" =!= $"v2").count() == 0)
   }
 
+  test("incremental sketch upsert: exact weekly distincts across batches; replays absorbed") {
+    // two time-ordered halves, the SECOND delivered twice (at-least-once
+    // replay): the stored bitmap sketches must still give exact per-week
+    // distinct user counts — OR-merge is idempotent, so duplicate delivery
+    // is absorbed without any dedup state
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    val chunked = raw.withColumn("c", ntile(2).over(
+      org.apache.spark.sql.expressions.Window.orderBy($"ts", $"event_id")))
+    val dir = Files.createTempDirectory("events_sketch_replay")
+    val chunkFiles = (1 to 2).map { k =>
+      val tmp = Files.createTempDirectory(s"skchunk_$k")
+      chunked.filter($"c" === k).drop("c")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      new java.io.File(tmp.toString).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .head.toPath
+    }
+    Seq((chunkFiles(0), 1), (chunkFiles(1), 2), (chunkFiles(1), 3)).foreach {
+      case (src, k) =>
+        val dst = dir.resolve(f"chunk-$k%03d.parquet")
+        Files.copy(src, dst)
+        Files.setLastModifiedTime(dst, FileTime.fromMillis(1000000L + k * 60000L))
+    }
+    val store = Files.createTempDirectory("sketch_store").toString + "/weekly"
+    val q = StreamingFeatures.streamSketchUpsert(spark, dir.toString, store,
+      maxFilesPerTrigger = 1)
+    q.processAllAvailable(); q.stop()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 3)
+    val got = spark.read.parquet(store)
+      .select($"week".cast("long").as("week"),
+        graft.functions.GraftFunctions.bitmapCount($"sk").as("n"))
+    val expected = Tables.events(spark, sf)
+      .select(expr("ts_us DIV 604800000000").as("week"), $"user_id")
+      .groupBy($"week").agg(countDistinct($"user_id").as("n2"))
+    val j = got.join(expected, Seq("week"), "full")
+    assert(j.filter($"n".isNull || $"n2".isNull || $"n" =!= $"n2").count() == 0)
+    assert(got.count() > 0)
+  }
+
   test("dropDuplicatesWithinWatermark dedups an at-least-once replay across batches") {
     // the same file delivered twice in separate micro-batches (an
     // at-least-once source replay): bounded-state dedup must emit each
