@@ -612,7 +612,8 @@ object SparkEntry {
       Entries10.all.map(q => q.name -> q.fn) ++
       Entries11.all.map(q => q.name -> q.fn) ++
       Entries12.all.map(q => q.name -> q.fn) ++
-      Entries13.all.map(q => q.name -> q.fn)).toMap
+      Entries13.all.map(q => q.name -> q.fn) ++
+      Entries14.all.map(q => q.name -> q.fn)).toMap
 
   def oracleSql: Map[String, String] =
     (all.flatMap(q => q.sql.map(q.name -> _)) ++
@@ -627,5 +628,6 @@ object SparkEntry {
       Entries10.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries11.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries12.all.flatMap(q => q.sql.map(q.name -> _)) ++
-      Entries13.all.flatMap(q => q.sql.map(q.name -> _))).toMap
+      Entries13.all.flatMap(q => q.sql.map(q.name -> _)) ++
+      Entries14.all.flatMap(q => q.sql.map(q.name -> _))).toMap
 }

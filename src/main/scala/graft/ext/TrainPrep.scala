@@ -68,6 +68,70 @@ object TrainPrep {
       .drop("next_start")
   }
 
+  /** QUANTILE NORMALIZATION — map every group's score distribution onto the
+    * GLOBAL distribution (the batch-effect correction of bioinformatics,
+    * and the cross-cohort score-alignment step before pooling training
+    * data): a row at within-group rank r of n_g takes the global value at
+    * index ((r−1)·(N−1)) DIV (n_g−1) + 1 — extremes map to extremes, and
+    * everything is integer arithmetic on ranks (a singleton group maps to
+    * the global median index (N+1) DIV 2). Ties are pinned by id, so the
+    * result is deterministic and oracle-exact.
+    *
+    * Scale shape: one within-group window, one global rank (the same
+    * total-order contract as the T3 split — range-partitioned sort at real
+    * scale), then an equi join on the computed index against the
+    * |N|-row (idx, value) reference — no per-row search, no interpolation
+    * floats.
+    */
+  def quantileNormalize(df: DataFrame, grpCol: String, idCol: String,
+                        scoreCol: String): DataFrame = {
+    val gw = Window.partitionBy(col(grpCol))
+      .orderBy(col(scoreCol).asc, col(idCol).asc)
+    val ranked = df
+      .withColumn("__rn", row_number().over(gw).cast("long"))
+      .withColumn("__ng", count(lit(1))
+        .over(Window.partitionBy(col(grpCol))))
+    val globalW = Window.orderBy(col(scoreCol).asc, col(idCol).asc)
+    val ref = df
+      .withColumn("__idx", row_number().over(globalW).cast("long"))
+      .select(col("__idx"), col(scoreCol).as("norm_score"))
+    val n = df.count()
+    ranked
+      .withColumn("__idx",
+        when(col("__ng") === 1L, lit((n + 1) / 2))
+          .otherwise(expr(s"(( __rn - 1) * ${n - 1}) DIV (__ng - 1) + 1")))
+      .join(ref, Seq("__idx"))
+      .select(col(idCol), col(grpCol), col(scoreCol), col("norm_score"))
+  }
+
+  /** DETERMINISTIC NEGATIVE SAMPLING for implicit-feedback training: per
+    * user, the m non-interacted items with the smallest 48-bit md5 of
+    * (user, item) — a uniform-at-random-by-hash draw that is reproducible
+    * across runs/engines (the requirement that `rand()` negatives can never
+    * meet), excludes positives exactly (anti join), and ties/order are
+    * pinned by the hash itself.
+    *
+    * Scale shape: the scored candidate space here is users × items; at
+    * catalog scale the same hash admits a THRESHOLD pre-filter
+    * (h < m·2⁴⁸·c/|items|) that cuts the cross join to a constant factor
+    * of the output before the anti join — the top-m window is
+    * WindowGroupLimit-capped either way, so only ~m rows per user leave
+    * the mappers.
+    */
+  def negativeSample(users: DataFrame, userCol: String, items: DataFrame,
+                     itemCol: String, positives: DataFrame,
+                     m: Int): DataFrame = {
+    val scored = users.select(col(userCol)).crossJoin(items.select(col(itemCol)))
+      .withColumn("h", conv(substring(md5(
+        concat(col(userCol).cast("string"), lit("|"),
+          col(itemCol).cast("string"))), 1, 12), 16, 10).cast("long"))
+      .join(positives.select(col(userCol), col(itemCol)),
+        Seq(userCol, itemCol), "left_anti")
+    val w = Window.partitionBy(col(userCol)).orderBy(col("h").asc)
+    scored.withColumn("neg_rank", row_number().over(w).cast("long"))
+      .filter(col("neg_rank") <= m)
+  }
+
   def stratifiedSample(df: DataFrame, strataCol: String, keyCol: String,
                        n: Int): DataFrame = {
     val w = Window.partitionBy(col(strataCol))

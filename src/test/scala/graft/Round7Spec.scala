@@ -213,6 +213,47 @@ class Round7Spec extends SparkSpec {
     }
   }
 
+  test("quantileNormalize: rank-preserving, extremes map to global extremes") {
+    val c = Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        round(col("c_acctbal") * 100).cast("long").as("score"))
+    val out = TrainPrep.quantileNormalize(c, "c_mktsegment", "c_custkey", "score")
+    assert(out.count() === c.count()) // one row per input, no dup/loss
+    val globalMin = c.agg(min("score")).head.getLong(0)
+    val globalMax = c.agg(max("score")).head.getLong(0)
+    // per group: the min-rank row lands on the global min value, max on max
+    val rows = out.collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    rows.groupBy(_._1).values.foreach { g =>
+      assert(g.minBy(_._2)._3 === globalMin)
+      assert(g.maxBy(_._2)._3 === globalMax)
+      // monotone: sorting by raw score never decreases the normalized score
+      val sorted = g.sortBy(_._2).map(_._3)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a <= b)
+        case _ =>
+      }
+    }
+  }
+
+  test("negativeSample: m per user, positives excluded, hash-ascending") {
+    val users = Seq(1L, 2L).toDF("uid")
+    val items = (1L to 100L).toDF("item")
+    val pos = Seq((1L, 5L), (1L, 6L), (2L, 7L)).toDF("uid", "item")
+    val out = TrainPrep.negativeSample(users, "uid", items, "item", pos, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length === 8)
+    assert(!out.exists(r => Set((1L, 5L), (1L, 6L), (2L, 7L))((r._1, r._2))))
+    out.groupBy(_._1).values.foreach { g =>
+      assert(g.map(_._4).sorted.toSeq === Seq(1L, 2L, 3L, 4L))
+      // ranks follow ascending hash
+      assert(g.sortBy(_._4).map(_._3).toSeq === g.map(_._3).sorted.toSeq)
+    }
+    // reproducible: second run identical
+    val again = TrainPrep.negativeSample(users, "uid", items, "item", pos, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(again.toSet === out.toSet)
+  }
+
   test("goldenRecord: agrees with an independent max(struct) formulation") {
     val ev = Tables.events(spark, sf)
     val out = Relational.goldenRecord(ev)

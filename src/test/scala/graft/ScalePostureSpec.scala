@@ -457,4 +457,34 @@ class ScalePostureSpec extends SparkSpec {
       .count(_.matches("""\(\d+\) Scan parquet.*""")) == 1,
       plan.linesIterator.filter(_.contains("Scan")).mkString("\n"))
   }
+
+  test("q175 nearest join: two window passes, zero range-join explosion") {
+    val plan = planOf(SparkEntry.queries("q175_nearest_join")(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      plan.linesIterator.filter(l => l.contains("Cartesian") ||
+        l.contains("NestedLoop")).mkString("\n"))
+    // one Window per as-of direction, nothing more
+    assert(plan.linesIterator.count(_.matches("""\(\d+\) Window.*""")) == 2,
+      plan.linesIterator.filter(_.contains("Window")).mkString("\n"))
+  }
+
+  test("q176 CMS: sketch builds map-side partials through an object aggregate") {
+    val plan = planOf(SparkEntry.queries("q176_cms_estimate")(spark, sf))
+    assert(plan.contains("ObjectHashAggregate"), plan.take(800))
+    assert(plan.contains("partial_cms_sketch"),
+      "map-side partial sketch expected:\n" +
+        plan.linesIterator.filter(_.contains("cms_sketch")).mkString("\n"))
+    // the probe never falls back to an interpreted path
+    assert(!plan.contains("BatchEvalPython"))
+  }
+
+  test("q179 FK audit: every child scan reads only its key column") {
+    val plan = planOf(SparkEntry.queries("q179_fk_audit")(spark, sf))
+    val schemas = plan.linesIterator
+      .filter(_.trim.startsWith("ReadSchema:")).toSeq
+    assert(schemas.nonEmpty)
+    // single-column ReadSchema on every scan: pruning reached parquet
+    schemas.foreach(s => assert(!s.contains(","), s))
+  }
 }
