@@ -613,7 +613,8 @@ object SparkEntry {
       Entries11.all.map(q => q.name -> q.fn) ++
       Entries12.all.map(q => q.name -> q.fn) ++
       Entries13.all.map(q => q.name -> q.fn) ++
-      Entries14.all.map(q => q.name -> q.fn)).toMap
+      Entries14.all.map(q => q.name -> q.fn) ++
+      Entries15.all.map(q => q.name -> q.fn)).toMap
 
   def oracleSql: Map[String, String] =
     (all.flatMap(q => q.sql.map(q.name -> _)) ++
@@ -629,5 +630,6 @@ object SparkEntry {
       Entries11.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries12.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries13.all.flatMap(q => q.sql.map(q.name -> _)) ++
-      Entries14.all.flatMap(q => q.sql.map(q.name -> _))).toMap
+      Entries14.all.flatMap(q => q.sql.map(q.name -> _)) ++
+      Entries15.all.flatMap(q => q.sql.map(q.name -> _))).toMap
 }

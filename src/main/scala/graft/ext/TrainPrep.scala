@@ -132,6 +132,48 @@ object TrainPrep {
       .filter(col("neg_rank") <= m)
   }
 
+  /** PROPORTIONAL ALLOCATION by LARGEST REMAINDER (Hamilton method) + a
+    * deterministic hash draw: split a fixed sample budget T across strata
+    * exactly proportionally — quota_s = ⌊T·N_s/N⌋ plus one for the largest
+    * remainders (T·N_s mod N, ties by stratum name) until the budget is
+    * spent — then take each stratum's quota_s members with the smallest
+    * md5(key). Integer arithmetic end to end: the allocation sums to T
+    * EXACTLY, every run and every engine (the floor-only allocation can be
+    * short by up to |strata|−1; naive rounding can overshoot — both break
+    * "the sample is exactly T rows").
+    *
+    * Complements [[stratifiedSample]] (per-stratum FRACTION) with the
+    * fixed-BUDGET design a labeling/eval pipeline needs. Scale shape: the
+    * allocation runs on the |strata|-row aggregate (one window over ≤ a few
+    * thousand rows); the draw is a broadcast quota join + a
+    * WindowGroupLimit-capped per-stratum top-quota.
+    */
+  def proportionalAllocate(df: DataFrame, strataCol: String, keyCol: String,
+                           budget: Long): DataFrame = {
+    val counts = df.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_s"))
+    val total = df.count()
+    val base = counts
+      .withColumn("floor_q", expr(s"($budget * n_s) DIV $total"))
+      .withColumn("rem", expr(s"($budget * n_s) % $total"))
+    val needed = budget - base.agg(sum(col("floor_q"))).head.getLong(0)
+    val remW = Window.orderBy(col("rem").desc, col(strataCol).asc)
+    val quotas = base
+      .withColumn("__rr", row_number().over(remW))
+      .withColumn("quota",
+        col("floor_q") + when(col("__rr") <= needed, 1L).otherwise(0L))
+      .select(col(strataCol), col("quota"))
+    val hw = Window.partitionBy(col(strataCol))
+      .orderBy(col("__h").asc)
+    df.select(col(keyCol), col(strataCol))
+      .withColumn("__h", conv(substring(md5(col(keyCol).cast("string")),
+        1, 12), 16, 10).cast("long"))
+      .withColumn("__rn", row_number().over(hw).cast("long"))
+      .join(broadcast(quotas), Seq(strataCol))
+      .filter(col("__rn") <= col("quota"))
+      .select(col(keyCol), col(strataCol), col("quota"))
+  }
+
   def stratifiedSample(df: DataFrame, strataCol: String, keyCol: String,
                        n: Int): DataFrame = {
     val w = Window.partitionBy(col(strataCol))

@@ -399,4 +399,42 @@ object History {
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
        |  FROM files)
        |SELECT mon, file_date, bytes, cum // $targetBytes AS bin FROM c""".stripMargin
+
+  /** CUSUM CHANGE-POINT detection per group, integer-exact: collapse the
+    * facts to one value per (group, bucket), then find the bucket
+    * maximizing |n·S_i − i·S_n| (the scaled deviation of the cumulative sum
+    * from the constant-rate line — the classic single-changepoint statistic,
+    * cross-multiplied so no division ever happens; ties → earliest bucket).
+    * Emits per group the argmax bucket, the signed deviation there, the
+    * bucket count and the series total — the "when did this series change
+    * behavior" primitive for revenue/traffic monitoring.
+    *
+    * Scale shape: the reduced-table discipline (facts → |group·buckets|
+    * rows via a partial-aggregable groupBy) before any window; then one
+    * key-partitioned window pass (cumsum + row_number + totals share the
+    * partition) and a max(struct) argmax — two exchanges end to end, and
+    * the window input is bounded by the bucket domain, not the row count.
+    */
+  def cusumChangepoint(facts: DataFrame, grpCol: String, bucketCol: String,
+                       valCol: String): DataFrame = {
+    val series = facts.groupBy(col(grpCol), col(bucketCol))
+      .agg(sum(col(valCol)).as("__v"))
+    val ow = Window.partitionBy(col(grpCol)).orderBy(col(bucketCol).asc)
+    val cum = series
+      .withColumn("__s", sum(col("__v"))
+        .over(ow.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("__i", row_number().over(ow).cast("long"))
+      .withColumn("__tot", sum(col("__v"))
+        .over(Window.partitionBy(col(grpCol))))
+      .withColumn("__n", count(lit(1))
+        .over(Window.partitionBy(col(grpCol))))
+      .withColumn("__d", col("__n") * col("__s") - col("__i") * col("__tot"))
+    cum.groupBy(col(grpCol))
+      .agg(max(struct(abs(col("__d")).as("a"), (-col(bucketCol)).as("nb"),
+        col("__d").as("d"), col("__n").as("n"), col("__tot").as("t")))
+        .as("m"))
+      .select(col(grpCol), col("m.n").as("n_buckets"),
+        (-col("m.nb")).as("cp_bucket"), col("m.d").as("cusum"),
+        col("m.t").as("total"))
+  }
 }

@@ -254,6 +254,43 @@ class Round7Spec extends SparkSpec {
     assert(again.toSet === out.toSet)
   }
 
+  test("proportionalAllocate: exact budget, proportional within 1, reproducible") {
+    val c = Tables.customer(spark, sf)
+    val total = c.count()
+    val out = TrainPrep.proportionalAllocate(c, "c_mktsegment", "c_custkey", 73L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.length === 73)
+    // per-stratum counts equal the declared quota, and quota is within 1
+    // of the exact proportional share
+    val strata = c.groupBy(col("c_mktsegment")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.groupBy(_._2).foreach { case (seg, rs) =>
+      assert(rs.length.toLong === rs.head._3)
+      val exact = 73.0 * strata(seg) / total
+      assert(math.abs(rs.length - exact) < 1.0, s"$seg: ${rs.length} vs $exact")
+    }
+    val again = TrainPrep.proportionalAllocate(c, "c_mktsegment", "c_custkey", 73L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(again.toSet === out.toSet)
+  }
+
+  test("cusumChangepoint: matches a brute-force scan of the statistic") {
+    val df = Seq(
+      // group A: level shift after bucket 3 (1,1,1, then 9,9,9)
+      ("A", 1L, 1L), ("A", 2L, 1L), ("A", 3L, 1L),
+      ("A", 4L, 9L), ("A", 5L, 9L), ("A", 6L, 9L),
+      // group B: flat — every deviation 0, tie broken to the EARLIEST bucket
+      ("B", 1L, 5L), ("B", 2L, 5L), ("B", 3L, 5L))
+      .toDF("g", "b", "v")
+    val out = graft.ops.History.cusumChangepoint(df, "g", "b", "v")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // A: S=(1,2,3,12,21,30), tot=30, n=6; D_i=6*S_i-i*30 → (-24,-48,-72,-48,-24,0)
+    assert(out("A") === ((6L, 3L, -72L, 30L)))
+    // B: all D_i = 0 → earliest bucket wins
+    assert(out("B") === ((3L, 1L, 0L, 15L)))
+  }
+
   test("goldenRecord: agrees with an independent max(struct) formulation") {
     val ev = Tables.events(spark, sf)
     val out = Relational.goldenRecord(ev)
