@@ -614,7 +614,8 @@ object SparkEntry {
       Entries12.all.map(q => q.name -> q.fn) ++
       Entries13.all.map(q => q.name -> q.fn) ++
       Entries14.all.map(q => q.name -> q.fn) ++
-      Entries15.all.map(q => q.name -> q.fn)).toMap
+      Entries15.all.map(q => q.name -> q.fn) ++
+      Entries16.all.map(q => q.name -> q.fn)).toMap
 
   def oracleSql: Map[String, String] =
     (all.flatMap(q => q.sql.map(q.name -> _)) ++
@@ -631,5 +632,6 @@ object SparkEntry {
       Entries12.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries13.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries14.all.flatMap(q => q.sql.map(q.name -> _)) ++
-      Entries15.all.flatMap(q => q.sql.map(q.name -> _))).toMap
+      Entries15.all.flatMap(q => q.sql.map(q.name -> _)) ++
+      Entries16.all.flatMap(q => q.sql.map(q.name -> _))).toMap
 }

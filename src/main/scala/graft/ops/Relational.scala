@@ -318,6 +318,63 @@ object Relational {
           col("orphan_rows"), col("orphan_keys"), col("null_keys"))
     }.reduce(_ unionByName _)
 
+  /** Exact WEIGHTED MEDIAN per group — the smallest value v with
+    * 2·W(≤v) ≥ W_total (weights BIGINT, cross-multiplied, no division):
+    * the quantity-weighted "typical price" that an unweighted median
+    * misstates whenever line sizes vary. Same reduced-domain discipline as
+    * the rank-AUC: rows collapse to one per (group, value) FIRST, the
+    * window runs over the distinct-value series, and the answer is a
+    * partial-aggregable min over the qualifying suffix.
+    */
+  def weightedMedian(df: DataFrame, grpCol: String, valCol: String,
+                     weightCol: String): DataFrame = {
+    val perVal = df.groupBy(col(grpCol), col(valCol))
+      .agg(sum(col(weightCol)).as("__w"))
+    val ow = Window.partitionBy(col(grpCol)).orderBy(col(valCol).asc)
+    perVal
+      .withColumn("__cum", sum(col("__w"))
+        .over(ow.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("__tot", sum(col("__w"))
+        .over(Window.partitionBy(col(grpCol))))
+      .filter(col("__cum") * 2 >= col("__tot"))
+      .groupBy(col(grpCol))
+      .agg(min(col(valCol)).as("wmedian"), max(col("__tot")).as("w_total"))
+  }
+
+  /** Keyless INTERVAL-OVERLAP JOIN via time binning — every (left, right)
+    * pair of intervals with s₁ ≤ e₂ ∧ s₂ ≤ e₁, found WITHOUT the
+    * quadratic theta join: each interval explodes onto the `binUs`-wide
+    * time bins it touches, candidates meet on a bin equi join, duplicates
+    * are suppressed by the FIRST-COMMON-BIN rule (keep the pair only at
+    * max(bin₁_start, bin₂_start) — a narrow filter, not a distinct
+    * shuffle), and the exact overlap predicate filters false bin
+    * neighbors. The third temporal-join class beside point-in-range
+    * (q115/q18) and as-of (q39/q118/q175).
+    *
+    * Scale shape: candidates = Σ bins-touched ≈ |intervals|·(len/binUs+1)
+    * rows through ONE equi-join shuffle; pick binUs near the typical
+    * interval length to keep the blowup a small constant.
+    */
+  def binnedOverlapJoin(left: DataFrame, right: DataFrame,
+                        startCol: String, endCol: String,
+                        binUs: Long): DataFrame = {
+    def binned(df: DataFrame, p: String) = df
+      .select(df.columns.map(c => col(c).as(s"$p$c")) :+
+        explode(sequence(expr(s"$startCol DIV $binUs"),
+          expr(s"$endCol DIV $binUs"))).as("__bin"): _*)
+    val l = binned(left, "l_")
+    val r = binned(right, "r_")
+    l.join(r, Seq("__bin"))
+      .filter(col(s"l_$startCol") <= col(s"r_$endCol") &&
+        col(s"r_$startCol") <= col(s"l_$endCol"))
+      // first common bin: both intervals cover __bin, so the earliest
+      // shared bin is max of the two start bins — keep exactly that one
+      .filter(col("__bin") ===
+        greatest(expr(s"l_$startCol DIV $binUs"),
+          expr(s"r_$startCol DIV $binUs")))
+      .drop("__bin")
+  }
+
   /** SURVIVORSHIP (golden-record merge) — the step after entity resolution
     * clusters records: collapse each entity's event history into ONE profile
     * row by per-field merge rules, every rule deterministic:

@@ -291,6 +291,58 @@ class Round7Spec extends SparkSpec {
     assert(out("B") === ((3L, 1L, 0L, 15L)))
   }
 
+  test("weightedMedian: brute-force parity and the 2·W(≤v) ≥ W_total contract") {
+    val df = Seq(("a", 10L, 1L), ("a", 20L, 1L), ("a", 30L, 100L),
+      ("b", 5L, 3L), ("b", 7L, 3L), ("c", 9L, 2L))
+      .toDF("g", "v", "w")
+    val out = Relational.weightedMedian(df, "g", "v", "w")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out("a") === ((30L, 102L))) // heavy tail value dominates
+    assert(out("b") === ((5L, 6L))) // exact half reached at the first value
+    assert(out("c") === ((9L, 2L)))
+    // fixture-scale sanity vs an in-memory scan
+    val li = Tables.lineitem(spark, sf).select(col("l_returnflag"),
+      round(col("l_extendedprice") * 100).cast("long").as("cents"),
+      col("l_quantity").cast("long").as("qty"))
+    val got = Relational.weightedMedian(li, "l_returnflag", "cents", "qty")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    li.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).foreach { case (flag, rows) =>
+        val sorted = rows.sortBy(_._2)
+        val tot = rows.map(_._3).sum
+        var cum = 0L
+        val exp = sorted.find { r => cum += r._3; cum * 2 >= tot }.get._2
+        assert(got(flag) === exp, s"flag $flag")
+      }
+  }
+
+  test("binnedOverlapJoin: equals the quadratic reference on adversarial spans") {
+    // spans crossing bin boundaries, nested spans, exact-touch endpoints,
+    // and a span far from everything
+    val left = Seq((1L, 0L, 150L), (2L, 90L, 110L), (3L, 500L, 510L))
+      .toDF("lid", "span_start", "span_end")
+    val right = Seq((10L, 100L, 200L), (11L, 150L, 160L), (12L, 20L, 30L),
+      (13L, 900L, 950L))
+      .toDF("rid", "span_start", "span_end")
+    val got = Relational.binnedOverlapJoin(left, right,
+      "span_start", "span_end", 100L)
+      .select(col("l_lid"), col("r_rid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lr = Seq((1L, 0L, 150L), (2L, 90L, 110L), (3L, 500L, 510L))
+    val rr = Seq((10L, 100L, 200L), (11L, 150L, 160L), (12L, 20L, 30L),
+      (13L, 900L, 950L))
+    val expected = (for {
+      (a, s1, e1) <- lr; (b, s2, e2) <- rr
+      if s1 <= e2 && s2 <= e1
+    } yield (a, b)).toSet
+    assert(got === expected)
+    // and no duplicates from multi-bin co-membership
+    val all = Relational.binnedOverlapJoin(left, right,
+      "span_start", "span_end", 100L)
+      .select(col("l_lid"), col("r_rid")).collect()
+    assert(all.length === expected.size)
+  }
+
   test("goldenRecord: agrees with an independent max(struct) formulation") {
     val ev = Tables.events(spark, sf)
     val out = Relational.goldenRecord(ev)

@@ -479,6 +479,14 @@ class ScalePostureSpec extends SparkSpec {
     assert(!plan.contains("BatchEvalPython"))
   }
 
+  test("q189 interval overlap: bin equi join, never a nested loop") {
+    val plan = planOf(SparkEntry.queries("q189_interval_overlap")(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      plan.linesIterator.filter(l => l.contains("Cartesian") ||
+        l.contains("NestedLoop")).mkString("\n"))
+  }
+
   test("q179 FK audit: every child scan reads only its key column") {
     val plan = planOf(SparkEntry.queries("q179_fk_audit")(spark, sf))
     val schemas = plan.linesIterator
