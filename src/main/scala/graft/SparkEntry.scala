@@ -615,7 +615,8 @@ object SparkEntry {
       Entries13.all.map(q => q.name -> q.fn) ++
       Entries14.all.map(q => q.name -> q.fn) ++
       Entries15.all.map(q => q.name -> q.fn) ++
-      Entries16.all.map(q => q.name -> q.fn)).toMap
+      Entries16.all.map(q => q.name -> q.fn) ++
+      Entries17.all.map(q => q.name -> q.fn)).toMap
 
   def oracleSql: Map[String, String] =
     (all.flatMap(q => q.sql.map(q.name -> _)) ++
@@ -633,5 +634,6 @@ object SparkEntry {
       Entries13.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries14.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries15.all.flatMap(q => q.sql.map(q.name -> _)) ++
-      Entries16.all.flatMap(q => q.sql.map(q.name -> _))).toMap
+      Entries16.all.flatMap(q => q.sql.map(q.name -> _)) ++
+      Entries17.all.flatMap(q => q.sql.map(q.name -> _))).toMap
 }

@@ -174,6 +174,31 @@ object TrainPrep {
       .select(col(keyCol), col(strataCol), col("quota"))
   }
 
+  /** HORVITZ–THOMPSON estimation gate for [[proportionalAllocate]]: per
+    * stratum, the true total of `valCol`, the sampled total, and the HT
+    * estimate (sample_sum · N_s / quota — each unit's inverse inclusion
+    * probability, a single pinned double division from BIGINT operands).
+    * The "how wrong is the sample" measurement that should accompany every
+    * down-sampling decision — same measured-not-guessed discipline as the
+    * ANN (q168) and LSH (q177) gates: the estimate and the truth sit in
+    * one row, and the whole evaluation is oracle-checkable.
+    */
+  def htEstimate(df: DataFrame, strataCol: String, keyCol: String,
+                 valCol: String, budget: Long): DataFrame = {
+    val sampled = proportionalAllocate(df, strataCol, keyCol, budget)
+      .select(col(keyCol), col("quota"))
+    val truth = df.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_s"), sum(col(valCol)).as("true_sum"))
+    val sample = df.join(sampled, Seq(keyCol))
+      .groupBy(col(strataCol))
+      .agg(sum(col(valCol)).as("sample_sum"), max(col("quota")).as("quota"))
+    truth.join(sample, Seq(strataCol))
+      .select(col(strataCol), col("n_s"), col("quota"), col("true_sum"),
+        col("sample_sum"),
+        (col("sample_sum").cast("double") * col("n_s") / col("quota"))
+          .as("ht_est"))
+  }
+
   def stratifiedSample(df: DataFrame, strataCol: String, keyCol: String,
                        n: Int): DataFrame = {
     val w = Window.partitionBy(col(strataCol))

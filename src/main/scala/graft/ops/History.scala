@@ -400,6 +400,38 @@ object History {
        |  FROM files)
        |SELECT mon, file_date, bytes, cum // $targetBytes AS bin FROM c""".stripMargin
 
+  /** HAMPEL FILTER over a per-group series, integer-exact: for each point,
+    * the LOWER MEDIAN of the centered ±`halfWin` row window and the lower
+    * median of absolute deviations (MAD) from it; the point is an outlier
+    * when |v − med| > `k`·MAD. The robust anomaly detector a spiky revenue
+    * series needs (a mean/stddev z-score is dragged by the spike itself);
+    * edge windows shrink naturally, and every comparison is on BIGINTs —
+    * both engines sort the same integer lists and index the same element,
+    * so the oracle replays bit-exactly.
+    *
+    * Scale shape: facts reduce to the (group, bucket) series first; one
+    * key-partitioned window collects the ≤ (2·halfWin+1)-element list per
+    * row — state bounded by the window width, not the series length.
+    */
+  def hampelOutliers(facts: DataFrame, grpCol: String, bucketCol: String,
+                     valCol: String, halfWin: Int, k: Long): DataFrame = {
+    val series = facts.groupBy(col(grpCol), col(bucketCol))
+      .agg(sum(col(valCol)).as("v"))
+    val w = Window.partitionBy(col(grpCol)).orderBy(col(bucketCol).asc)
+      .rowsBetween(-halfWin, halfWin)
+    series
+      .withColumn("__win", sort_array(collect_list(col("v")).over(w)))
+      .withColumn("med",
+        expr("element_at(__win, CAST((size(__win) + 1) DIV 2 AS INT))"))
+      .withColumn("__dev", sort_array(
+        transform(col("__win"), x => abs(x - col("med")))))
+      .withColumn("mad",
+        expr("element_at(__dev, CAST((size(__dev) + 1) DIV 2 AS INT))"))
+      .withColumn("is_outlier", abs(col("v") - col("med")) > lit(k) * col("mad"))
+      .select(col(grpCol), col(bucketCol), col("v"), col("med"), col("mad"),
+        col("is_outlier"))
+  }
+
   /** CUSUM CHANGE-POINT detection per group, integer-exact: collapse the
     * facts to one value per (group, bucket), then find the bucket
     * maximizing |n·S_i − i·S_n| (the scaled deviation of the cumulative sum

@@ -343,6 +343,47 @@ class Round7Spec extends SparkSpec {
     assert(all.length === expected.size)
   }
 
+  test("hampelOutliers: brute-force parity; spike flagged, plateau not") {
+    // flat series with one spike; edge windows shrink
+    val df = (1L to 9L).map(d => ("g", d, if (d == 5) 100L else 10L))
+      .toDF("g", "b", "v")
+    val out = graft.ops.History.hampelOutliers(df, "g", "b", "v", 3, 3L)
+      .collect().map(r => r.getLong(1) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))).toMap
+    def lowerMed(xs: Seq[Long]) = xs.sorted.apply((xs.length + 1) / 2 - 1)
+    (1L to 9L).foreach { d =>
+      val win = (math.max(1L, d - 3) to math.min(9L, d + 3))
+        .map(x => if (x == 5) 100L else 10L)
+      val med = lowerMed(win)
+      val mad = lowerMed(win.map(x => math.abs(x - med)))
+      val (gv, gm, gmad, gout) = out(d)
+      assert(gm === med, s"med at $d")
+      assert(gmad === mad, s"mad at $d")
+      assert(gout === (math.abs(gv - med) > 3 * mad), s"flag at $d")
+    }
+    assert(out(5L)._4, "the spike must be flagged")
+    assert(!out(1L)._4 && !out(9L)._4)
+  }
+
+  test("htEstimate: truth recovered exactly when a stratum is fully sampled") {
+    val df = Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        round(col("c_acctbal") * 100).cast("long").as("cents"))
+    val total = df.count()
+    // budget == population ⇒ every stratum fully sampled ⇒ ht_est == true_sum
+    val full = TrainPrep.htEstimate(df, "c_mktsegment", "c_custkey",
+      "cents", total)
+    full.collect().foreach { r =>
+      assert(r.getLong(1) === r.getLong(2)) // n_s == quota
+      assert(r.getLong(3) === r.getLong(4)) // true == sample
+      assert(r.getDouble(5) === r.getLong(3).toDouble)
+    }
+    // partial budget: quotas sum to the budget; estimate finite per stratum
+    val part = TrainPrep.htEstimate(df, "c_mktsegment", "c_custkey",
+      "cents", 60L).collect()
+    assert(part.map(_.getLong(2)).sum === 60L)
+  }
+
   test("goldenRecord: agrees with an independent max(struct) formulation") {
     val ev = Tables.events(spark, sf)
     val out = Relational.goldenRecord(ev)
