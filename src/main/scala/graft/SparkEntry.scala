@@ -616,7 +616,8 @@ object SparkEntry {
       Entries14.all.map(q => q.name -> q.fn) ++
       Entries15.all.map(q => q.name -> q.fn) ++
       Entries16.all.map(q => q.name -> q.fn) ++
-      Entries17.all.map(q => q.name -> q.fn)).toMap
+      Entries17.all.map(q => q.name -> q.fn) ++
+      Entries18.all.map(q => q.name -> q.fn)).toMap
 
   def oracleSql: Map[String, String] =
     (all.flatMap(q => q.sql.map(q.name -> _)) ++
@@ -635,5 +636,6 @@ object SparkEntry {
       Entries14.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries15.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries16.all.flatMap(q => q.sql.map(q.name -> _)) ++
-      Entries17.all.flatMap(q => q.sql.map(q.name -> _))).toMap
+      Entries17.all.flatMap(q => q.sql.map(q.name -> _)) ++
+      Entries18.all.flatMap(q => q.sql.map(q.name -> _))).toMap
 }

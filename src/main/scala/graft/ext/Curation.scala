@@ -485,6 +485,38 @@ object Curation {
     * verdict is a Project over the aggregate. Quasi-identifier buckets are
     * integer DIV (balance → 50-dollar bands), never floats.
     */
+  /** CAPPED CO-ENGAGEMENT PROJECTION — the user-item bipartite graph
+    * projected to weighted item-item edges, with the per-user TOP-`m`
+    * recency cap applied BEFORE pairing: a power user with 10 000 items
+    * would otherwise contribute 10⁸ pairs (the quadratic blowup that sinks
+    * naive co-occurrence at scale), and recency-capping is also better
+    * signal (stale co-engagements age out). Ties at equal last-engagement
+    * time break by item id, so the cap — and therefore the whole graph —
+    * is deterministic. Edges below `minCount` users are dropped.
+    *
+    * Scale shape: distinct (user, item, last_ts) is a partial-aggregable
+    * reduce; the cap is a WindowGroupLimit (≤ m rows per user leave the
+    * mappers); the self-join then expands each user to ≤ m(m−1)/2 pairs —
+    * a CONSTANT per user — before the final pair count.
+    */
+  def coengagementPairs(events: DataFrame, m: Int,
+                        minCount: Long): DataFrame = {
+    val ui = events.filter(col("props").isNotNull)
+      .groupBy(col("user_id"), col("props").as("item"))
+      .agg(max(col("ts_us")).as("__last"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("__last").desc, col("item").asc)
+    val capped = ui.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= m)
+      .select(col("user_id"), col("item"))
+    capped
+      .join(capped.withColumnRenamed("item", "i2"), Seq("user_id"))
+      .filter(col("item") < col("i2"))
+      .groupBy(col("item").as("i1"), col("i2"))
+      .agg(count(lit(1)).as("n_users"))
+      .filter(col("n_users") >= minCount)
+  }
+
   def kAnonymityAudit(customer: DataFrame, k: Long): DataFrame =
     customer
       .select(col("c_nationkey").cast("long").as("nation"),

@@ -220,6 +220,60 @@ object FeatureStore {
     erased
   }
 
+  /** VERSIONED gold writes — MVCC-lite time travel on plain parquet (the
+    * capability Delta/Iceberg snapshots provide, reduced to its essentials
+    * for reproducible training data): each write lands in an immutable
+    * `v=N` directory, then a `_LATEST` marker is updated by write-temp +
+    * atomic rename. Readers pinned to a version N see byte-identical data
+    * forever (a training run records N and is exactly re-buildable);
+    * readers of "latest" never observe a half-written version because the
+    * marker flips only after the data write completes.
+    *
+    * Returns the new version number. */
+  def writeGoldVersioned(features: DataFrame, path: String): Int = {
+    val spark = features.sparkSession
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val next = listGoldVersions(spark, path).foldLeft(0)(math.max) + 1
+    features.write.mode(SaveMode.ErrorIfExists).parquet(s"$path/v=$next")
+    val tmp = new org.apache.hadoop.fs.Path(hPath, "_LATEST.tmp")
+    val out = fs.create(tmp, true)
+    out.write(next.toString.getBytes("UTF-8")); out.close()
+    val marker = new org.apache.hadoop.fs.Path(hPath, "_LATEST")
+    fs.delete(marker, false)
+    fs.rename(tmp, marker)
+    next
+  }
+
+  /** All committed versions of a [[writeGoldVersioned]] store (ascending). */
+  def listGoldVersions(spark: SparkSession, path: String): Seq[Int] = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(hPath)) return Seq.empty
+    fs.listStatus(hPath).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(_.startsWith("v="))
+      .flatMap(n => scala.util.Try(n.stripPrefix("v=").toInt).toOption)
+      .sorted
+  }
+
+  /** Read a pinned version, or the `_LATEST`-marked one when None. */
+  def readGoldVersion(spark: SparkSession, path: String,
+                      version: Option[Int] = None): DataFrame = {
+    val v = version.getOrElse {
+      val hPath = new org.apache.hadoop.fs.Path(path)
+      val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+      val marker = new org.apache.hadoop.fs.Path(hPath, "_LATEST")
+      require(fs.exists(marker), s"no _LATEST marker under $path")
+      val in = fs.open(marker)
+      val bytes = new Array[Byte](32)
+      val n = in.read(bytes); in.close()
+      new String(bytes, 0, n, "UTF-8").trim.toInt
+    }
+    spark.read.parquet(s"$path/v=$v")
+  }
+
   /** S4 — append-only prediction log, date-partitioned (reference:
     * serving/pred_logger.py:14-18). Append mode: concurrent writers add
     * files, never clobber. */

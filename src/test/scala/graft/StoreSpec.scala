@@ -117,6 +117,24 @@ class StoreSpec extends SparkSpec {
       Seq(1L).toDF("user_id"), Seq("user_id")) === 0L)
   }
 
+  test("versioned gold: pinned versions immutable, _LATEST flips atomically") {
+    import graft.store.FeatureStore
+    val dir = java.nio.file.Files.createTempDirectory("gold_versions").toString + "/t"
+    val v1data = Seq((1L, 10.0), (2L, 20.0)).toDF("user_id", "spend")
+    val v2data = Seq((1L, 11.0), (2L, 20.0), (3L, 30.0)).toDF("user_id", "spend")
+    assert(FeatureStore.writeGoldVersioned(v1data, dir) === 1)
+    assert(FeatureStore.writeGoldVersioned(v2data, dir) === 2)
+    assert(FeatureStore.listGoldVersions(spark, dir) === Seq(1, 2))
+    // latest = v2; pinned v1 unchanged (a training run recording v=1 is
+    // exactly re-buildable after any number of later writes)
+    val latest = FeatureStore.readGoldVersion(spark, dir)
+      .select($"user_id", $"spend").as[(Long, Double)].collect().toMap
+    assert(latest === Map(1L -> 11.0, 2L -> 20.0, 3L -> 30.0))
+    val v1 = FeatureStore.readGoldVersion(spark, dir, Some(1))
+      .select($"user_id", $"spend").as[(Long, Double)].collect().toMap
+    assert(v1 === Map(1L -> 10.0, 2L -> 20.0))
+  }
+
   test("prediction log appends (never clobbers) under date partitions") {
     val dir = java.nio.file.Files.createTempDirectory("predlog").toString
     val preds = Seq((1L, 1705276800000000L, 0.9, 1))
