@@ -29,5 +29,39 @@ object Entries18 {
              |FROM capped a JOIN capped b
              |  ON a.user_id = b.user_id AND a.item < b.item
              |GROUP BY 1, 2
-             |HAVING count(*) >= 2""".stripMargin)))
+             |HAVING count(*) >= 2""".stripMargin)),
+
+    // Time-budgeted window funnel (view → click → purchase within 24 h of
+    // the starting view; every view is a candidate start, best stage per
+    // user). Greedy earliest-next-stage is provably optimal for an ordered
+    // pattern, so two forward as-of joins compute it exactly — the oracle
+    // is the literal correlated-subquery formulation.
+    Q("q193_window_funnel",
+      (s, d) => graft.ops.Sessions.windowFunnel(Tables.events(s, d),
+        86400000000L),
+      Some("""WITH v AS (
+             |  SELECT user_id, epoch_us(ts) AS vts FROM events
+             |  WHERE event_type = 'view'),
+             |c AS (
+             |  SELECT DISTINCT user_id, epoch_us(ts) AS cts FROM events
+             |  WHERE event_type = 'click'),
+             |p AS (
+             |  SELECT DISTINCT user_id, epoch_us(ts) AS pts FROM events
+             |  WHERE event_type = 'purchase'),
+             |s1 AS (
+             |  SELECT v.user_id, v.vts,
+             |    (SELECT min(c.cts) FROM c
+             |     WHERE c.user_id = v.user_id AND c.cts >= v.vts) AS cts
+             |  FROM v),
+             |s2 AS (
+             |  SELECT *, CASE WHEN cts IS NOT NULL THEN
+             |    (SELECT min(p.pts) FROM p
+             |     WHERE p.user_id = s1.user_id AND p.pts >= s1.cts) END AS pts
+             |  FROM s1)
+             |SELECT user_id, count(*) AS n_views,
+             |  max(CASE WHEN cts IS NOT NULL AND cts <= vts + 86400000000
+             |    THEN CASE WHEN pts IS NOT NULL AND pts <= vts + 86400000000
+             |      THEN 3 ELSE 2 END
+             |    ELSE 1 END) AS best_stage
+             |FROM s2 GROUP BY 1""".stripMargin)))
 }

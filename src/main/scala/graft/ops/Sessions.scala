@@ -93,4 +93,53 @@ object Sessions {
       .withColumn("retention",
         col("n_active").cast("double") / col("cohort_size").cast("double"))
   }
+
+  /** WINDOW FUNNEL (the ClickHouse `windowFunnel` semantics): per user, the
+    * deepest prefix of the ordered pattern view → click → purchase
+    * completable inside `windowUs` of the STARTING view — each later stage
+    * must occur at-or-after the previous one and at-or-before
+    * view_ts + window. Every view event is a candidate start; the user's
+    * answer is the best stage over all starts.
+    *
+    * The greedy chain (EARLIEST qualifying next-stage event) is optimal for
+    * this pattern — taking the earliest click can only leave more room for
+    * the purchase — so two forward as-of joins ([[graft.ops.Snapshots
+    * .asOfJoinForward]], each ONE key-shuffle + incremental window, no
+    * range join) compute per-start stages exactly, and a per-user max
+    * finishes. The q99 funnel counts lifetime stage sets; this one is the
+    * time-budgeted version a conversion analysis actually wants.
+    */
+  def windowFunnel(events: DataFrame, windowUs: Long): DataFrame = {
+    def stageTs(t: String) = events.filter(col("event_type") === t)
+      .select(col("user_id"), col("ts_us")).distinct()
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts_us"), col("event_id"))
+    val clicks = stageTs("click").withColumn("c_ts", col("ts_us"))
+    val purchases = stageTs("purchase").withColumn("p_ts", col("ts_us"))
+    val v1 = graft.ops.Snapshots.asOfJoinForward(
+      views, clicks, "user_id", "ts_us", "c_ts", Seq("c_ts"))
+    // second hop joins on the MATCHED click ts; rows with no click skip it
+    val withC = v1.filter(col("c_ts").isNotNull)
+      .withColumnRenamed("ts_us", "v_ts")
+      .withColumnRenamed("c_ts", "ts_us")
+    val v2 = graft.ops.Snapshots.asOfJoinForward(
+      withC, purchases, "user_id", "ts_us", "p_ts", Seq("p_ts"))
+      .withColumnRenamed("ts_us", "c_ts")
+      .withColumnRenamed("v_ts", "ts_us")
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        col("c_ts"), col("p_ts"))
+    val noC = v1.filter(col("c_ts").isNull)
+      .withColumn("p_ts", lit(null).cast("long"))
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        col("c_ts"), col("p_ts"))
+    val deadline = col("ts_us") + windowUs
+    v2.unionByName(noC)
+      .withColumn("stage",
+        when(col("c_ts").isNotNull && col("c_ts") <= deadline,
+          when(col("p_ts").isNotNull && col("p_ts") <= deadline, 3L)
+            .otherwise(2L))
+          .otherwise(1L))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_views"), max(col("stage")).as("best_stage"))
+  }
 }

@@ -384,6 +384,31 @@ class Round7Spec extends SparkSpec {
     assert(part.map(_.getLong(2)).sum === 60L)
   }
 
+  test("windowFunnel: brute-force parity over every user at sf0.001") {
+    val W = 86400000000L
+    val out = graft.ops.Sessions.windowFunnel(Tables.events(spark, sf), W)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts_us"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    ev.groupBy(_._1).foreach { case (u, rows) =>
+      val views = rows.filter(_._3 == "view").map(_._2)
+      if (views.isEmpty) assert(!out.contains(u))
+      else {
+        val clicks = rows.filter(_._3 == "click").map(_._2).sorted
+        val purch = rows.filter(_._3 == "purchase").map(_._2).sorted
+        val best = views.map { v =>
+          // brute force: ANY click/purchase chain within the window
+          val s3 = clicks.exists(c => c >= v && c <= v + W &&
+            purch.exists(p => p >= c && p <= v + W))
+          val s2 = clicks.exists(c => c >= v && c <= v + W)
+          if (s3) 3L else if (s2) 2L else 1L
+        }.max
+        assert(out(u) === ((views.length.toLong, best)), s"user $u")
+      }
+    }
+  }
+
   test("goldenRecord: agrees with an independent max(struct) formulation") {
     val ev = Tables.events(spark, sf)
     val out = Relational.goldenRecord(ev)
