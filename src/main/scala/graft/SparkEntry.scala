@@ -617,7 +617,8 @@ object SparkEntry {
       Entries15.all.map(q => q.name -> q.fn) ++
       Entries16.all.map(q => q.name -> q.fn) ++
       Entries17.all.map(q => q.name -> q.fn) ++
-      Entries18.all.map(q => q.name -> q.fn)).toMap
+      Entries18.all.map(q => q.name -> q.fn) ++
+      Entries19.all.map(q => q.name -> q.fn)).toMap
 
   def oracleSql: Map[String, String] =
     (all.flatMap(q => q.sql.map(q.name -> _)) ++
@@ -637,5 +638,6 @@ object SparkEntry {
       Entries15.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries16.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries17.all.flatMap(q => q.sql.map(q.name -> _)) ++
-      Entries18.all.flatMap(q => q.sql.map(q.name -> _))).toMap
+      Entries18.all.flatMap(q => q.sql.map(q.name -> _)) ++
+      Entries19.all.flatMap(q => q.sql.map(q.name -> _))).toMap
 }
