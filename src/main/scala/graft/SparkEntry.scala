@@ -618,7 +618,8 @@ object SparkEntry {
       Entries16.all.map(q => q.name -> q.fn) ++
       Entries17.all.map(q => q.name -> q.fn) ++
       Entries18.all.map(q => q.name -> q.fn) ++
-      Entries19.all.map(q => q.name -> q.fn)).toMap
+      Entries19.all.map(q => q.name -> q.fn) ++
+      Entries20.all.map(q => q.name -> q.fn)).toMap
 
   def oracleSql: Map[String, String] =
     (all.flatMap(q => q.sql.map(q.name -> _)) ++
@@ -639,5 +640,6 @@ object SparkEntry {
       Entries16.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries17.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries18.all.flatMap(q => q.sql.map(q.name -> _)) ++
-      Entries19.all.flatMap(q => q.sql.map(q.name -> _))).toMap
+      Entries19.all.flatMap(q => q.sql.map(q.name -> _)) ++
+      Entries20.all.flatMap(q => q.sql.map(q.name -> _))).toMap
 }
