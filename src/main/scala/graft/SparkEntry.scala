@@ -596,7 +596,93 @@ object SparkEntry {
              |  AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000
              |  AND epoch_us(c.ts) < epoch_us(p.ts)
              |WHERE p.event_type = 'purchase'
-             |GROUP BY p.user_id, p.event_id, epoch_us(p.ts)""".stripMargin))
+             |GROUP BY p.user_id, p.event_id, epoch_us(p.ts)""".stripMargin)),
+
+    // RELEASE MANIFEST: the reference's whole pipeline (bronze → feature
+    // view → churn labels → ordered split) compressed into one auditable
+    // row per stage — row count + an ORDER-INVARIANT content hash
+    // (Σ md5₄₈(keys) mod 1e9+7 — commutative, so partitioning/order can't
+    // change it; only integer columns are hashed, never float reprs).
+    // The lineage receipt a training-data release ships with: two releases
+    // match iff every stage row matches.
+    Q("q200_release_manifest",
+      (s, d) => {
+        val M = 1000000007L
+        def h(cols: org.apache.spark.sql.Column*) =
+          conv(substring(md5(concat_ws("|", cols: _*)), 1, 12), 16, 10)
+            .cast("long") % M
+        def stage(name: String, df: DataFrame,
+                  hc: org.apache.spark.sql.Column) =
+          df.select(hc.as("__h"))
+            .agg(count(lit(1)).as("n_rows"), sum(col("__h")).as("content_hash"))
+            .select(lit(name).as("stage"), col("n_rows"), col("content_hash"))
+        val ev = Tables.events(s, d)
+        val feats = Features.featureView(ev)
+        val labels = Labels.churnLabelsWindow(
+          ev.filter(col("event_type") === "purchase")
+            .select(col("user_id"), col("event_id"), col("ts_us")),
+          7 * DayUs).select(col("user_id"), col("event_id"), col("churn"))
+        val labeled = feats
+          .select(col("user_id"), col("event_id"), col("ts_us"))
+          .join(labels, Seq("user_id", "event_id"), "inner")
+        val split = Labels.orderedSplit(labeled,
+          Seq("user_id", "ts_us", "event_id"))
+        stage("bronze", ev, h(col("user_id"), col("event_id")))
+          .unionByName(stage("features", feats,
+            h(col("user_id"), col("event_id"), col("txn_count_30d"),
+              col("unique_skus_30d"), col("tenure_days"))))
+          .unionByName(stage("labeled", labeled,
+            h(col("user_id"), col("event_id"), col("churn"))))
+          .unionByName(stage("train", split.filter(col("split") === "train"),
+            h(col("user_id"), col("event_id"))))
+          .unionByName(stage("test", split.filter(col("split") === "test"),
+            h(col("user_id"), col("event_id"))))
+      },
+      Some {
+        def hSql(expr: String) =
+          s"(('0x' || substr(md5($expr), 1, 12))::BIGINT % 1000000007)"
+        def cat(cols: String*) = cols
+          .map(c => s"CAST($c AS VARCHAR)").mkString(" || '|' || ")
+        s"""WITH feats AS ($featureViewSql),
+           |labels AS (
+           |  SELECT user_id, event_id,
+           |    CAST(CASE WHEN min(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us
+           |           RANGE BETWEEN 1 FOLLOWING AND 604800000000 FOLLOWING) IS NULL
+           |         THEN 1 ELSE 0 END AS INT) AS churn
+           |  FROM (SELECT user_id, event_id, epoch_us(ts) AS ts_us
+           |        FROM events WHERE event_type = 'purchase')),
+           |lab AS (
+           |  SELECT f.user_id, f.event_id, f.ts_us, l.churn
+           |  FROM feats f JOIN labels l
+           |    ON f.user_id = l.user_id AND f.event_id = l.event_id),
+           |sp AS (
+           |  SELECT user_id, event_id,
+           |    CASE WHEN 5 * row_number() OVER (ORDER BY user_id, ts_us, event_id)
+           |              <= 4 * (SELECT count(*) FROM lab)
+           |         THEN 'train' ELSE 'test' END AS split
+           |  FROM lab)
+           |SELECT 'bronze' AS stage, count(*) AS n_rows,
+           |  CAST(sum(${hSql(cat("user_id", "event_id"))}) AS BIGINT)
+           |    AS content_hash
+           |FROM events
+           |UNION ALL
+           |SELECT 'features', count(*),
+           |  CAST(sum(${hSql(cat("user_id", "event_id", "txn_count_30d",
+                "unique_skus_30d", "tenure_days"))} ) AS BIGINT)
+           |FROM feats
+           |UNION ALL
+           |SELECT 'labeled', count(*),
+           |  CAST(sum(${hSql(cat("user_id", "event_id", "churn"))}) AS BIGINT)
+           |FROM lab
+           |UNION ALL
+           |SELECT 'train', count(*),
+           |  CAST(sum(${hSql(cat("user_id", "event_id"))}) AS BIGINT)
+           |FROM sp WHERE split = 'train'
+           |UNION ALL
+           |SELECT 'test', count(*),
+           |  CAST(sum(${hSql(cat("user_id", "event_id"))}) AS BIGINT)
+           |FROM sp WHERE split = 'test'""".stripMargin
+      })
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
