@@ -705,7 +705,8 @@ object SparkEntry {
       Entries17.all.map(q => q.name -> q.fn) ++
       Entries18.all.map(q => q.name -> q.fn) ++
       Entries19.all.map(q => q.name -> q.fn) ++
-      Entries20.all.map(q => q.name -> q.fn)).toMap
+      Entries20.all.map(q => q.name -> q.fn) ++
+      Entries21.all.map(q => q.name -> q.fn)).toMap
 
   def oracleSql: Map[String, String] =
     (all.flatMap(q => q.sql.map(q.name -> _)) ++
@@ -727,5 +728,6 @@ object SparkEntry {
       Entries17.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries18.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries19.all.flatMap(q => q.sql.map(q.name -> _)) ++
-      Entries20.all.flatMap(q => q.sql.map(q.name -> _))).toMap
+      Entries20.all.flatMap(q => q.sql.map(q.name -> _)) ++
+      Entries21.all.flatMap(q => q.sql.map(q.name -> _))).toMap
 }

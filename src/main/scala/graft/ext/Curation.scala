@@ -527,6 +527,55 @@ object Curation {
       .agg(count(lit(1)).as("n"))
       .withColumn("suppress", col("n") < k)
 
+  /** K-ANONYMITY SUPPRESSION EXPORT — the enforcement half of
+    * [[kAnonymityAudit]]: every record whose quasi-identifier cell
+    * (nation, segment, 50-dollar balance band) holds fewer than `k` members
+    * leaves with ALL THREE quasi-identifiers nulled (suppressing one alone
+    * still narrows the cell); records in large cells pass through with the
+    * band (already a generalization) in place of the raw balance. The
+    * release is exactly the audit's verdict applied row-level.
+    *
+    * Scale shape: the cell-size table is a partial-aggregable groupBy over
+    * ≤ |nations|·|segments|·|bands| rows, broadcast back onto the records —
+    * one fact scan, one broadcast join.
+    */
+  def kAnonymitySuppress(customer: DataFrame, k: Long): DataFrame = {
+    val cells = kAnonymityAudit(customer, k)
+      .select(col("nation"), col("segment"), col("bal_band"),
+        col("suppress"))
+    customer
+      .select(col("c_custkey"),
+        col("c_nationkey").cast("long").as("nation"),
+        col("c_mktsegment").as("segment"),
+        expr("CAST(round(c_acctbal * 100) AS BIGINT) DIV 5000")
+          .as("bal_band"))
+      .join(broadcast(cells), Seq("nation", "segment", "bal_band"))
+      .select(col("c_custkey"),
+        when(!col("suppress"), col("nation")).as("nation"),
+        when(!col("suppress"), col("segment")).as("segment"),
+        when(!col("suppress"), col("bal_band")).as("bal_band"),
+        col("suppress"))
+  }
+
+  /** DuckDB mirror of [[kAnonymitySuppress]]. */
+  def kAnonymitySuppressSql(k: Long): String =
+    s"""WITH q AS (
+       |  SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nation,
+       |    c_mktsegment AS segment,
+       |    CAST(round(c_acctbal * 100) AS BIGINT) // 5000 AS bal_band
+       |  FROM customer),
+       |cells AS (
+       |  SELECT nation, segment, bal_band, count(*) < $k AS suppress
+       |  FROM q GROUP BY 1, 2, 3)
+       |SELECT q.c_custkey,
+       |  CASE WHEN NOT suppress THEN q.nation END AS nation,
+       |  CASE WHEN NOT suppress THEN q.segment END AS segment,
+       |  CASE WHEN NOT suppress THEN q.bal_band END AS bal_band,
+       |  suppress
+       |FROM q JOIN cells
+       |  ON q.nation = cells.nation AND q.segment = cells.segment
+       |  AND q.bal_band = cells.bal_band""".stripMargin
+
   /** DuckDB mirror of [[kAnonymityAudit]]. */
   def kAnonymityAuditSql(k: Long): String =
     s"""SELECT CAST(c_nationkey AS BIGINT) AS nation,
