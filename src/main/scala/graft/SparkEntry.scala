@@ -706,7 +706,8 @@ object SparkEntry {
       Entries18.all.map(q => q.name -> q.fn) ++
       Entries19.all.map(q => q.name -> q.fn) ++
       Entries20.all.map(q => q.name -> q.fn) ++
-      Entries21.all.map(q => q.name -> q.fn)).toMap
+      Entries21.all.map(q => q.name -> q.fn) ++
+      Entries22.all.map(q => q.name -> q.fn)).toMap
 
   def oracleSql: Map[String, String] =
     (all.flatMap(q => q.sql.map(q.name -> _)) ++
@@ -729,5 +730,6 @@ object SparkEntry {
       Entries18.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries19.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries20.all.flatMap(q => q.sql.map(q.name -> _)) ++
-      Entries21.all.flatMap(q => q.sql.map(q.name -> _))).toMap
+      Entries21.all.flatMap(q => q.sql.map(q.name -> _)) ++
+      Entries22.all.flatMap(q => q.sql.map(q.name -> _))).toMap
 }
