@@ -707,7 +707,8 @@ object SparkEntry {
       Entries19.all.map(q => q.name -> q.fn) ++
       Entries20.all.map(q => q.name -> q.fn) ++
       Entries21.all.map(q => q.name -> q.fn) ++
-      Entries22.all.map(q => q.name -> q.fn)).toMap
+      Entries22.all.map(q => q.name -> q.fn) ++
+      Entries23.all.map(q => q.name -> q.fn)).toMap
 
   def oracleSql: Map[String, String] =
     (all.flatMap(q => q.sql.map(q.name -> _)) ++
@@ -731,5 +732,6 @@ object SparkEntry {
       Entries19.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries20.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries21.all.flatMap(q => q.sql.map(q.name -> _)) ++
-      Entries22.all.flatMap(q => q.sql.map(q.name -> _))).toMap
+      Entries22.all.flatMap(q => q.sql.map(q.name -> _)) ++
+      Entries23.all.flatMap(q => q.sql.map(q.name -> _))).toMap
 }

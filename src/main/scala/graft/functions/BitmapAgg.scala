@@ -92,6 +92,33 @@ object BitmapCodec {
     n
   }
 
+  /** Membership test against the SERIALIZED form, in place. Pages are
+    * serialized in ascending high-key order with trailing zero words
+    * trimmed, so a position past a page's stored words is simply absent.
+    * Called from generated code (see [[BitmapContains]]) — keep it a
+    * static-reachable, allocation-free walk. */
+  def containsSerialized(bytes: Array[Byte], v: Long): Boolean = {
+    if (v < 0) return false
+    val bb = ByteBuffer.wrap(bytes)
+    val targetHi = v >>> 16
+    val wordIdx = ((v & 0xffffL) >>> 6).toInt
+    val nPages = bb.getInt
+    var p = 0
+    while (p < nPages) {
+      val hi = bb.getLong
+      val n = bb.getInt
+      if (hi == targetHi) {
+        if (wordIdx >= n) return false
+        val word = bb.getLong(bb.position() + wordIdx * 8)
+        return (word >>> (v & 63L).toInt & 1L) == 1L
+      }
+      if (hi > targetHi) return false // pages sorted ascending
+      bb.position(bb.position() + n * 8)
+      p += 1
+    }
+    false
+  }
+
   def deserialize(bytes: Array[Byte]): State = {
     val bb = ByteBuffer.wrap(bytes)
     val st: State = mutable.LongMap.empty
@@ -285,4 +312,45 @@ case class BitmapCount(child: Expression)
   override protected def withNewChildInternal(newChild: Expression)
       : BitmapCount = copy(child = newChild)
   override def prettyName: String = "bitmap_count"
+}
+
+/** Point-membership probe on a SERIALIZED bitmap, walking the bytes
+  * directly — no deserialization, no allocation per row. The canonical
+  * serialization keeps pages sorted by high key, so the walk stops at the
+  * first page past the target; with a Bloom-sized domain (2²⁰ bits = 16
+  * pages) the directory scan is a handful of long reads. This is what
+  * makes a broadcast bitmap usable as a per-row pre-filter (Bloom probe):
+  * the blob crosses the wire once and every probe row reads it in place.
+  *
+  * Codegen'd via a static helper call, so probes stay inside
+  * whole-stage codegen (the hot path of a 100 TB dedup pre-filter).
+  */
+case class BitmapContains(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(s"bitmap_contains needs (serialized bitmap binary, " +
+        s"long position), got ${left.dataType} / ${right.dataType}")
+
+  override def nullSafeEval(b: Any, p: Any): Any =
+    BitmapCodec.containsSerialized(b.asInstanceOf[Array[Byte]],
+      p.asInstanceOf[Long])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, p) =>
+      s"${ev.value} = graft.functions.BitmapCodec.containsSerialized($b, $p);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BitmapContains =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "bitmap_contains"
 }
