@@ -708,7 +708,8 @@ object SparkEntry {
       Entries20.all.map(q => q.name -> q.fn) ++
       Entries21.all.map(q => q.name -> q.fn) ++
       Entries22.all.map(q => q.name -> q.fn) ++
-      Entries23.all.map(q => q.name -> q.fn)).toMap
+      Entries23.all.map(q => q.name -> q.fn) ++
+      Entries24.all.map(q => q.name -> q.fn)).toMap
 
   def oracleSql: Map[String, String] =
     (all.flatMap(q => q.sql.map(q.name -> _)) ++
@@ -733,5 +734,6 @@ object SparkEntry {
       Entries20.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries21.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries22.all.flatMap(q => q.sql.map(q.name -> _)) ++
-      Entries23.all.flatMap(q => q.sql.map(q.name -> _))).toMap
+      Entries23.all.flatMap(q => q.sql.map(q.name -> _)) ++
+      Entries24.all.flatMap(q => q.sql.map(q.name -> _))).toMap
 }
