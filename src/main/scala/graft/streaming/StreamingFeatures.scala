@@ -90,6 +90,38 @@ object StreamingFeatures {
       .select(col("user_id"), col("event_id"), col("ts_us"), col("c_ts"))
   }
 
+  /** LEFT-OUTER stream-stream join: every purchase, with its preceding-hour
+    * clicks when they exist, or ONE null-extended row when none arrived.
+    * The outer side is the hard streaming semantics: a purchase can only be
+    * declared click-less once the CLICKS watermark has passed the end of
+    * its match window (c_t < p_t), so null rows emit late, watermark-driven
+    * — and purchases within the watermark delay of end-of-stream stay in
+    * state, never emitted (the spec pins exactly this boundary). State per
+    * side is bounded by the watermark + interval, same as the inner join.
+    */
+  def streamStreamLeftOuterClicks(spark: SparkSession,
+                                  eventsDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(eventsDir).schema
+    def src = spark.readStream.schema(schema).parquet(eventsDir)
+      .withColumn("ts_us", expr("ts DIV 1000L"))
+      .withColumn("ts_t", timestamp_micros(col("ts_us")))
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        col("ts_t").as("p_t"))
+      .withWatermark("p_t", "1 hour")
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts_us").as("c_ts"),
+        col("ts_t").as("c_t"))
+      .withWatermark("c_t", "2 hours")
+    purchases.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("c_t") >= col("p_t") - expr("INTERVAL 1 HOUR") &&
+        col("c_t") < col("p_t"),
+      "left_outer")
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("c_ts"))
+  }
+
   /** Streaming exact dedup: dropDuplicates on event_id within the watermark
     * horizon — the streaming twin of batch `distinct()`; state is one key
     * per id, expired by the watermark. */

@@ -167,6 +167,25 @@ class StoreSpec extends SparkSpec {
       java.time.LocalDate.parse("2024-01-15")).isEmpty)
   }
 
+  test("schema evolution: mergeSchema unions columns, old files read null") {
+    // the additive-column evolution a long-lived gold table goes through:
+    // v1 files lack the new feature; a merged read surfaces it as NULL
+    // there (never a hard failure), and per-file pruning still works
+    val dir = java.nio.file.Files.createTempDirectory("evolve").toString
+    Seq((1L, 10L), (2L, 20L)).toDF("user_id", "f1")
+      .write.mode("append").parquet(dir)
+    Seq((3L, 30L, 0.5)).toDF("user_id", "f1", "f2")
+      .write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted.sameElements(Array("f1", "f2", "user_id")))
+    assert(merged.count() == 3)
+    assert(merged.filter($"f2".isNull).count() == 2) // v1 rows
+    assert(merged.filter($"user_id" === 3L).head().getAs[Double]("f2") == 0.5)
+    // without mergeSchema the footer actually read wins — both orders are
+    // valid reads (parquet picks one file's schema); the merged read is the
+    // contract the store exposes for evolved tables
+  }
+
   test("bitmap AND/cardinality: exact intersection on the codec and in SQL") {
     import graft.functions.BitmapCodec
     val a: BitmapCodec.State = scala.collection.mutable.LongMap.empty

@@ -154,6 +154,50 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.except(batch).count() == 0 && batch.except(streamed).count() == 0)
   }
 
+  test("stream-stream LEFT OUTER join: matched rows equal batch; null rows " +
+    "are exactly the watermark-expired unmatched purchases") {
+    import org.apache.spark.sql.streaming.Trigger
+    val q = StreamingFeatures.streamStreamLeftOuterClicks(spark, stageEventsDir())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ssloj_out").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("ssloj_out")
+    val ev = Tables.events(spark, sf)
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id", $"ts_us")
+    val c = ev.filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"ts_us".as("c_ts"))
+    val batchInner = p.join(c,
+      $"user_id" === $"c_user" &&
+        $"c_ts" >= $"ts_us" - 3600000000L && $"c_ts" < $"ts_us")
+      .select($"user_id", $"event_id", $"ts_us", $"c_ts")
+    // matched pairs: identical to the batch inner join
+    val sMatched = streamed.filter($"c_ts".isNotNull)
+    assert(sMatched.count() == batchInner.count() && batchInner.count() > 0)
+    assert(sMatched.except(batchInner).count() == 0 &&
+      batchInner.except(sMatched).count() == 0)
+    // null-extended rows: a subset of the batch-unmatched purchases…
+    val batchUnmatched = p.join(c,
+      $"user_id" === $"c_user" &&
+        $"c_ts" >= $"ts_us" - 3600000000L && $"c_ts" < $"ts_us",
+      "left_anti")
+    val sNull = streamed.filter($"c_ts".isNull)
+      .select($"user_id", $"event_id", $"ts_us")
+    assert(sNull.count() > 0, "outer join emitted no null rows")
+    assert(sNull.except(batchUnmatched).count() == 0,
+      "a null row for a purchase that HAS matching clicks")
+    // …and complete for purchases safely past the final GLOBAL watermark —
+    // min over the two inputs, each computed from ITS OWN max event time
+    // (purchases −1 h, clicks −2 h), not the whole table's. Watermarks are
+    // millisecond-truncated — 1 s of slack keeps boundary rows out.
+    val maxP = p.agg(max($"ts_us")).head().getLong(0)
+    val maxC = c.agg(max($"c_ts")).head().getLong(0)
+    val wm = math.min(maxP - 3600000000L, maxC - 2 * 3600000000L)
+    val safe = batchUnmatched.filter($"ts_us" < wm - 1000000L)
+    assert(safe.except(sNull).count() == 0,
+      "watermark-expired unmatched purchase missing its null row")
+  }
+
   test("multi-micro-batch replay equals batch (time-ordered appends)") {
     // bronze-append replay: the fixture split into 4 time-ordered chunk
     // files, fed one file per micro-batch (maxFilesPerTrigger=1), so the
