@@ -709,7 +709,8 @@ object SparkEntry {
       Entries21.all.map(q => q.name -> q.fn) ++
       Entries22.all.map(q => q.name -> q.fn) ++
       Entries23.all.map(q => q.name -> q.fn) ++
-      Entries24.all.map(q => q.name -> q.fn)).toMap
+      Entries24.all.map(q => q.name -> q.fn) ++
+      Entries25.all.map(q => q.name -> q.fn)).toMap
 
   def oracleSql: Map[String, String] =
     (all.flatMap(q => q.sql.map(q.name -> _)) ++
@@ -735,5 +736,6 @@ object SparkEntry {
       Entries21.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries22.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries23.all.flatMap(q => q.sql.map(q.name -> _)) ++
-      Entries24.all.flatMap(q => q.sql.map(q.name -> _))).toMap
+      Entries24.all.flatMap(q => q.sql.map(q.name -> _)) ++
+      Entries25.all.flatMap(q => q.sql.map(q.name -> _))).toMap
 }
