@@ -28,8 +28,9 @@ object Entries22 {
 
     Q("q205_forecast_revenue",
       (s, d) => Tpch2.forecastRevenue(t.lineitem(s, d),
-        "1997-01-01", "1998-01-01", 5L, 7L, 24L),
-      Some(Tpch2.forecastRevenueSql("1997-01-01", "1998-01-01", 5L, 7L, 24L))),
+        "1997-01-01", "1998-01-01", "0.05", "0.07", 24L),
+      Some(Tpch2.forecastRevenueSql("1997-01-01", "1998-01-01",
+        "0.05", "0.07", 24L))),
 
     Q("q206_volume_shipping",
       (s, d) => Tpch2.volumeShipping(t.customer(s, d), t.orders(s, d),

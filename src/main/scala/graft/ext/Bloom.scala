@@ -51,14 +51,22 @@ object Bloom {
 
   /** Rows of `probe` whose `h` (48-bit hash) appears in `base.h` — the
     * Bloom-accelerated exact semi-join described in the object doc.
-    * `GraftFunctions.register` must have run on the session. */
+    * `GraftFunctions.register` must have run on the session.
+    *
+    * The filter blob is COLLECTED (one ≤128 KiB row — the same small
+    * driver action Spark's own `df.stat.bloomFilter` performs) and embedded
+    * as a literal, NOT cross-joined: a cross join is visible to
+    * ReorderJoin, which happily schedules the exact semi-join FIRST and
+    * the bloom check above it — the exact inversion of the prefilter
+    * (observed in the formatted plan; the posture spec pins the fixed
+    * shape). As a literal, the probe is a plain codegen'd Filter sitting
+    * on the probe scan, below the semi-join shuffle, where it belongs. */
   def memberJoin(probe: DataFrame, base: DataFrame): DataFrame = {
-    val candidates = probe
-      .crossJoin(broadcast(build(base.select(col("h")))))
+    val blob = build(base.select(col("h"))).head().getAs[Array[Byte]]("bloom")
+    probe
       .filter((0 until K).map(i =>
-        GraftFunctions.bitmapContains(col("bloom"),
+        GraftFunctions.bitmapContains(lit(blob),
           position(col("h"), i))).reduce(_ && _))
-      .drop("bloom")
-    candidates.join(base.select(col("h")).distinct(), Seq("h"), "left_semi")
+      .join(base.select(col("h")).distinct(), Seq("h"), "left_semi")
   }
 }

@@ -142,24 +142,33 @@ object Tpch2 {
   /** TPC-H Q6 — forecasting revenue change: the discount total
     * (`price · discount`) forfeited on small-quantity lines in a discount
     * band over one shipping year. Pure scan-aggregate: every predicate
-    * pushes to the parquet scan (shipdate range, integer discount band,
-    * quantity cap), the sum pre-combines map-side, output is ONE row —
-    * the canonical "filters reach the scan" probe at 100 TB.
+    * pushes to the parquet scan, the sum pre-combines map-side, output is
+    * ONE row — the canonical "filters reach the scan" probe at 100 TB.
+    *
+    * The predicates run on the RAW columns, not the derived integer ones:
+    * `round(l_discount·100) BETWEEN 5 AND 7` is opaque to parquet (cast +
+    * round block pushdown — measured, not guessed: the posture spec pins
+    * PushedFilters), while `l_discount BETWEEN 0.05 AND 0.07` reaches the
+    * row-group stats. Selected rows are identical — discounts exist only
+    * at exact percent points, and both engines parse the same literals to
+    * the same doubles. The revenue ARITHMETIC stays integer afterwards.
     */
   def forecastRevenue(lineitem: DataFrame, from: String, until: String,
-                      dPctLo: Long, dPctHi: Long,
-                      qtyBelow: Long): DataFrame =
-    liMoney(lineitem)
+                      dLo: String, dHi: String, qtyBelow: Long): DataFrame =
+    lineitem
       .filter(col("l_shipdate") >= to_date(lit(from)) &&
         col("l_shipdate") < to_date(lit(until)) &&
-        col("d_pct").between(dPctLo, dPctHi) &&
-        col("qty_c") < qtyBelow * 100)
+        col("l_discount") >= lit(dLo).cast("double") &&
+        col("l_discount") <= lit(dHi).cast("double") &&
+        col("l_quantity") < qtyBelow)
+      .select(cents(col("l_extendedprice")).as("price_c"),
+        cents(col("l_discount")).as("d_pct"))
       .agg(coalesce(sum(col("price_c") * col("d_pct")), lit(0L))
         .as("discount_c100"),
         count(lit(1)).as("n_lines"))
 
-  def forecastRevenueSql(from: String, until: String, dPctLo: Long,
-                         dPctHi: Long, qtyBelow: Long): String =
+  def forecastRevenueSql(from: String, until: String, dLo: String,
+                         dHi: String, qtyBelow: Long): String =
     s"""SELECT CAST(coalesce(sum(
        |    CAST(round(l_extendedprice * 100) AS BIGINT)
        |    * CAST(round(l_discount * 100) AS BIGINT)), 0) AS BIGINT)
@@ -167,8 +176,7 @@ object Tpch2 {
        |  count(*) AS n_lines
        |FROM lineitem
        |WHERE l_shipdate >= DATE '$from' AND l_shipdate < DATE '$until'
-       |  AND CAST(round(l_discount * 100) AS BIGINT)
-       |    BETWEEN $dPctLo AND $dPctHi
+       |  AND l_discount >= $dLo AND l_discount <= $dHi
        |  AND l_quantity < $qtyBelow""".stripMargin
 
   // ------------------------------------------------------------------- Q7

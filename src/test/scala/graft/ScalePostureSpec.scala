@@ -495,4 +495,52 @@ class ScalePostureSpec extends SparkSpec {
     // single-column ReadSchema on every scan: pruning reached parquet
     schemas.foreach(s => assert(!s.contains(","), s))
   }
+
+  test("q203 Q3: top-10 is TakeOrderedAndProject, never a global sort") {
+    val plan = planOf(SparkEntry.queries("q203_shipping_priority")(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
+    // the only Sort allowed is none — per-partition heaps + driver merge
+    assert(!plan.linesIterator.exists(_.matches("""\(\d+\) Sort.*""")),
+      plan.linesIterator.filter(_.contains("Sort")).mkString("\n"))
+  }
+
+  test("q205 Q6: every predicate reaches the parquet scan") {
+    val plan = planOf(SparkEntry.queries("q205_forecast_revenue")(spark, sf))
+    val pushed = plan.linesIterator
+      .filter(_.trim.startsWith("PushedFilters:")).mkString
+    // all three predicates run on RAW columns (the derived-integer forms
+    // are opaque to parquet) — shipdate range, discount band, quantity cap
+    // must ALL appear in PushedFilters
+    assert(pushed.contains("GreaterThanOrEqual(l_shipdate") &&
+      pushed.contains("LessThan(l_shipdate"), pushed)
+    assert(pushed.contains("GreaterThanOrEqual(l_discount") &&
+      pushed.contains("LessThanOrEqual(l_discount"), pushed)
+    assert(pushed.contains("LessThan(l_quantity"), pushed)
+  }
+
+  test("q217 rendezvous argmax is a pure projection: zero exchanges " +
+    "before the shard-count aggregate") {
+    val plan = planOf(SparkEntry.queries("q217_rendezvous_shards")(spark, sf))
+    // no Window, no explode-side shuffle: the per-doc argmax is greatest()
+    // in a Project; the only exchanges serve the ≤16-row count aggregates
+    // and their joins
+    assert(!plan.contains("Window"), "argmax must not use a window")
+    assert(!plan.contains("Generate"), "argmax must not explode shards")
+  }
+
+  test("q213 bloom probe is a Filter BELOW the semi-join, not a reordered " +
+    "join above it") {
+    val plan = planOf(SparkEntry.queries("q213_bloom_member")(spark, sf))
+    // the blob is a literal, so the probe is a plain Filter on the probe
+    // branch; a BroadcastNestedLoopJoin would mean ReorderJoin put the
+    // bloom check ABOVE the exact semi-join (the observed failure mode)
+    assert(plan.contains("bitmap_contains"), plan.take(400))
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "bloom probe must not be a join condition")
+    val filterIdx = plan.indexOf("bitmap_contains")
+    val semiIdx = plan.indexOf("LeftSemi")
+    assert(semiIdx >= 0 && filterIdx > semiIdx, // formatted: parents first
+      s"probe filter must sit below the semi join (filter@$filterIdx, " +
+        s"semi@$semiIdx)")
+  }
 }
