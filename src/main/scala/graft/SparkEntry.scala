@@ -710,7 +710,8 @@ object SparkEntry {
       Entries22.all.map(q => q.name -> q.fn) ++
       Entries23.all.map(q => q.name -> q.fn) ++
       Entries24.all.map(q => q.name -> q.fn) ++
-      Entries25.all.map(q => q.name -> q.fn)).toMap
+      Entries25.all.map(q => q.name -> q.fn) ++
+      Entries26.all.map(q => q.name -> q.fn)).toMap
 
   def oracleSql: Map[String, String] =
     (all.flatMap(q => q.sql.map(q.name -> _)) ++
@@ -737,5 +738,6 @@ object SparkEntry {
       Entries22.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries23.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries24.all.flatMap(q => q.sql.map(q.name -> _)) ++
-      Entries25.all.flatMap(q => q.sql.map(q.name -> _))).toMap
+      Entries25.all.flatMap(q => q.sql.map(q.name -> _)) ++
+      Entries26.all.flatMap(q => q.sql.map(q.name -> _))).toMap
 }
