@@ -711,7 +711,8 @@ object SparkEntry {
       Entries23.all.map(q => q.name -> q.fn) ++
       Entries24.all.map(q => q.name -> q.fn) ++
       Entries25.all.map(q => q.name -> q.fn) ++
-      Entries26.all.map(q => q.name -> q.fn)).toMap
+      Entries26.all.map(q => q.name -> q.fn) ++
+      Entries27.all.map(q => q.name -> q.fn)).toMap
 
   def oracleSql: Map[String, String] =
     (all.flatMap(q => q.sql.map(q.name -> _)) ++
@@ -739,5 +740,6 @@ object SparkEntry {
       Entries23.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries24.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries25.all.flatMap(q => q.sql.map(q.name -> _)) ++
-      Entries26.all.flatMap(q => q.sql.map(q.name -> _))).toMap
+      Entries26.all.flatMap(q => q.sql.map(q.name -> _)) ++
+      Entries27.all.flatMap(q => q.sql.map(q.name -> _))).toMap
 }
