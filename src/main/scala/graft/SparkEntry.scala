@@ -712,7 +712,8 @@ object SparkEntry {
       Entries24.all.map(q => q.name -> q.fn) ++
       Entries25.all.map(q => q.name -> q.fn) ++
       Entries26.all.map(q => q.name -> q.fn) ++
-      Entries27.all.map(q => q.name -> q.fn)).toMap
+      Entries27.all.map(q => q.name -> q.fn) ++
+      Entries28.all.map(q => q.name -> q.fn)).toMap
 
   def oracleSql: Map[String, String] =
     (all.flatMap(q => q.sql.map(q.name -> _)) ++
@@ -741,5 +742,6 @@ object SparkEntry {
       Entries24.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries25.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries26.all.flatMap(q => q.sql.map(q.name -> _)) ++
-      Entries27.all.flatMap(q => q.sql.map(q.name -> _))).toMap
+      Entries27.all.flatMap(q => q.sql.map(q.name -> _)) ++
+      Entries28.all.flatMap(q => q.sql.map(q.name -> _))).toMap
 }

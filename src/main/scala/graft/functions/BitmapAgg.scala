@@ -76,6 +76,29 @@ object BitmapCodec {
     bos.toByteArray
   }
 
+  /** a ∩ b as a NEW state: pages present in both, word-wise AND; pages
+    * whose intersection is empty are dropped, so the result re-serializes
+    * to the same canonical bytes a directly-built bitmap of that set
+    * would produce (required for equality/merge composition). */
+  def and(a: State, b: State): State = {
+    val (small, big) = if (a.size <= b.size) (a, b) else (b, a)
+    val out: State = mutable.LongMap.empty
+    small.foreach { case (hi, words) =>
+      big.get(hi).foreach { w =>
+        val r = new Array[Long](PageWords)
+        var any = false
+        var i = 0
+        while (i < PageWords) {
+          r(i) = words(i) & w(i)
+          if (r(i) != 0L) any = true
+          i += 1
+        }
+        if (any) out.update(hi, r)
+      }
+    }
+    out
+  }
+
   /** |a ∩ b| without materializing the intersection: pages align by key,
     * popcount of word-wise AND. */
   def andCardinality(a: State, b: State): Long = {
@@ -312,6 +335,37 @@ case class BitmapCount(child: Expression)
   override protected def withNewChildInternal(newChild: Expression)
       : BitmapCount = copy(child = newChild)
   override def prettyName: String = "bitmap_count"
+}
+
+/** Serialized-bitmap INTERSECTION returning a serialized bitmap — the
+  * composing sibling of [[BitmapAndCount]]: chaining it answers n-way
+  * intersections (|A∩B∩C| = bitmap_count(bitmap_and(bitmap_and(a,b),c)))
+  * that pairwise counts alone cannot, completing the sketch algebra
+  * (build / OR-merge / AND / count / contains). Canonical output bytes:
+  * empty pages are dropped, so equal sets serialize equally. */
+case class BitmapAnd(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(s"bitmap_and needs two serialized bitmaps " +
+        s"(binary), got ${left.dataType} / ${right.dataType}")
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    BitmapCodec.serialize(BitmapCodec.and(
+      BitmapCodec.deserialize(a.asInstanceOf[Array[Byte]]),
+      BitmapCodec.deserialize(b.asInstanceOf[Array[Byte]])))
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BitmapAnd =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "bitmap_and"
 }
 
 /** Point-membership probe on a SERIALIZED bitmap, walking the bytes

@@ -28,6 +28,7 @@ object GraftFunctions {
     "bitmap_and_count" -> (exprs => BitmapAndCount(exprs(0), exprs(1))),
     "bitmap_count" -> (exprs => BitmapCount(exprs.head)),
     "bitmap_contains" -> (exprs => BitmapContains(exprs(0), exprs(1))),
+    "bitmap_and" -> (exprs => BitmapAnd(exprs(0), exprs(1))),
     "cms_sketch" -> (exprs => CmsSketchAgg(exprs.head)))
 
   /** Second arg of graft_word_stats is a foldable array of string literals
@@ -92,6 +93,9 @@ object GraftFunctions {
 
   def bitmapContains(bitmap: Column, pos: Column): Column =
     org.apache.spark.sql.functions.call_function("bitmap_contains", bitmap, pos)
+
+  def bitmapAnd(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function("bitmap_and", a, b)
 
   def cmsSketch(c: Column): Column =
     org.apache.spark.sql.functions.call_function("cms_sketch", c)

@@ -54,6 +54,27 @@ class Round8Spec extends SparkSpec {
       s"bloom should prune most of the 400 probes, kept $candidates")
   }
 
+  test("bitmap_and: canonical bytes equal a direct build; 3-way chain " +
+    "equals set intersection") {
+    val a = Seq(1L, 5L, 70000L, 70001L, 999999L)
+    val b = Seq(5L, 70001L, 999999L, 123L)
+    val c = Seq(5L, 70001L, 42L)
+    def st(xs: Seq[Long]) = {
+      val s: BitmapCodec.State = scala.collection.mutable.LongMap.empty
+      xs.foreach(BitmapCodec.set(s, _)); s
+    }
+    val ab = BitmapCodec.and(st(a), st(b))
+    // canonical: AND result serializes identically to building a∩b directly
+    assert(BitmapCodec.serialize(ab).sameElements(
+      BitmapCodec.serialize(st(a.intersect(b)))))
+    val abc = BitmapCodec.and(ab, st(c))
+    assert(BitmapCodec.cardinality(abc) ===
+      a.intersect(b).intersect(c).size.toLong)
+    // page that intersects to empty must be DROPPED (999999 alone on its
+    // page in ab, absent from c)
+    assert(!BitmapCodec.containsSerialized(BitmapCodec.serialize(abc), 999999L))
+  }
+
   test("clampedBalance equals the imperative max(0, s+delta) fold") {
     val rnd = new scala.util.Random(7)
     val rows = for {
