@@ -713,7 +713,8 @@ object SparkEntry {
       Entries25.all.map(q => q.name -> q.fn) ++
       Entries26.all.map(q => q.name -> q.fn) ++
       Entries27.all.map(q => q.name -> q.fn) ++
-      Entries28.all.map(q => q.name -> q.fn)).toMap
+      Entries28.all.map(q => q.name -> q.fn) ++
+      Entries29.all.map(q => q.name -> q.fn)).toMap
 
   def oracleSql: Map[String, String] =
     (all.flatMap(q => q.sql.map(q.name -> _)) ++
@@ -743,5 +744,6 @@ object SparkEntry {
       Entries25.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries26.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries27.all.flatMap(q => q.sql.map(q.name -> _)) ++
-      Entries28.all.flatMap(q => q.sql.map(q.name -> _))).toMap
+      Entries28.all.flatMap(q => q.sql.map(q.name -> _)) ++
+      Entries29.all.flatMap(q => q.sql.map(q.name -> _))).toMap
 }
