@@ -714,7 +714,8 @@ object SparkEntry {
       Entries26.all.map(q => q.name -> q.fn) ++
       Entries27.all.map(q => q.name -> q.fn) ++
       Entries28.all.map(q => q.name -> q.fn) ++
-      Entries29.all.map(q => q.name -> q.fn)).toMap
+      Entries29.all.map(q => q.name -> q.fn) ++
+      Entries30.all.map(q => q.name -> q.fn)).toMap
 
   def oracleSql: Map[String, String] =
     (all.flatMap(q => q.sql.map(q.name -> _)) ++
@@ -745,5 +746,6 @@ object SparkEntry {
       Entries26.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries27.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries28.all.flatMap(q => q.sql.map(q.name -> _)) ++
-      Entries29.all.flatMap(q => q.sql.map(q.name -> _))).toMap
+      Entries29.all.flatMap(q => q.sql.map(q.name -> _)) ++
+      Entries30.all.flatMap(q => q.sql.map(q.name -> _))).toMap
 }
