@@ -715,7 +715,8 @@ object SparkEntry {
       Entries27.all.map(q => q.name -> q.fn) ++
       Entries28.all.map(q => q.name -> q.fn) ++
       Entries29.all.map(q => q.name -> q.fn) ++
-      Entries30.all.map(q => q.name -> q.fn)).toMap
+      Entries30.all.map(q => q.name -> q.fn) ++
+      Entries31.all.map(q => q.name -> q.fn)).toMap
 
   def oracleSql: Map[String, String] =
     (all.flatMap(q => q.sql.map(q.name -> _)) ++
@@ -747,5 +748,6 @@ object SparkEntry {
       Entries27.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries28.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries29.all.flatMap(q => q.sql.map(q.name -> _)) ++
-      Entries30.all.flatMap(q => q.sql.map(q.name -> _))).toMap
+      Entries30.all.flatMap(q => q.sql.map(q.name -> _)) ++
+      Entries31.all.flatMap(q => q.sql.map(q.name -> _))).toMap
 }
