@@ -716,7 +716,8 @@ object SparkEntry {
       Entries28.all.map(q => q.name -> q.fn) ++
       Entries29.all.map(q => q.name -> q.fn) ++
       Entries30.all.map(q => q.name -> q.fn) ++
-      Entries31.all.map(q => q.name -> q.fn)).toMap
+      Entries31.all.map(q => q.name -> q.fn) ++
+      Entries32.all.map(q => q.name -> q.fn)).toMap
 
   def oracleSql: Map[String, String] =
     (all.flatMap(q => q.sql.map(q.name -> _)) ++
@@ -749,5 +750,6 @@ object SparkEntry {
       Entries28.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries29.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries30.all.flatMap(q => q.sql.map(q.name -> _)) ++
-      Entries31.all.flatMap(q => q.sql.map(q.name -> _))).toMap
+      Entries31.all.flatMap(q => q.sql.map(q.name -> _)) ++
+      Entries32.all.flatMap(q => q.sql.map(q.name -> _))).toMap
 }

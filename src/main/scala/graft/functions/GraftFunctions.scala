@@ -123,7 +123,8 @@ object GraftFunctions {
   /** Runtime-session path for the optimizer rewrites (builder path =
     * GraftExtensions). Idempotent. */
   def registerOptimizations(spark: SparkSession): Unit = {
-    val rules = Seq(graft.plans.RewriteSetSize, graft.plans.RewriteDotProduct)
+    val rules = Seq(graft.plans.RewriteSetSize, graft.plans.RewriteDotProduct,
+      graft.plans.RewriteBitmapFusion)
     val missing = rules.filterNot(spark.experimental.extraOptimizations.contains)
     if (missing.nonEmpty)
       spark.experimental.extraOptimizations =
@@ -154,5 +155,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // declarative aggregate(zip_with(a,b,*),0.0,+) -> graft_dot(a,b)
     ext.injectOptimizerRule(_ => graft.plans.RewriteSetSize)
     ext.injectOptimizerRule(_ => graft.plans.RewriteDotProduct)
+    ext.injectOptimizerRule(_ => graft.plans.RewriteBitmapFusion)
   }
 }

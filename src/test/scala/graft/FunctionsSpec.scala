@@ -174,6 +174,33 @@ class FunctionsSpec extends SparkSpec {
     assert(!floatMul.queryExecution.optimizedPlan.toString.contains("graft_dot"))
   }
 
+  test("RewriteBitmapFusion: count(and(a,b)) plans as bitmap_and_count, " +
+    "same values; chained AND keeps only the outer count fused") {
+    GraftFunctions.register(spark)
+    GraftFunctions.registerOptimizations(spark)
+    val df = Seq((1L, 10L), (1L, 20L), (2L, 10L), (2L, 30L), (3L, 10L))
+      .toDF("g", "v")
+    val sketches = df.groupBy($"g")
+      .agg(GraftFunctions.bitmapSketch($"v").as("bm"))
+    val a = sketches.filter($"g" === 1L).select($"bm".as("a"))
+    val b = sketches.filter($"g" === 2L).select($"bm".as("b"))
+    val q = a.crossJoin(b).select(
+      GraftFunctions.bitmapCount(GraftFunctions.bitmapAnd($"a", $"b"))
+        .as("n"))
+    val plan = q.queryExecution.optimizedPlan.toString
+    assert(plan.contains("bitmap_and_count") && !plan.contains("bitmap_count("),
+      plan)
+    assert(q.as[Long].head() === 1L) // {10,20} ∩ {10,30} = {10}
+    val c = sketches.filter($"g" === 3L).select($"bm".as("c"))
+    val q3 = a.crossJoin(b).crossJoin(c).select(
+      GraftFunctions.bitmapCount(GraftFunctions.bitmapAnd(
+        GraftFunctions.bitmapAnd($"a", $"b"), $"c")).as("n"))
+    val plan3 = q3.queryExecution.optimizedPlan.toString
+    // fused outermost: and_count(and(a,b), c)
+    assert(plan3.contains("bitmap_and_count(bitmap_and("), plan3)
+    assert(q3.as[Long].head() === 1L)
+  }
+
   test("custom functions are callable from SQL after registration") {
     GraftFunctions.register(spark)
     val r = spark.sql(
