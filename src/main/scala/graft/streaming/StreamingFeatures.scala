@@ -400,6 +400,99 @@ object StreamingFeatures {
       }
   }
 
+  /** Output row of [[statefulAsOfJoin]]: a finalized purchase with the
+    * latest click at-or-before it (−1 = none — Option[Long] does not
+    * encode cleanly through the streaming Product encoder). */
+  case class AsOfMatch(user_id: Long, p_ts: Long, c_ts: Long)
+
+  /** STREAMING AS-OF JOIN via transformWithState — the streaming twin of
+    * `Snapshots.asOfJoin` (purchases ← latest click with c_ts ≤ p_ts).
+    * Neither stream-stream join mode expresses "the LATEST matching row"
+    * (an interval join returns ALL clicks in a range; argmax-per-left is
+    * not available in append streaming), so this is genuine custom-state
+    * territory:
+    *
+    *  - both sides arrive as ONE tagged union keyed by user;
+    *  - clicks buffer in a ListState; purchases buffer as PENDING with a
+    *    timer at p_ts+1 ms — a purchase finalizes only when the WATERMARK
+    *    passes it, because until then a late click ≤ p_ts could still
+    *    arrive and change the answer (correctness under late data, the
+    *    whole point of as-of in streaming);
+    *  - on expiry, finalized purchases take max(click ≤ p) from the
+    *    buffer;
+    *  - GC: clicks at-or-below the watermark collapse to their single
+    *    LATEST representative (every unfinalized purchase is above the
+    *    watermark, so the latest dominated click can never be an answer)
+    *    — state per key is O(pending + clicks-above-watermark), bounded
+    *    by the watermark horizon, not history.
+    */
+  def statefulAsOfJoin(spark: SparkSession, eventsDir: String,
+                       delay: String = "1 hour")
+      : org.apache.spark.sql.Dataset[AsOfMatch] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor,
+      TimeMode, TimerValues, ExpiredTimerInfo, TTLConfig}
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(eventsDir).schema
+    val ev = spark.readStream.schema(schema).parquet(eventsDir)
+      .withColumn("ts_us", expr("ts DIV 1000L"))
+      .withColumn("ts_t", timestamp_micros(col("ts_us")))
+      .filter(col("event_type").isin("click", "purchase"))
+      .withWatermark("ts_t", delay)
+      .select(col("user_id").as[Long], col("ts_us").as[Long],
+        (col("event_type") === "purchase").as[Boolean])
+      .as[(Long, Long, Boolean)]
+
+    class AsOfProcessor extends StatefulProcessor[Long,
+        (Long, Long, Boolean), AsOfMatch] {
+      @transient private var clicks: org.apache.spark.sql.streaming
+        .ListState[Long] = _
+      @transient private var pending: org.apache.spark.sql.streaming
+        .ListState[Long] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+        clicks = getHandle.getListState[Long]("clicks",
+          implicitly[org.apache.spark.sql.Encoder[Long]], TTLConfig.NONE)
+        pending = getHandle.getListState[Long]("pending",
+          implicitly[org.apache.spark.sql.Encoder[Long]], TTLConfig.NONE)
+      }
+      override def handleInputRows(user: Long,
+          rows: Iterator[(Long, Long, Boolean)],
+          timerValues: TimerValues): Iterator[AsOfMatch] = {
+        rows.foreach { case (_, ts, isPurchase) =>
+          if (isPurchase) {
+            pending.appendValue(ts)
+            getHandle.registerTimer(ts / 1000 + 1)
+          } else clicks.appendValue(ts)
+        }
+        Iterator.empty
+      }
+      override def handleExpiredTimer(user: Long, timerValues: TimerValues,
+          expiredTimerInfo: ExpiredTimerInfo): Iterator[AsOfMatch] = {
+        val wmUs = timerValues.getCurrentWatermarkInMs() * 1000
+        val cs = clicks.get().toArray
+        val ps = pending.get().toArray
+        val (done, stillPending) = ps.partition(_ < wmUs)
+        val out = done.sorted.map { p =>
+          val best = cs.filter(_ <= p)
+          AsOfMatch(user, p, if (best.isEmpty) -1L else best.max)
+        }
+        pending.clear()
+        stillPending.foreach(pending.appendValue)
+        // GC: collapse clicks ≤ watermark to their latest representative
+        val (old, live) = cs.partition(_ <= wmUs)
+        if (old.length > 1) {
+          clicks.clear()
+          clicks.appendValue(old.max)
+          live.foreach(clicks.appendValue)
+        }
+        out.iterator
+      }
+    }
+    ev.groupByKey(_._1)
+      .transformWithState(new AsOfProcessor, TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
   /** Output row of [[statefulLastK]]: the "recent purchases" feature —
     * last-k cents newest-first, plus the lifetime count. */
   case class LastK(user_id: Long, recent_cents: Seq[Long], n_total: Long)

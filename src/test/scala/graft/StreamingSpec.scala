@@ -363,6 +363,51 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState streaming as-of join equals batch asOfJoin for " +
+    "watermark-finalized purchases") {
+    import org.apache.spark.sql.streaming.Trigger
+    val prev = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val streamed = try {
+      val q = StreamingFeatures.statefulAsOfJoin(spark, stageEventsDir())
+        .writeStream.outputMode("append").format("memory")
+        .queryName("asof_stream").trigger(Trigger.AvailableNow()).start()
+      q.processAllAvailable(); q.stop()
+      spark.table("asof_stream")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+    assert(streamed.count() > 0, "no purchases finalized")
+    // batch reference: latest click <= purchase ts per user
+    val ev = Tables.events(spark, sf)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts_us")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"ts_us", $"ts_us".as("c_ts"))
+    val batch = graft.ops.Snapshots.asOfJoin(purchases, clicks,
+      "user_id", "ts_us", Seq("c_ts"))
+      .select($"user_id", $"ts_us".as("p_ts"),
+        coalesce($"c_ts", lit(-1L)).as("c_ts"))
+    // every streamed row must equal its batch twin
+    assert(streamed.except(batch).count() == 0,
+      "streamed as-of row disagrees with batch")
+    // completeness: purchases safely below the final watermark (union
+    // stream: single event-time column, wm = max(click,purchase ts) − 1 h;
+    // ms truncation → 1 s slack)
+    val maxTs = ev.filter($"event_type".isin("click", "purchase"))
+      .agg(max($"ts_us")).head().getLong(0)
+    val safe = batch.filter($"p_ts" < maxTs - 3600000000L - 1000000L)
+    assert(safe.except(streamed).count() == 0,
+      "watermark-finalized purchase missing from the stream")
+  }
+
   test("transformWithState last-k feature equals the batch window (RocksDB store)") {
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
     val prevProvider = spark.conf.getOption(
