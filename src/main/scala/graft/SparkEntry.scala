@@ -717,7 +717,8 @@ object SparkEntry {
       Entries29.all.map(q => q.name -> q.fn) ++
       Entries30.all.map(q => q.name -> q.fn) ++
       Entries31.all.map(q => q.name -> q.fn) ++
-      Entries32.all.map(q => q.name -> q.fn)).toMap
+      Entries32.all.map(q => q.name -> q.fn) ++
+      Entries33.all.map(q => q.name -> q.fn)).toMap
 
   def oracleSql: Map[String, String] =
     (all.flatMap(q => q.sql.map(q.name -> _)) ++
@@ -751,5 +752,6 @@ object SparkEntry {
       Entries29.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries30.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries31.all.flatMap(q => q.sql.map(q.name -> _)) ++
-      Entries32.all.flatMap(q => q.sql.map(q.name -> _))).toMap
+      Entries32.all.flatMap(q => q.sql.map(q.name -> _)) ++
+      Entries33.all.flatMap(q => q.sql.map(q.name -> _))).toMap
 }
