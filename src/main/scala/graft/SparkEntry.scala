@@ -718,7 +718,8 @@ object SparkEntry {
       Entries30.all.map(q => q.name -> q.fn) ++
       Entries31.all.map(q => q.name -> q.fn) ++
       Entries32.all.map(q => q.name -> q.fn) ++
-      Entries33.all.map(q => q.name -> q.fn)).toMap
+      Entries33.all.map(q => q.name -> q.fn) ++
+      Entries34.all.map(q => q.name -> q.fn)).toMap
 
   def oracleSql: Map[String, String] =
     (all.flatMap(q => q.sql.map(q.name -> _)) ++
@@ -753,5 +754,6 @@ object SparkEntry {
       Entries30.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries31.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries32.all.flatMap(q => q.sql.map(q.name -> _)) ++
-      Entries33.all.flatMap(q => q.sql.map(q.name -> _))).toMap
+      Entries33.all.flatMap(q => q.sql.map(q.name -> _)) ++
+      Entries34.all.flatMap(q => q.sql.map(q.name -> _))).toMap
 }
