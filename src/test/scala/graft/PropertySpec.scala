@@ -236,4 +236,56 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("bitmap codec: serialize/probe/AND/OR agree with Set semantics on " +
+    "random id sets") {
+    import graft.functions.BitmapCodec
+    val idsGen = for {
+      n <- Gen.choose(0, 300)
+      ids <- Gen.listOfN(n, Gen.choose(0L, 1L << 24))
+    } yield ids
+    forAll(idsGen, idsGen) { (a, b) =>
+      def st(xs: Seq[Long]) = {
+        val s: BitmapCodec.State = scala.collection.mutable.LongMap.empty
+        xs.foreach(BitmapCodec.set(s, _)); s
+      }
+      val (sa, sb) = (st(a), st(b))
+      val (setA, setB) = (a.toSet, b.toSet)
+      assert(BitmapCodec.cardinality(sa) === setA.size.toLong)
+      assert(BitmapCodec.andCardinality(sa, sb) ===
+        setA.intersect(setB).size.toLong)
+      assert(BitmapCodec.cardinality(BitmapCodec.or(st(a), sb)) ===
+        setA.union(setB).size.toLong)
+      // AND result re-serializes canonically (== direct build of a ∩ b)
+      assert(BitmapCodec.serialize(BitmapCodec.and(sa, sb)).sameElements(
+        BitmapCodec.serialize(st(setA.intersect(setB).toSeq))))
+      val bytes = BitmapCodec.serialize(sa)
+      (setA.take(50) ++ b.take(50)).foreach { v =>
+        assert(BitmapCodec.containsSerialized(bytes, v) === setA.contains(v))
+      }
+    }
+  }
+
+  test("rendezvous hashing: adding a shard only ever moves keys TO the " +
+    "new shard") {
+    val keysGen = for {
+      n <- Gen.choose(1, 200)
+      keys <- Gen.listOfN(n, Gen.choose(0L, 1000000L))
+    } yield keys.distinct
+    forAll(keysGen) { keys =>
+      def score(k: Long, shard: Int): Long = {
+        val h = java.lang.Long.parseLong(
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(s"$k|$shard".getBytes("UTF-8"))
+            .take(6).map("%02x".format(_)).mkString, 16)
+        h * 16 + shard
+      }
+      def assign(k: Long, n: Int): Long = (0 until n).map(score(k, _)).max % 16
+      keys.foreach { k =>
+        val s8 = assign(k, 8)
+        val s9 = assign(k, 9)
+        assert(s9 == s8 || s9 == 8L, s"key $k moved $s8 -> $s9 (not new shard)")
+      }
+    }
+  }
 }
