@@ -719,7 +719,8 @@ object SparkEntry {
       Entries31.all.map(q => q.name -> q.fn) ++
       Entries32.all.map(q => q.name -> q.fn) ++
       Entries33.all.map(q => q.name -> q.fn) ++
-      Entries34.all.map(q => q.name -> q.fn)).toMap
+      Entries34.all.map(q => q.name -> q.fn) ++
+      Entries35.all.map(q => q.name -> q.fn)).toMap
 
   def oracleSql: Map[String, String] =
     (all.flatMap(q => q.sql.map(q.name -> _)) ++
@@ -755,5 +756,6 @@ object SparkEntry {
       Entries31.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries32.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries33.all.flatMap(q => q.sql.map(q.name -> _)) ++
-      Entries34.all.flatMap(q => q.sql.map(q.name -> _))).toMap
+      Entries34.all.flatMap(q => q.sql.map(q.name -> _)) ++
+      Entries35.all.flatMap(q => q.sql.map(q.name -> _))).toMap
 }
