@@ -720,7 +720,8 @@ object SparkEntry {
       Entries32.all.map(q => q.name -> q.fn) ++
       Entries33.all.map(q => q.name -> q.fn) ++
       Entries34.all.map(q => q.name -> q.fn) ++
-      Entries35.all.map(q => q.name -> q.fn)).toMap
+      Entries35.all.map(q => q.name -> q.fn) ++
+      Entries36.all.map(q => q.name -> q.fn)).toMap
 
   def oracleSql: Map[String, String] =
     (all.flatMap(q => q.sql.map(q.name -> _)) ++
@@ -757,5 +758,6 @@ object SparkEntry {
       Entries32.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries33.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries34.all.flatMap(q => q.sql.map(q.name -> _)) ++
-      Entries35.all.flatMap(q => q.sql.map(q.name -> _))).toMap
+      Entries35.all.flatMap(q => q.sql.map(q.name -> _)) ++
+      Entries36.all.flatMap(q => q.sql.map(q.name -> _))).toMap
 }
