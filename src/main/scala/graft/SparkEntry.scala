@@ -721,7 +721,8 @@ object SparkEntry {
       Entries33.all.map(q => q.name -> q.fn) ++
       Entries34.all.map(q => q.name -> q.fn) ++
       Entries35.all.map(q => q.name -> q.fn) ++
-      Entries36.all.map(q => q.name -> q.fn)).toMap
+      Entries36.all.map(q => q.name -> q.fn) ++
+      Entries37.all.map(q => q.name -> q.fn)).toMap
 
   def oracleSql: Map[String, String] =
     (all.flatMap(q => q.sql.map(q.name -> _)) ++
@@ -759,5 +760,6 @@ object SparkEntry {
       Entries33.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries34.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries35.all.flatMap(q => q.sql.map(q.name -> _)) ++
-      Entries36.all.flatMap(q => q.sql.map(q.name -> _))).toMap
+      Entries36.all.flatMap(q => q.sql.map(q.name -> _)) ++
+      Entries37.all.flatMap(q => q.sql.map(q.name -> _))).toMap
 }
