@@ -722,7 +722,8 @@ object SparkEntry {
       Entries34.all.map(q => q.name -> q.fn) ++
       Entries35.all.map(q => q.name -> q.fn) ++
       Entries36.all.map(q => q.name -> q.fn) ++
-      Entries37.all.map(q => q.name -> q.fn)).toMap
+      Entries37.all.map(q => q.name -> q.fn) ++
+      Entries38.all.map(q => q.name -> q.fn)).toMap
 
   def oracleSql: Map[String, String] =
     (all.flatMap(q => q.sql.map(q.name -> _)) ++
@@ -761,5 +762,6 @@ object SparkEntry {
       Entries34.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries35.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries36.all.flatMap(q => q.sql.map(q.name -> _)) ++
-      Entries37.all.flatMap(q => q.sql.map(q.name -> _))).toMap
+      Entries37.all.flatMap(q => q.sql.map(q.name -> _)) ++
+      Entries38.all.flatMap(q => q.sql.map(q.name -> _))).toMap
 }
