@@ -723,7 +723,8 @@ object SparkEntry {
       Entries35.all.map(q => q.name -> q.fn) ++
       Entries36.all.map(q => q.name -> q.fn) ++
       Entries37.all.map(q => q.name -> q.fn) ++
-      Entries38.all.map(q => q.name -> q.fn)).toMap
+      Entries38.all.map(q => q.name -> q.fn) ++
+      Entries39.all.map(q => q.name -> q.fn)).toMap
 
   def oracleSql: Map[String, String] =
     (all.flatMap(q => q.sql.map(q.name -> _)) ++
@@ -763,5 +764,6 @@ object SparkEntry {
       Entries35.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries36.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries37.all.flatMap(q => q.sql.map(q.name -> _)) ++
-      Entries38.all.flatMap(q => q.sql.map(q.name -> _))).toMap
+      Entries38.all.flatMap(q => q.sql.map(q.name -> _)) ++
+      Entries39.all.flatMap(q => q.sql.map(q.name -> _))).toMap
 }
