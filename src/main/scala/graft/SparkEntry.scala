@@ -724,7 +724,8 @@ object SparkEntry {
       Entries36.all.map(q => q.name -> q.fn) ++
       Entries37.all.map(q => q.name -> q.fn) ++
       Entries38.all.map(q => q.name -> q.fn) ++
-      Entries39.all.map(q => q.name -> q.fn)).toMap
+      Entries39.all.map(q => q.name -> q.fn) ++
+      Entries40.all.map(q => q.name -> q.fn)).toMap
 
   def oracleSql: Map[String, String] =
     (all.flatMap(q => q.sql.map(q.name -> _)) ++
@@ -765,5 +766,6 @@ object SparkEntry {
       Entries36.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries37.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries38.all.flatMap(q => q.sql.map(q.name -> _)) ++
-      Entries39.all.flatMap(q => q.sql.map(q.name -> _))).toMap
+      Entries39.all.flatMap(q => q.sql.map(q.name -> _)) ++
+      Entries40.all.flatMap(q => q.sql.map(q.name -> _))).toMap
 }
