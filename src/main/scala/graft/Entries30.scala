@@ -23,12 +23,16 @@ object Entries30 {
       (s, d) => {
         graft.functions.GraftFunctions.register(s)
         import graft.functions.GraftFunctions._
+        // materialized ONCE: three consumers below (offset spine, window
+        // join, anchor semi-join) would otherwise re-plan the scan +
+        // sketch build three times (observed in the formatted plan)
         val daily = Tables.events(s, d)
           .select((col("ts_us") / 86400000000L).cast("long").as("day"),
             col("user_id"))
           .groupBy(col("day"))
           .agg(bitmapSketch(col("user_id")).as("bm"),
             count(lit(1)).as("n_events"))
+          .localCheckpoint()
         val offsets = daily.select(col("day"), explode(
           expr("sequence(0L, 6L)")).as("off"))
           .select((col("day") + col("off")).as("w_day"), col("day"))

@@ -528,6 +528,23 @@ class ScalePostureSpec extends SparkSpec {
     assert(!plan.contains("Generate"), "argmax must not explode shards")
   }
 
+  test("q237 rolling distinct: daily sketches materialize once — no " +
+    "re-planned events scan per consumer") {
+    val plan = planOf(SparkEntry.queries("q237_rolling_distinct")(spark, sf))
+    // daily is checkpointed: the three consumers read the materialized
+    // RDD; without it the scan+sketch subtree planned three times
+    val scans = plan.linesIterator
+      .count(_.matches("""\(\d+\) Scan parquet.*"""))
+    assert(scans <= 1, s"events subtree re-planned: $scans scans")
+  }
+
+  test("q255 lag features: all four RANGE frames share ONE window pass") {
+    val plan = planOf(SparkEntry.queries("q255_lag_features")(spark, sf))
+    val windows = plan.linesIterator
+      .count(_.matches("""\(\d+\) Window.*"""))
+    assert(windows == 1, s"expected one fused Window node, got $windows")
+  }
+
   test("q213 bloom probe is a Filter BELOW the semi-join, not a reordered " +
     "join above it") {
     val plan = planOf(SparkEntry.queries("q213_bloom_member")(spark, sf))
