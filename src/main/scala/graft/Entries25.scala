@@ -141,11 +141,14 @@ object Entries25 {
     // trigrams (q195).
     Q("q222_seq_patterns",
       (s, d) => {
+        // materialized once: three consumers (aMin, ab probe, cMax)
+        // would otherwise re-plan the scan+window three times
         val pos = Tables.events(s, d)
           .select(col("user_id"), col("event_type").as("t"),
             row_number().over(Window.partitionBy(col("user_id"))
               .orderBy(col("ts_us").asc, col("event_id").asc))
               .cast("long").as("rn"))
+          .localCheckpoint()
         val aMin = pos.groupBy(col("user_id"), col("t").as("a"))
           .agg(min(col("rn")).as("a_rn"))
           .select(col("user_id"), col("a"), col("a_rn"))

@@ -116,6 +116,10 @@ object Entries33 {
             (round(col("l_extendedprice") * 100).cast("long") *
               (lit(100L) - round(col("l_discount") * 100).cast("long")))
               .as("rev"))
+          // the staging-table step: SIX consumers (two dims, fact, its
+          // roundtrip re-join, truth, counts) re-planned the fact join
+          // SIXTEEN times uncut (measured in the formatted plan)
+          .localCheckpoint()
         val dimCust = li.select(col("o_custkey")).distinct()
           .withColumn("cust_sk", dense_rank().over(
             org.apache.spark.sql.expressions.Window
