@@ -617,7 +617,10 @@ object SparkEntry {
             .agg(count(lit(1)).as("n_rows"), sum(col("__h")).as("content_hash"))
             .select(lit(name).as("stage"), col("n_rows"), col("content_hash"))
         val ev = Tables.events(s, d)
-        val feats = Features.featureView(ev)
+        // the feature view feeds its own stage AND the label join; the
+        // split feeds two stages — materialize each once (uncut, the
+        // events scan re-planned 8 times end-to-end)
+        val feats = Features.featureView(ev).localCheckpoint()
         val labels = Labels.churnLabelsWindow(
           ev.filter(col("event_type") === "purchase")
             .select(col("user_id"), col("event_id"), col("ts_us")),
@@ -626,7 +629,7 @@ object SparkEntry {
           .select(col("user_id"), col("event_id"), col("ts_us"))
           .join(labels, Seq("user_id", "event_id"), "inner")
         val split = Labels.orderedSplit(labeled,
-          Seq("user_id", "ts_us", "event_id"))
+          Seq("user_id", "ts_us", "event_id")).localCheckpoint()
         stage("bronze", ev, h(col("user_id"), col("event_id")))
           .unionByName(stage("features", feats,
             h(col("user_id"), col("event_id"), col("txn_count_30d"),

@@ -473,8 +473,12 @@ object TrainPrep {
     */
   def madOutlierStats(df: DataFrame, groupCol: String, cents: Column,
                       tie: Column): DataFrame = {
+    // materialized once: the median pass, the deviation join and the
+    // outlier aggregate all re-read it — uncut, the source fact scanned
+    // NINE times (measured in the formatted plan)
     val base = df.select(col(groupCol).as("g"), cents.as("c"), tie.as("tid"))
       .filter(col("c").isNotNull)
+      .localCheckpoint()
     def med2Of(in: DataFrame, v: String): DataFrame = {
       val w = Window.partitionBy(col("g")).orderBy(col(v).asc, col("tid").asc)
       val cnt = in.groupBy(col("g")).agg(count(lit(1)).as("n"))
