@@ -728,7 +728,8 @@ object SparkEntry {
       Entries37.all.map(q => q.name -> q.fn) ++
       Entries38.all.map(q => q.name -> q.fn) ++
       Entries39.all.map(q => q.name -> q.fn) ++
-      Entries40.all.map(q => q.name -> q.fn)).toMap
+      Entries40.all.map(q => q.name -> q.fn) ++
+      Entries41.all.map(q => q.name -> q.fn)).toMap
 
   def oracleSql: Map[String, String] =
     (all.flatMap(q => q.sql.map(q.name -> _)) ++
@@ -770,5 +771,6 @@ object SparkEntry {
       Entries37.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries38.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries39.all.flatMap(q => q.sql.map(q.name -> _)) ++
-      Entries40.all.flatMap(q => q.sql.map(q.name -> _))).toMap
+      Entries40.all.flatMap(q => q.sql.map(q.name -> _)) ++
+      Entries41.all.flatMap(q => q.sql.map(q.name -> _))).toMap
 }
