@@ -528,6 +528,39 @@ class ScalePostureSpec extends SparkSpec {
     assert(!plan.contains("Generate"), "argmax must not explode shards")
   }
 
+  test("bucketed table: an equality filter prunes to ONE bucket at the scan") {
+    val spark0 = spark
+    import spark0.implicits._
+    // a bare filter query has no exchange to avoid, so the planner's
+    // auto-bucketed-scan heuristic would fall back to a plain scan and
+    // skip pruning — pin the bucketed read on for the probe
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled",
+      "false")
+    try {
+      Tables.events(spark, sf)
+        .select($"user_id", $"event_id", $"value")
+        .write.mode("overwrite")
+        .bucketBy(8, "user_id").sortBy("user_id")
+        .saveAsTable("ev_bucket_prune")
+      val q = spark.table("ev_bucket_prune").filter($"user_id" === 42L)
+      val plan = planOf(q)
+      // bucket pruning: only the bucket containing user 42 is read —
+      // the file-skipping a bucketed layout buys on top of the
+      // shuffle-free join (first posture test)
+      val sel = plan.linesIterator
+        .find(_.contains("SelectedBucketsCount")).getOrElse("")
+      assert(sel.contains("1 out of 8"),
+        s"bucket pruning missing: $sel\n" +
+          plan.linesIterator.filter(l => l.contains("Scan") ||
+            l.contains("Bucket") || l.contains("Location"))
+            .mkString("\n"))
+    } finally {
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled",
+        "true")
+      spark.sql("DROP TABLE IF EXISTS ev_bucket_prune")
+    }
+  }
+
   test("q237 rolling distinct: daily sketches materialize once — no " +
     "re-planned events scan per consumer") {
     val plan = planOf(SparkEntry.queries("q237_rolling_distinct")(spark, sf))
