@@ -201,6 +201,31 @@ class FunctionsSpec extends SparkSpec {
     assert(q3.as[Long].head() === 1L)
   }
 
+  test("typed Aggregator (WelfordStats) equals the SQL sufficient stats " +
+    "and is merge-order exact") {
+    import graft.functions.TypedAggs
+    val cents = Tables.events(spark, sf)
+      .filter($"event_type" === "purchase")
+      .select(expr("CAST(round(value * 100) AS BIGINT)").as("v").as[Long])
+    val typed = cents.select(
+      new TypedAggs.WelfordStats().toColumn.name("m")).head()
+    val sql = cents.agg(
+      count(lit(1)).as("n"), sum($"v").as("s"),
+      (count(lit(1)) * sum($"v" * $"v") - sum($"v") * sum($"v")).as("m2"))
+      .head()
+    assert(typed.n === sql.getLong(0))
+    assert(typed.sum === sql.getLong(1))
+    assert(typed.m2Num === sql.getLong(2))
+    // partial merges in any split are exact (integer stats)
+    val agg = new TypedAggs.WelfordStats()
+    val xs = Seq(5L, -3L, 10L, 0L, 7L)
+    val whole = xs.foldLeft(agg.zero)(agg.reduce)
+    val (l, r) = xs.splitAt(2)
+    val merged = agg.merge(l.foldLeft(agg.zero)(agg.reduce),
+      r.foldLeft(agg.zero)(agg.reduce))
+    assert(whole === merged)
+  }
+
   test("custom functions are callable from SQL after registration") {
     GraftFunctions.register(spark)
     val r = spark.sql(
