@@ -729,7 +729,8 @@ object SparkEntry {
       Entries38.all.map(q => q.name -> q.fn) ++
       Entries39.all.map(q => q.name -> q.fn) ++
       Entries40.all.map(q => q.name -> q.fn) ++
-      Entries41.all.map(q => q.name -> q.fn)).toMap
+      Entries41.all.map(q => q.name -> q.fn) ++
+      Entries42.all.map(q => q.name -> q.fn)).toMap
 
   def oracleSql: Map[String, String] =
     (all.flatMap(q => q.sql.map(q.name -> _)) ++
@@ -772,5 +773,6 @@ object SparkEntry {
       Entries38.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries39.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries40.all.flatMap(q => q.sql.map(q.name -> _)) ++
-      Entries41.all.flatMap(q => q.sql.map(q.name -> _))).toMap
+      Entries41.all.flatMap(q => q.sql.map(q.name -> _)) ++
+      Entries42.all.flatMap(q => q.sql.map(q.name -> _))).toMap
 }
