@@ -730,7 +730,8 @@ object SparkEntry {
       Entries39.all.map(q => q.name -> q.fn) ++
       Entries40.all.map(q => q.name -> q.fn) ++
       Entries41.all.map(q => q.name -> q.fn) ++
-      Entries42.all.map(q => q.name -> q.fn)).toMap
+      Entries42.all.map(q => q.name -> q.fn) ++
+      Entries43.all.map(q => q.name -> q.fn)).toMap
 
   def oracleSql: Map[String, String] =
     (all.flatMap(q => q.sql.map(q.name -> _)) ++
@@ -774,5 +775,6 @@ object SparkEntry {
       Entries39.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries40.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries41.all.flatMap(q => q.sql.map(q.name -> _)) ++
-      Entries42.all.flatMap(q => q.sql.map(q.name -> _))).toMap
+      Entries42.all.flatMap(q => q.sql.map(q.name -> _)) ++
+      Entries43.all.flatMap(q => q.sql.map(q.name -> _))).toMap
 }
