@@ -731,7 +731,8 @@ object SparkEntry {
       Entries40.all.map(q => q.name -> q.fn) ++
       Entries41.all.map(q => q.name -> q.fn) ++
       Entries42.all.map(q => q.name -> q.fn) ++
-      Entries43.all.map(q => q.name -> q.fn)).toMap
+      Entries43.all.map(q => q.name -> q.fn) ++
+      Entries44.all.map(q => q.name -> q.fn)).toMap
 
   def oracleSql: Map[String, String] =
     (all.flatMap(q => q.sql.map(q.name -> _)) ++
@@ -776,5 +777,6 @@ object SparkEntry {
       Entries40.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries41.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries42.all.flatMap(q => q.sql.map(q.name -> _)) ++
-      Entries43.all.flatMap(q => q.sql.map(q.name -> _))).toMap
+      Entries43.all.flatMap(q => q.sql.map(q.name -> _)) ++
+      Entries44.all.flatMap(q => q.sql.map(q.name -> _))).toMap
 }
