@@ -732,7 +732,8 @@ object SparkEntry {
       Entries41.all.map(q => q.name -> q.fn) ++
       Entries42.all.map(q => q.name -> q.fn) ++
       Entries43.all.map(q => q.name -> q.fn) ++
-      Entries44.all.map(q => q.name -> q.fn)).toMap
+      Entries44.all.map(q => q.name -> q.fn) ++
+      Entries45.all.map(q => q.name -> q.fn)).toMap
 
   def oracleSql: Map[String, String] =
     (all.flatMap(q => q.sql.map(q.name -> _)) ++
@@ -778,5 +779,6 @@ object SparkEntry {
       Entries41.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries42.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries43.all.flatMap(q => q.sql.map(q.name -> _)) ++
-      Entries44.all.flatMap(q => q.sql.map(q.name -> _))).toMap
+      Entries44.all.flatMap(q => q.sql.map(q.name -> _)) ++
+      Entries45.all.flatMap(q => q.sql.map(q.name -> _))).toMap
 }
