@@ -100,6 +100,24 @@ class Round8Spec extends SparkSpec {
     }
   }
 
+  test("asOfJoin: a matched right row with NULL values yields NULL, " +
+    "never a stale earlier value (ADVICE r3 regression pin)") {
+    val left = Seq((1L, 100L, "x"), (1L, 200L, "y")).toDF("k", "ts", "tag")
+    val right = Seq((1L, 50L, Some(7L), Some(70L)),
+      (1L, 150L, None, Some(80L))) // later match: v1 NULL, v2 present
+      .toDF("k", "ts", "v1", "v2")
+    val out = graft.ops.Snapshots.asOfJoin(left, right, "k", "ts",
+      Seq("v1", "v2"))
+      .orderBy($"ts").collect()
+    // ts=100 matches right@50 → (7, 70)
+    assert(out(0).getAs[Any]("v1") === 7L && out(0).getAs[Any]("v2") === 70L)
+    // ts=200 matches right@150 → v1 must be NULL (not the stale 7) and
+    // BOTH columns must come from the SAME right row
+    assert(out(1).isNullAt(out(1).fieldIndex("v1")),
+      s"stale v1 leaked: ${out(1)}")
+    assert(out(1).getAs[Any]("v2") === 80L)
+  }
+
   test("Allen census covers every consecutive pair exactly once") {
     val spans = Seq(
       (1L, 10L, 0L, 5L), (1L, 11L, 5L, 8L), (1L, 12L, 6L, 7L),
