@@ -733,7 +733,8 @@ object SparkEntry {
       Entries42.all.map(q => q.name -> q.fn) ++
       Entries43.all.map(q => q.name -> q.fn) ++
       Entries44.all.map(q => q.name -> q.fn) ++
-      Entries45.all.map(q => q.name -> q.fn)).toMap
+      Entries45.all.map(q => q.name -> q.fn) ++
+      Entries46.all.map(q => q.name -> q.fn)).toMap
 
   def oracleSql: Map[String, String] =
     (all.flatMap(q => q.sql.map(q.name -> _)) ++
@@ -780,5 +781,6 @@ object SparkEntry {
       Entries42.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries43.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries44.all.flatMap(q => q.sql.map(q.name -> _)) ++
-      Entries45.all.flatMap(q => q.sql.map(q.name -> _))).toMap
+      Entries45.all.flatMap(q => q.sql.map(q.name -> _)) ++
+      Entries46.all.flatMap(q => q.sql.map(q.name -> _))).toMap
 }
