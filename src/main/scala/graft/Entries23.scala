@@ -47,7 +47,7 @@ object Entries23 {
              |      ROWS UNBOUNDED PRECEDING), 0) AS s
              |  FROM w1)
              |SELECT l_partkey, count(*) AS n_lines,
-             |  arg_max(s, rn) AS final_balance,
+             |  CAST(arg_max(s, rn) AS BIGINT) AS final_balance,
              |  CAST(max(s) AS BIGINT) AS peak_balance,
              |  CAST(sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS BIGINT)
              |    AS floor_hits

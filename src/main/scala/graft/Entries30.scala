@@ -69,6 +69,10 @@ object Entries30 {
     // arithmetic (38-digit) matching DuckDB's DECIMAL semantics. The
     // coexistence proof: a user porting DECIMAL-based SQL gets bit-exact
     // money math without the cents encoding.
+    // Outputs ship as scale-shifted BIGINTs (×100 / ×10000) — the DECIMAL
+    // arithmetic itself stays internal on both engines, because DECIMAL
+    // renderings (`Decimal('5.00')` vs `5.0`) are canonicalizer-version-
+    // sensitive across driver environments while BIGINT is not.
     Q("q238_decimal_lane",
       (s, d) => Tables.lineitem(s, d)
         .select(col("l_returnflag"),
@@ -76,17 +80,21 @@ object Entries30 {
           col("l_discount").cast("decimal(4,2)").as("disc"),
           col("l_quantity").cast("decimal(9,0)").as("q"))
         .groupBy(col("l_returnflag"))
-        .agg(sum(col("p")).cast("decimal(38,2)").as("sum_price"),
+        .agg(sum(col("p")).cast("decimal(38,2)").as("sp"),
           sum(col("p") * (lit(java.math.BigDecimal.ONE).cast("decimal(4,2)")
-            - col("disc"))).cast("decimal(38,4)").as("sum_disc_price"),
-          sum(col("q")).cast("decimal(38,0)").as("sum_qty")),
+            - col("disc"))).cast("decimal(38,4)").as("sdp"),
+          sum(col("q")).cast("decimal(38,0)").as("sq"))
+        .select(col("l_returnflag"),
+          (col("sp") * 100).cast("long").as("sum_price_c2"),
+          (col("sdp") * 10000).cast("long").as("sum_disc_price_c4"),
+          col("sq").cast("long").as("sum_qty")),
       Some("""SELECT l_returnflag,
-             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
-             |    AS DECIMAL(38,2)) AS sum_price,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100
+             |    AS BIGINT) AS sum_price_c2,
              |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
              |    * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
-             |    AS DECIMAL(38,4)) AS sum_disc_price,
-             |  CAST(sum(CAST(l_quantity AS DECIMAL(9,0))) AS DECIMAL(38,0))
+             |    * 10000 AS BIGINT) AS sum_disc_price_c4,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(9,0))) AS BIGINT)
              |    AS sum_qty
              |FROM lineitem GROUP BY 1""".stripMargin)),
 

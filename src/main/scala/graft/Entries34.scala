@@ -236,7 +236,8 @@ object Entries34 {
              |mx AS (
              |  SELECT nation, max(depth) AS max_concurrent
              |  FROM depth GROUP BY 1)
-             |SELECT d.nation, any_value(m.max_concurrent) AS max_concurrent,
+             |SELECT d.nation,
+             |  CAST(any_value(m.max_concurrent) AS BIGINT) AS max_concurrent,
              |  CAST(min(CASE WHEN d.depth = m.max_concurrent THEN d.ts END)
              |    AS BIGINT) AS first_peak_ts
              |FROM depth d JOIN mx m ON d.nation = m.nation

@@ -127,6 +127,7 @@ object Entries42 {
         val deg = edges.select(col("u").as("n"), col("v").as("m"))
           .unionByName(edges.select(col("v").as("n"), col("u").as("m")))
           .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+          .localCheckpoint() // hist + both stats joins consume it (3×)
         val hist = deg.groupBy(col("deg")).agg(count(lit(1)).as("n_nodes"))
         val stats = edges
           .join(deg.select(col("n").as("u"), col("deg").as("du")), Seq("u"))

@@ -68,7 +68,7 @@ object Entries43 {
         left.join(right, Seq("o_custkey", "band", "bin"))
           .filter(col("o_orderkey") < col("o2") &&
             abs(col("day") - col("day2")) <= 90)
-          // |Δday| ≤ 30 with 90-day bins ⇒ |Δbin| ≤ 1, and the key order
+          // |Δday| ≤ 90 with 90-day bins ⇒ |Δbin| ≤ 1, and the key order
           // is independent of time order, so the right side replicates to
           // all three neighbor bins; the LEFT carries only its own bin, so
           // each true pair still meets EXACTLY once — no distinct shuffle.

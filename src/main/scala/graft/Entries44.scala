@@ -69,7 +69,7 @@ object Entries44 {
              |      ROWS UNBOUNDED PRECEDING), 0) AS s
              |  FROM w1)
              |SELECT l_partkey,
-             |  arg_max(s, rn) AS closing_balance,
+             |  CAST(arg_max(s, rn) AS BIGINT) AS closing_balance,
              |  CAST(sum(sold) AS BIGINT) AS total_sold,
              |  CAST(arg_max(s, rn) * (max(ts) - min(ts) + 1) AS BIGINT)
              |    AS days_supply_num,
@@ -92,7 +92,7 @@ object Entries44 {
           .agg(min(col("day")).as("first_day"))
         o.join(firstDay, Seq("o_custkey"))
           .withColumn("is_new", col("day") === col("first_day"))
-          .groupBy((col("day") / 30).cast("long").as("month30"))
+          .groupBy(expr("day DIV 30").as("month30"))
           .agg(sum(when(col("is_new"), col("cents")).otherwise(0L))
             .as("new_rev_c"),
             sum(when(!col("is_new"), col("cents")).otherwise(0L))

@@ -15,7 +15,10 @@ object Entries46 {
     Q("q280_bounce_rate",
       (s, d) => graft.ops.Sessions
         .sessionize(Tables.events(s, d), 30 * 60 * 1000000L)
-        .groupBy((col("t_start_us") / 86400000000L).cast("long").as("day"))
+        // integer DIV, not double division truncated back — the engine's
+        // integer-DIV discipline; bit-exact vs the oracle's `//` for any
+        // epoch magnitude or sign
+        .groupBy(expr("t_start_us DIV 86400000000").as("day"))
         .agg(count(lit(1)).as("n_sessions"),
           sum(when(col("n_events") === 1L, 1L).otherwise(0L))
             .as("n_bounces")),

@@ -470,18 +470,34 @@ object ExtEntries {
               |GROUP BY doc_id""".stripMargin)),
 
     // The 100 TB scale path for distinct counting: HLL++ sketches (mergeable
-    // constant state). No cross-engine oracle — HLL implementations differ —
-    // so this is a declared rows-only query; ApproxSpec bounds its error
-    // against the exact count instead. rsd 0.02, not 0.01: measured at
-    // sf0.1, Spark's HLL++ update path is 5x slower at rsd=0.01 (1.7s vs
-    // 0.31s at 0.05) — slower than EXACT countDistinct at this
-    // cardinality — while 0.02 keeps the error well inside the 5% bound.
+    // constant state). HLL internals differ per engine, so the oracle can't
+    // replay the sketch — instead this is a SELF-JUDGING GATE (the q168/q177
+    // pattern): Spark emits the exact distinct counts plus booleans checking
+    // its own HLL output against them (±5%); the oracle replays the exact
+    // side and emits literal TRUE. A sketch-accuracy regression flips the
+    // flag and fails the hash — a real driver-checkable gate.
+    // rsd 0.02, not 0.01: measured at sf0.1, Spark's HLL++ update path is
+    // 5x slower at rsd=0.01 (1.7s vs 0.31s at 0.05) — slower than EXACT
+    // countDistinct at this cardinality — while 0.02 keeps the error well
+    // inside the 5% bound.
     Q("q43_approx_distinct",
       (s, d) => Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-          approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders")),
-      None),
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("ap"),
+          approx_count_distinct(col("l_orderkey"), 0.02).as("ao"),
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          countDistinct(col("l_orderkey")).as("exact_orders"))
+        .select(col("l_returnflag"), col("exact_parts"), col("exact_orders"),
+          (abs(col("ap") - col("exact_parts")) * 20 <= col("exact_parts"))
+            .as("parts_within_5pct"),
+          (abs(col("ao") - col("exact_orders")) * 20 <= col("exact_orders"))
+            .as("orders_within_5pct")),
+      Some("""SELECT l_returnflag,
+             |  count(DISTINCT l_partkey) AS exact_parts,
+             |  count(DISTINCT l_orderkey) AS exact_orders,
+             |  TRUE AS parts_within_5pct,
+             |  TRUE AS orders_within_5pct
+             |FROM lineitem GROUP BY 1""".stripMargin)),
 
     // BPE-ish sub-word token budget count
     Q("q34_token_count_bpe",
@@ -846,20 +862,53 @@ object ExtEntries {
              |FROM r GROUP BY 1""".stripMargin)),
 
     // Approximate percentiles — the 100 TB scale path beside q74's exact
-    // index selection. Sketch internals differ per engine, so rows-only
-    // (like q43); ApproxSpec bounds the error against the exact values.
+    // index selection. Sketch internals differ per engine, so like q43 this
+    // is a SELF-JUDGING GATE: Spark emits the exact index-selection
+    // percentiles plus booleans checking its own percentile_approx output
+    // against them (±5% relative); the oracle replays the exact side
+    // (identical to q74's discipline, over lineitem cents) + literal TRUE.
     Q("q75_approx_percentiles",
-      (s, d) => Tables.lineitem(s, d)
-        .withColumn("cents", round(col("l_extendedprice") * 100).cast("long"))
-        .groupBy(col("l_returnflag"))
+      (s, d) => {
+        val base = Tables.lineitem(s, d)
+          .select(col("l_returnflag"),
+            round(col("l_extendedprice") * 100).cast("long").as("cents"),
+            (col("l_orderkey") * 10 + col("l_linenumber")).as("tie"))
         // ONE KLL-style sketch per group answers all three quantiles —
         // three separate percentile_approx calls each built their own
         // 10k-capacity buffer over the same 600k rows (3× the agg work)
-        .agg(percentile_approx(col("cents"),
-          array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("ps"))
-        .select(col("l_returnflag"), col("ps").getItem(0).as("p50"),
-          col("ps").getItem(1).as("p90"), col("ps").getItem(2).as("p99")),
-      None),
+        val approx = base.groupBy(col("l_returnflag"))
+          .agg(percentile_approx(col("cents"),
+            array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("ps"))
+        val exact = TrainPrep.groupPercentiles(base, "l_returnflag",
+          "cents", "tie")
+        def ok(i: Int, exactCol: String) =
+          (abs(col("ps").getItem(i) - col(exactCol)) * 20 <= abs(col(exactCol)))
+        exact.join(approx, Seq("l_returnflag"))
+          .select(col("l_returnflag"), col("n"),
+            col("p50"), col("p90"), col("p99"),
+            ok(0, "p50").as("p50_within_5pct"),
+            ok(1, "p90").as("p90_within_5pct"),
+            ok(2, "p99").as("p99_within_5pct"))
+      },
+      Some("""WITH b AS (SELECT l_returnflag,
+             |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+             |    l_orderkey * 10 + l_linenumber AS tie
+             |  FROM lineitem),
+             |r AS (SELECT *,
+             |    CAST(row_number() OVER (PARTITION BY l_returnflag
+             |      ORDER BY cents, tie) AS BIGINT) AS rn,
+             |    count(*) OVER (PARTITION BY l_returnflag) AS n
+             |  FROM b)
+             |SELECT l_returnflag, CAST(max(n) AS BIGINT) AS n,
+             |  CAST(max(CASE WHEN rn = (n + 1) // 2 THEN cents END)
+             |    AS BIGINT) AS p50,
+             |  CAST(max(CASE WHEN rn = (n * 9 + 9) // 10 THEN cents END)
+             |    AS BIGINT) AS p90,
+             |  CAST(max(CASE WHEN rn = (n * 99 + 99) // 100 THEN cents END)
+             |    AS BIGINT) AS p99,
+             |  TRUE AS p50_within_5pct, TRUE AS p90_within_5pct,
+             |  TRUE AS p99_within_5pct
+             |FROM r GROUP BY 1""".stripMargin)),
 
     // Generator with position: posexplode over the token array (first 5)
     Q("q76_posexplode",

@@ -111,22 +111,49 @@ object TrainPrep {
     * meet), excludes positives exactly (anti join), and ties/order are
     * pinned by the hash itself.
     *
-    * Scale shape: the scored candidate space here is users × items; at
-    * catalog scale the same hash admits a THRESHOLD pre-filter
-    * (h < m·2⁴⁸·c/|items|) that cuts the cross join to a constant factor
-    * of the output before the anti join — the top-m window is
-    * WindowGroupLimit-capped either way, so only ~m rows per user leave
-    * the mappers.
+    * Scale shape: the scored candidate space is users × items, but the
+    * executed path applies a THRESHOLD pre-filter h < T with
+    * T = m·c·2⁴⁸/|items| (safety factor c = 8) INSIDE the candidate
+    * generation — the broadcast-nested-loop join pipelines generate→hash→
+    * filter in the mappers, so only ~m·c rows per user (not |items|) ever
+    * reach the shuffle feeding the anti join and the
+    * WindowGroupLimit-capped top-m window.
+    *
+    * The filter is EXACT, not approximate: it keeps ALL candidates with
+    * h < T, so any user retaining ≥ m non-positive candidates below T has
+    * their true top-m entirely inside the kept set (everything cut had
+    * h ≥ T, above all m kept). Users left short (< m survivors — e.g.
+    * nearly all their sub-threshold items were positives) are detected by
+    * a per-user count and re-scanned against the FULL item space; with
+    * c = 8 the expected survivor count is 8m, so the fallback set is
+    * empty or tiny. Output is bit-identical to the unfiltered formulation
+    * (the oracle runs the unfiltered one).
     */
   def negativeSample(users: DataFrame, userCol: String, items: DataFrame,
                      itemCol: String, positives: DataFrame,
                      m: Int): DataFrame = {
-    val scored = users.select(col(userCol)).crossJoin(items.select(col(itemCol)))
-      .withColumn("h", conv(substring(md5(
-        concat(col(userCol).cast("string"), lit("|"),
-          col(itemCol).cast("string"))), 1, 12), 16, 10).cast("long"))
-      .join(positives.select(col(userCol), col(itemCol)),
-        Seq(userCol, itemCol), "left_anti")
+    val h = conv(substring(md5(
+      concat(col(userCol).cast("string"), lit("|"),
+        col(itemCol).cast("string"))), 1, 12), 16, 10).cast("long")
+    val pos = positives.select(col(userCol), col(itemCol))
+    def candidates(us: DataFrame, pre: Option[Column]): DataFrame = {
+      val gen = us.select(col(userCol))
+        .crossJoin(items.select(col(itemCol)))
+        .withColumn("h", h)
+      pre.fold(gen)(gen.filter(_)).join(pos, Seq(userCol, itemCol), "left_anti")
+    }
+    // |items| is a one-scalar metadata action (same class as the bounded
+    // convergence checks elsewhere); T caps at 2⁴⁸ = filter disabled.
+    val nItems = items.count().max(1L)
+    val thr = (BigInt(m) * 8 * (BigInt(1) << 48) / nItems)
+      .min(BigInt(1) << 48).toLong
+    val kept = candidates(users, Some(col("h") < thr)).localCheckpoint()
+    val short = kept.groupBy(col(userCol))
+      .agg(count(lit(1)).as("__k")).filter(col("__k") < m)
+      .select(col(userCol))
+    val scored = kept.join(broadcast(short), Seq(userCol), "left_anti")
+      .unionByName(candidates(users.join(broadcast(short), Seq(userCol),
+        "left_semi"), None))
     val w = Window.partitionBy(col(userCol)).orderBy(col("h").asc)
     scored.withColumn("neg_rank", row_number().over(w).cast("long"))
       .filter(col("neg_rank") <= m)

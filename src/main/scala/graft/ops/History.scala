@@ -337,8 +337,9 @@ object History {
       |  FROM daily
       |  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
       |d AS (
-      |  SELECT day, day % 7 AS weekday, rev_c, trend7,
-      |    rev_c * 7 - trend7 AS detr7
+      |  SELECT day, day % 7 AS weekday, rev_c,
+      |    CAST(trend7 AS BIGINT) AS trend7,
+      |    CAST(rev_c * 7 - trend7 AS BIGINT) AS detr7
       |  FROM t),
       |s AS (
       |  SELECT weekday, CAST(sum(detr7) AS BIGINT) AS seasonal_sum7,
@@ -398,7 +399,8 @@ object History {
        |      ORDER BY bytes DESC, file_date ASC
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
        |  FROM files)
-       |SELECT mon, file_date, bytes, cum // $targetBytes AS bin FROM c""".stripMargin
+       |SELECT mon, file_date, bytes,
+       |  CAST(cum // $targetBytes AS BIGINT) AS bin FROM c""".stripMargin
 
   /** HAMPEL FILTER over a per-group series, integer-exact: for each point,
     * the LOWER MEDIAN of the centered ±`halfWin` row window and the lower

@@ -301,7 +301,10 @@ object Relational {
     * the fact table is scanned once per edge with only the key column
     * read (column pruning reaches the parquet scan).
     */
-  def fkAudit(edges: Seq[FkEdge]): DataFrame =
+  def fkAudit(edges: Seq[FkEdge]): DataFrame = {
+    require(edges.nonEmpty,
+      "fkAudit requires at least one FkEdge (an empty audit has no schema " +
+        "source; declare the edges you want checked)")
     edges.map { e =>
       val c = e.child.select(col(e.childKey).as("__ck"))
       val p = e.parent.select(col(e.parentKey).as("__ck")).distinct()
@@ -317,6 +320,7 @@ object Relational {
         .select(lit(e.name).as("rel"), col("child_rows"),
           col("orphan_rows"), col("orphan_keys"), col("null_keys"))
     }.reduce(_ unionByName _)
+  }
 
   /** Exact WEIGHTED MEDIAN per group — the smallest value v with
     * 2·W(≤v) ≥ W_total (weights BIGINT, cross-multiplied, no division):

@@ -179,6 +179,17 @@ object FeatureStore {
     * erasure request batch, i.e. small); untouched partitions are never
     * scanned for the rewrite (partition-pruned `isin`) and never rewritten
     * (dynamic partition overwrite). Returns the number of rows erased.
+    *
+    * CONCURRENCY/ATOMICITY CONTRACT (plain parquet has no transaction
+    * log): SINGLE WRITER assumed — a concurrent writer to the same path
+    * can resurrect or orphan rows, as with every maintenance op in this
+    * store. The op is NOT atomic across partitions: a crash between the
+    * dynamic overwrite and the all-erased-partition deletion can leave
+    * erased rows on disk. It IS idempotent — a failed run must simply be
+    * retried (the semi-join finds the remaining rows; already-clean
+    * partitions are untouched). On success a post-condition check
+    * re-scans the affected partitions and asserts zero remaining key
+    * hits, so a completed call never under-reports.
     */
   def eraseKeys(spark: SparkSession, path: String, keys: DataFrame,
                 keyCols: Seq[String]): Long = {
@@ -217,6 +228,17 @@ object FeatureStore {
       fs.delete(new org.apache.hadoop.fs.Path(hPath, s"date=$d"), true)
     }
     spark.catalog.refreshByPath(path)
+    // post-condition: the affected partitions now contain ZERO rows for
+    // the erased keys (partition-pruned re-scan; cheap relative to the
+    // rewrite). Fails loudly instead of reporting success on a bad write.
+    val remaining = dates.filter(keptDates)
+    val survivors =
+      if (remaining.isEmpty) 0L
+      else spark.read.parquet(path)
+        .filter(col("date").isin(remaining.toSeq: _*))
+        .join(k, keyCols, "left_semi").count()
+    require(survivors == 0L,
+      s"eraseKeys post-condition failed: $survivors erased-key rows remain")
     erased
   }
 

@@ -201,14 +201,14 @@ class FunctionsSpec extends SparkSpec {
     assert(q3.as[Long].head() === 1L)
   }
 
-  test("typed Aggregator (WelfordStats) equals the SQL sufficient stats " +
+  test("typed Aggregator (ExactMoments) equals the SQL sufficient stats " +
     "and is merge-order exact") {
     import graft.functions.TypedAggs
     val cents = Tables.events(spark, sf)
       .filter($"event_type" === "purchase")
       .select(expr("CAST(round(value * 100) AS BIGINT)").as("v").as[Long])
     val typed = cents.select(
-      new TypedAggs.WelfordStats().toColumn.name("m")).head()
+      new TypedAggs.ExactMoments().toColumn.name("m")).head()
     val sql = cents.agg(
       count(lit(1)).as("n"), sum($"v").as("s"),
       (count(lit(1)) * sum($"v" * $"v") - sum($"v") * sum($"v")).as("m2"))
@@ -217,7 +217,7 @@ class FunctionsSpec extends SparkSpec {
     assert(typed.sum === sql.getLong(1))
     assert(typed.m2Num === sql.getLong(2))
     // partial merges in any split are exact (integer stats)
-    val agg = new TypedAggs.WelfordStats()
+    val agg = new TypedAggs.ExactMoments()
     val xs = Seq(5L, -3L, 10L, 0L, 7L)
     val whole = xs.foldLeft(agg.zero)(agg.reduce)
     val (l, r) = xs.splitAt(2)
