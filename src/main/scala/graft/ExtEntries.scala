@@ -480,18 +480,28 @@ object ExtEntries {
     // 5x slower at rsd=0.01 (1.7s vs 0.31s at 0.05) — slower than EXACT
     // countDistinct at this cardinality — while 0.02 keeps the error well
     // inside the 5% bound.
+    // The exact side runs as two SEPARATE distinct-then-count reduces
+    // (each fully map-side-combinable on its (flag, key) grain) joined to
+    // one sketch pass — NOT as multi-column countDistinct in the sketch
+    // agg, which plans an Expand (row multiplication) + sort-based
+    // distinct aggregates and measured 6 s vs ~1.5 s at sf0.1.
     Q("q43_approx_distinct",
-      (s, d) => Tables.lineitem(s, d)
-        .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("ap"),
-          approx_count_distinct(col("l_orderkey"), 0.02).as("ao"),
-          countDistinct(col("l_partkey")).as("exact_parts"),
-          countDistinct(col("l_orderkey")).as("exact_orders"))
-        .select(col("l_returnflag"), col("exact_parts"), col("exact_orders"),
-          (abs(col("ap") - col("exact_parts")) * 20 <= col("exact_parts"))
-            .as("parts_within_5pct"),
-          (abs(col("ao") - col("exact_orders")) * 20 <= col("exact_orders"))
-            .as("orders_within_5pct")),
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val ap = li.groupBy(col("l_returnflag"))
+          .agg(approx_count_distinct(col("l_partkey"), 0.02).as("ap"),
+            approx_count_distinct(col("l_orderkey"), 0.02).as("ao"))
+        val ep = li.select(col("l_returnflag"), col("l_partkey")).distinct()
+          .groupBy(col("l_returnflag")).agg(count(lit(1)).as("exact_parts"))
+        val eo = li.select(col("l_returnflag"), col("l_orderkey")).distinct()
+          .groupBy(col("l_returnflag")).agg(count(lit(1)).as("exact_orders"))
+        ep.join(eo, Seq("l_returnflag")).join(ap, Seq("l_returnflag"))
+          .select(col("l_returnflag"), col("exact_parts"), col("exact_orders"),
+            (abs(col("ap") - col("exact_parts")) * 20 <= col("exact_parts"))
+              .as("parts_within_5pct"),
+            (abs(col("ao") - col("exact_orders")) * 20 <= col("exact_orders"))
+              .as("orders_within_5pct"))
+      },
       Some("""SELECT l_returnflag,
              |  count(DISTINCT l_partkey) AS exact_parts,
              |  count(DISTINCT l_orderkey) AS exact_orders,

@@ -132,22 +132,14 @@ object TrainPrep {
   def negativeSample(users: DataFrame, userCol: String, items: DataFrame,
                      itemCol: String, positives: DataFrame,
                      m: Int): DataFrame = {
-    val h = conv(substring(md5(
-      concat(col(userCol).cast("string"), lit("|"),
-        col(itemCol).cast("string"))), 1, 12), 16, 10).cast("long")
-    val pos = positives.select(col(userCol), col(itemCol))
-    def candidates(us: DataFrame, pre: Option[Column]): DataFrame = {
-      val gen = us.select(col(userCol))
-        .crossJoin(items.select(col(itemCol)))
-        .withColumn("h", h)
-      pre.fold(gen)(gen.filter(_)).join(pos, Seq(userCol, itemCol), "left_anti")
-    }
     // |items| is a one-scalar metadata action (same class as the bounded
     // convergence checks elsewhere); T caps at 2⁴⁸ = filter disabled.
     val nItems = items.count().max(1L)
     val thr = (BigInt(m) * 8 * (BigInt(1) << 48) / nItems)
       .min(BigInt(1) << 48).toLong
-    val kept = candidates(users, Some(col("h") < thr)).localCheckpoint()
+    def candidates(us: DataFrame, pre: Option[Long]): DataFrame =
+      negCandidates(us, userCol, items, itemCol, positives, pre)
+    val kept = candidates(users, Some(thr)).localCheckpoint()
     val short = kept.groupBy(col(userCol))
       .agg(count(lit(1)).as("__k")).filter(col("__k") < m)
       .select(col(userCol))
@@ -157,6 +149,25 @@ object TrainPrep {
     val w = Window.partitionBy(col(userCol)).orderBy(col("h").asc)
     scored.withColumn("neg_rank", row_number().over(w).cast("long"))
       .filter(col("neg_rank") <= m)
+  }
+
+  /** [[negativeSample]]'s candidate stage, exposed for plan-posture
+    * pinning: generate (user, item, h) and anti-join out the positives,
+    * with the optional h < thr pre-filter applied INSIDE the generating
+    * join so sub-threshold rows never reach the shuffle. */
+  private[graft] def negCandidates(users: DataFrame, userCol: String,
+                                   items: DataFrame, itemCol: String,
+                                   positives: DataFrame,
+                                   thr: Option[Long]): DataFrame = {
+    val h = conv(substring(md5(
+      concat(col(userCol).cast("string"), lit("|"),
+        col(itemCol).cast("string"))), 1, 12), 16, 10).cast("long")
+    val gen = users.select(col(userCol))
+      .crossJoin(items.select(col(itemCol)))
+      .withColumn("h", h)
+    thr.fold(gen)(t => gen.filter(col("h") < t))
+      .join(positives.select(col(userCol), col(itemCol)),
+        Seq(userCol, itemCol), "left_anti")
   }
 
   /** PROPORTIONAL ALLOCATION by LARGEST REMAINDER (Hamilton method) + a

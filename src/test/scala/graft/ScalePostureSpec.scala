@@ -578,6 +578,64 @@ class ScalePostureSpec extends SparkSpec {
     assert(windows == 1, s"expected one fused Window node, got $windows")
   }
 
+  test("q185 negative sampling: hash-threshold filter prunes candidates " +
+    "inside the generating join, below the positives anti-join") {
+    import spark.implicits._
+    val users = Tables.customer(spark, sf).filter($"c_custkey" <= 50)
+      .select($"c_custkey".as("uid"))
+    val items = Tables.part(spark, sf).select($"p_partkey".as("item"))
+    val pos = Tables.orders(spark, sf)
+      .join(Tables.lineitem(spark, sf), $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey".as("uid"), $"l_partkey".as("item"))
+    val thr = 123456789L
+    val plan = planOf(graft.ext.TrainPrep.negCandidates(
+      users, "uid", items, "item", pos, Some(thr)))
+    // the executed scale path: generate→hash→filter pipelined in the
+    // mappers, so only ~m·c rows per user reach the anti-join shuffle —
+    // NOT |users|×|items| (operator ids grow leaf→root: the threshold
+    // filter must carry a LOWER id than the anti join)
+    assert(plan.contains(s"< $thr"),
+      "threshold predicate missing from the candidate plan:\n" + plan.take(800))
+    // Catalyst pushes the threshold predicate INTO the generating
+    // cross join as its join condition ("(n) BroadcastNestedLoopJoin …
+    // Join condition: (… < thr)") — rows are dropped as they are
+    // generated, before the anti-join shuffle. Pin that the node
+    // carrying the predicate sits below every LeftAnti join id
+    // (formatted-plan ids grow leaf→root).
+    val thrNodeIds =
+      ("""\((\d+)\) (?:Filter|BroadcastNestedLoopJoin)""" +
+        """[\s\S]{0,600}?(?:Condition|Join condition)[^\n]*< %d""").format(thr)
+        .r.findAllMatchIn(plan).map(_.group(1).toInt).toSeq
+    val antiIds = plan.linesIterator
+      .filter(l => l.matches("""\(\d+\) [A-Za-z]*Join.*""") ||
+        (l.contains("Join") && l.contains("LeftAnti")))
+      .filter(_.contains("LeftAnti"))
+      .flatMap(l => """\((\d+)\)""".r.findFirstMatchIn(l).map(_.group(1).toInt))
+      .toSeq
+    assert(thrNodeIds.nonEmpty,
+      "no node carries the threshold predicate:\n" + plan)
+    assert(antiIds.nonEmpty, "no LeftAnti join in candidate plan:\n" + plan)
+    assert(thrNodeIds.min < antiIds.max,
+      s"threshold predicate (${thrNodeIds.min}) must sit below the anti " +
+        s"join (${antiIds.max})")
+
+    // exactness: the thresholded path (with short-user fallback) is
+    // bit-identical to the unfiltered top-m formulation
+    val m = 5
+    val viaThreshold = graft.ext.TrainPrep.negativeSample(
+      users, "uid", items, "item", pos, m)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"uid").orderBy($"h".asc)
+    val unfiltered = graft.ext.TrainPrep.negCandidates(
+      users, "uid", items, "item", pos, None)
+      .withColumn("neg_rank", row_number().over(w).cast("long"))
+      .filter($"neg_rank" <= m)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(viaThreshold == unfiltered,
+      "threshold path diverged from the unfiltered formulation")
+  }
+
   test("q213 bloom probe is a Filter BELOW the semi-join, not a reordered " +
     "join above it") {
     val plan = planOf(SparkEntry.queries("q213_bloom_member")(spark, sf))
