@@ -102,11 +102,12 @@ object Entries33 {
 
     // SNOWFLAKE DIMENSIONAL BUILD: the warehouse-construction op — carve
     // customer and part dims out of the denormalized join, mint dense
-    // SURROGATE keys (dense_rank over the natural key — deterministic,
-    // gap-free), rewrite the fact on surrogates, then PROVE the
-    // round-trip: revenue through the surrogate joins equals revenue off
-    // the original rows, in the same one-row reconciliation the release
-    // manifest (q200) style demands.
+    // SURROGATE keys (distributed rank: range-repartition + partitioned
+    // local row_number + broadcast prefix offsets — deterministic,
+    // gap-free, and NO single-partition window), rewrite the fact on
+    // surrogates, then PROVE the round-trip: revenue through the
+    // surrogate joins equals revenue off the original rows, in the same
+    // one-row reconciliation the release manifest (q200) style demands.
     Q("q250_snowflake_build",
       (s, d) => {
         val li = Tables.lineitem(s, d)
@@ -118,16 +119,16 @@ object Entries33 {
               .as("rev"))
           // the staging-table step: SIX consumers (two dims, fact, its
           // roundtrip re-join, truth, counts) re-planned the fact join
-          // SIXTEEN times uncut (measured in the formatted plan)
-          .localCheckpoint()
-        val dimCust = li.select(col("o_custkey")).distinct()
-          .withColumn("cust_sk", dense_rank().over(
-            org.apache.spark.sql.expressions.Window
-              .orderBy(col("o_custkey"))).cast("long"))
-        val dimPart = li.select(col("l_partkey")).distinct()
-          .withColumn("part_sk", dense_rank().over(
-            org.apache.spark.sql.expressions.Window
-              .orderBy(col("l_partkey"))).cast("long"))
+          // SIXTEEN times uncut (measured in the formatted plan). Lazy
+          // persist (not localCheckpoint): the shared subtree is computed
+          // once and reused via InMemoryRelation, but lineage is KEPT —
+          // on a real cluster a lost executor recomputes the partition
+          // instead of failing the job.
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val dimCust = graft.ops.Relational.surrogateKeys(
+          li.select(col("o_custkey")).distinct(), "o_custkey", "cust_sk")
+        val dimPart = graft.ops.Relational.surrogateKeys(
+          li.select(col("l_partkey")).distinct(), "l_partkey", "part_sk")
         val fact = li
           .join(dimCust, Seq("o_custkey")).join(dimPart, Seq("l_partkey"))
           .select(col("cust_sk"), col("part_sk"), col("rev"))

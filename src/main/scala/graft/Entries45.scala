@@ -74,7 +74,10 @@ object Entries45 {
           .groupBy(col("l_partkey"))
           .agg(min(col("unit_c")).as("p0"),
             sum(col("qty")).as("q0"))
-          .localCheckpoint()
+          // lazy persist, not localCheckpoint: same once-computed sharing
+          // across the two consumers, but lineage is kept so a lost
+          // executor recomputes instead of killing the job.
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         li.join(base, Seq("l_partkey"))
           .groupBy(col("y"))
           .agg(sum(col("p0") * col("qty")).as("index_num_c"),

@@ -21,9 +21,11 @@ object SparkEnv {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
-      // events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
-      // reader rejects; read as raw nanos (LongType) and convert explicitly
-      // (Tables/Events normalizers do `ts DIV 1000` → epoch micros).
+      // older events.parquet vintages carried TIMESTAMP(NANOS), which
+      // Spark's vectorized reader rejects without this conf (it then loads
+      // as a raw nanos LongType). Current fixtures ship timestamp[us] and
+      // the conf is a no-op; Tables.events branches on the loaded dtype
+      // and normalizes either vintage to (ts TimestampType, ts_us BIGINT).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -21,19 +21,32 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
-  /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
-    * parquet reader rejects outright ([PARQUET_TYPE_ILLEGAL]). We read nanos
-    * as a raw long (legacy conf) and expose `ts_us` (epoch microseconds,
-    * BIGINT — integer `DIV`, never double division: 1.7e18 nanos exceeds
-    * double's 2^53 mantissa) plus a proper `ts` TimestampType column.
-    * All window arithmetic downstream is integer math on `ts_us`, which the
-    * DuckDB oracle reproduces exactly with `epoch_us(ts)`. */
+  /** events.parquet has shipped with two `ts` physical types across fixture
+    * vintages: parquet TIMESTAMP(NANOS) (read as a raw nanos long via the
+    * legacy conf, since Spark's reader otherwise rejects it) and
+    * timestamp[us] (reads as TIMESTAMP / TIMESTAMP_NTZ). We branch on the
+    * loaded dtype and normalize both to the same two columns: `ts_us`
+    * (epoch microseconds, BIGINT — integer arithmetic, never double
+    * division: 1.7e18 nanos exceeds double's 2^53 mantissa) and a proper
+    * TimestampType `ts`. The session runs in UTC, so casting an NTZ value
+    * to TIMESTAMP is an identity on the instant. All window arithmetic
+    * downstream is integer math on `ts_us`, which the DuckDB oracle
+    * reproduces exactly with `epoch_us(ts)`. */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros, unix_micros}
+    import org.apache.spark.sql.types.LongType
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumn("ts_us", org.apache.spark.sql.functions.expr("ts DIV 1000L"))
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.col("ts_us")))
+    val raw = load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType => // TIMESTAMP(NANOS) vintage, loaded as raw nanos
+        raw
+          .withColumn("ts_us", expr("ts DIV 1000L"))
+          .withColumn("ts", timestamp_micros(col("ts_us")))
+      case _ => // timestamp[us] vintage (TIMESTAMP or TIMESTAMP_NTZ)
+        raw
+          .withColumn("ts", col("ts").cast("timestamp"))
+          .withColumn("ts_us", unix_micros(col("ts")))
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")

@@ -597,22 +597,32 @@ object TrainPrep {
     * the bounds are actual data values and engine-exact). Emits the clipped
     * value plus which side (if any) was clipped.
     *
-    * One exchange for the rank window; the per-group bounds are one row per
+    * Scale shape: the bounds are located on the REDUCED VALUE DOMAIN —
+    * `groupBy(g, c).count` first, then a running count over the per-group
+    * distinct-value series finds the value v whose cumulative count spans
+    * the target rank (cum − cnt < k ≤ cum ⇔ v is the k-th order
+    * statistic, ties included). The group-partitioned window therefore
+    * runs over |distinct values per group|, not |rows per group| — a
+    * 3-value partition key no longer caps parallelism at 3 tasks holding
+    * a third of the fact table each. The per-group bounds are one row per
     * group and travel back via a broadcast join.
     */
   def winsorize(df: DataFrame, grpCol: String, idCol: String,
                 cents: Column): DataFrame = {
     val base = df.select(col(grpCol).as("g"), col(idCol).as("id"),
       cents.as("c")).filter(col("c").isNotNull)
-    val w = Window.partitionBy(col("g")).orderBy(col("c").asc, col("id").asc)
-    val bounds = base
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("g"))))
+    val dom = base.groupBy(col("g"), col("c")).agg(count(lit(1)).as("cnt"))
+    val wOrd = Window.partitionBy(col("g")).orderBy(col("c").asc)
+    val bounds = dom
+      .withColumn("cum", sum(col("cnt")).over(wOrd))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("g"))))
+      .withColumn("kLo", expr("(n * 5 + 99) DIV 100"))
+      .withColumn("kHi", expr("(n * 95 + 99) DIV 100"))
       .groupBy(col("g"))
-      .agg(max(when(col("rn") === expr("(n * 5 + 99) DIV 100"), col("c")))
-        .as("lo"),
-        max(when(col("rn") === expr("(n * 95 + 99) DIV 100"), col("c")))
-          .as("hi"))
+      .agg(max(when(col("cum") - col("cnt") < col("kLo") &&
+          col("kLo") <= col("cum"), col("c"))).as("lo"),
+        max(when(col("cum") - col("cnt") < col("kHi") &&
+          col("kHi") <= col("cum"), col("c"))).as("hi"))
     base.join(broadcast(bounds), Seq("g"))
       .select(col("g").as(grpCol), col("id").as(idCol), col("c"),
         least(greatest(col("c"), col("lo")), col("hi")).as("c_winsor"),

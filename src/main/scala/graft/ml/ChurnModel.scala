@@ -47,6 +47,64 @@ object ChurnModel {
     (model, Metrics(auc, f1, train.count(), test.count()))
   }
 
+  /** E4 — persisted experiment record (reference:
+    * jobs/make_training_and_train.py:62-93: MLflow log_params + log_metrics
+    * + model artifact + the feature-name text file). The engine has no
+    * MLflow server, so the auditable record is a SIDECAR next to the saved
+    * model:
+    *
+    *   dir/model/              Spark ML PipelineModel (the artifact)
+    *   dir/feature_names.txt   ordered contract, one per line — byte-level
+    *                           parity with the reference's
+    *                           `FEAT_NAMES_PATH.read_text().splitlines()`
+    *   dir/experiment.json     flat JSON: metrics + `param:*` entries
+    *
+    * Everything round-trips through [[loadExperiment]]; the record outlives
+    * the JVM, which the bare in-memory [[Metrics]] did not.
+    */
+  case class ExperimentRecord(metrics: Metrics, params: Map[String, String],
+                              featureNames: Seq[String])
+
+  def saveExperiment(dir: String, model: PipelineModel, metrics: Metrics,
+                     featureCols: Seq[String],
+                     params: Map[String, String]): Unit = {
+    import java.nio.file.{Files, Paths}
+    import java.nio.charset.StandardCharsets.UTF_8
+    model.write.overwrite().save(s"$dir/model")
+    Files.createDirectories(Paths.get(dir))
+    Files.write(Paths.get(dir, "feature_names.txt"),
+      featureCols.mkString("\n").getBytes(UTF_8))
+    val kvs: Seq[(String, Any)] =
+      Seq[(String, Any)]("auc" -> metrics.auc, "f1" -> metrics.f1,
+        "n_train" -> metrics.nTrain, "n_test" -> metrics.nTest) ++
+        params.toSeq.sortBy(_._1).map { case (k, v) =>
+          (s"param:$k", v: Any)
+        }
+    Files.write(Paths.get(dir, "experiment.json"),
+      graft.store.ServingEndpoint.obj(kvs: _*).getBytes(UTF_8))
+  }
+
+  def loadExperiment(dir: String): (PipelineModel, ExperimentRecord) = {
+    import java.nio.file.{Files, Paths}
+    import java.nio.charset.StandardCharsets.UTF_8
+    val model = PipelineModel.load(s"$dir/model")
+    val names = new String(
+      Files.readAllBytes(Paths.get(dir, "feature_names.txt")), UTF_8)
+      .split("\n").toSeq
+    val flat = graft.store.ServingEndpoint.Json.parseFlat(new String(
+      Files.readAllBytes(Paths.get(dir, "experiment.json")), UTF_8))
+      .getOrElse(throw new IllegalStateException(
+        s"unreadable experiment.json under $dir"))
+    def d(k: String) = flat(k).asInstanceOf[java.lang.Double].doubleValue
+    val rec = ExperimentRecord(
+      Metrics(d("auc"), d("f1"), d("n_train").toLong, d("n_test").toLong),
+      flat.collect { case (k, v) if k.startsWith("param:") =>
+        k.stripPrefix("param:") -> String.valueOf(v)
+      },
+      names)
+    (model, rec)
+  }
+
   /** E5 — threshold scoring (reference: serving/app.py:47-48): probability
     * of class 1 vs a request-supplied threshold. */
   def scoreWithThreshold(model: PipelineModel, df: DataFrame,

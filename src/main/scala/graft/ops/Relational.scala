@@ -434,4 +434,39 @@ object Relational {
           col("__c") * 2 +
           coalesce(lead(col("__c"), 1).over(w), lit(0L))).as("centered_w4"))
   }
+
+  /** Distributed SURROGATE-KEY mint over a DISTINCT-key relation: gap-free
+    * 1..n keys in natural-key order with NO single-partition window (the
+    * naive `dense_rank().over(Window.orderBy(key))` moves every key to one
+    * task — a straight scale-killer on a 100 TB dim build).
+    *
+    * Shape: range-repartition by the key (partitions are non-overlapping
+    * and ordered by partition id), rank locally inside each partition
+    * (a PARTITIONED window — parallelism = numParts), then add each
+    * partition's prefix count. The prefix sums come from a triangle
+    * self-join over the per-partition counts (numParts rows — broadcast,
+    * O(P²) on P≈32), so the whole plan stays window-partitioned and
+    * collect-free. The only global structure is one row per partition,
+    * never the keys themselves.
+    *
+    * Requires `keys` to be distinct on `keyCol` (callers pass the
+    * `.distinct()` dim projection); ranks are then dense and unique.
+    */
+  def surrogateKeys(keys: DataFrame, keyCol: String, skCol: String,
+                    numParts: Int = 32): DataFrame = {
+    val local = keys
+      .repartitionByRange(numParts, col(keyCol))
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__pid")).orderBy(col(keyCol))).cast("long"))
+    val counts = local.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
+    val offsets = counts.alias("a")
+      .join(counts.alias("b"), col("b.__pid") < col("a.__pid"), "left")
+      .groupBy(col("a.__pid"))
+      .agg(coalesce(sum(col("b.__cnt")), lit(0L)).as("__off"))
+      .select(col("a.__pid").as("__pid"), col("__off"))
+    local.join(broadcast(offsets), Seq("__pid"))
+      .withColumn(skCol, col("__rn") + col("__off"))
+      .drop("__pid", "__rn")
+  }
 }

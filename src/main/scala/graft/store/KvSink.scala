@@ -28,6 +28,11 @@ object KvSink {
       * safety (a Redis client implements it as a small Lua compare-and-set;
       * a client that cannot must not be used with the streaming sink). */
     def hsetIfNewer(key: String, fields: Map[String, String]): Unit
+
+    /** Key expiry (reference: jobs/materialize_online.py:55-56 —
+      * `pipe.expire(key, REDIS_TTL_SECONDS)` when the env var is set).
+      * Redis EXPIRE semantics; default no-op for clients without TTL. */
+    def expire(key: String, ttlSeconds: Long): Unit = ()
     def close(): Unit = ()
   }
 
@@ -43,11 +48,45 @@ object KvSink {
         val newTs = nw.get("meta:ts_us").map(_.toLong).getOrElse(Long.MinValue)
         if (newTs >= oldTs) nw else old
       })
+
+    override def expire(key: String, ttlSeconds: Long): Unit =
+      InMemoryKvClient.deadlines.put(key,
+        InMemoryKvClient.clockMs() + ttlSeconds * 1000L)
   }
   object InMemoryKvClient {
     val store = new ConcurrentHashMap[String, Map[String, String]]()
-    def snapshot: Map[String, Map[String, String]] = store.asScala.toMap
-    def clear(): Unit = store.clear()
+    private val deadlines = new ConcurrentHashMap[String, Long]()
+    /** Injectable clock so TTL tests are deterministic. */
+    @volatile var clockMs: () => Long = () => System.currentTimeMillis()
+
+    private def live(key: String): Boolean =
+      Option(deadlines.get(key)).forall(_ > clockMs())
+
+    def snapshot: Map[String, Map[String, String]] =
+      store.asScala.toMap.filter { case (k, _) => live(k) }
+    def ttlMs(key: String): Option[Long] =
+      Option(deadlines.get(key)).map(_ - clockMs())
+    def clear(): Unit = {
+      store.clear(); deadlines.clear()
+      clockMs = () => System.currentTimeMillis()
+    }
+  }
+
+  /** Env-config surface for the online path — the reference's knobs
+    * (jobs/materialize_online.py:55-56 `REDIS_TTL_SECONDS`,
+    * serving/feature_service.py:65-67 `FEATURE_BACKEND`,
+    * `REDIS_KEY_PREFIX`) with the same names and defaults, injectable for
+    * tests. */
+  case class OnlineConfig(backend: String, keyPrefix: String,
+                          ttlSeconds: Option[Long])
+  object OnlineConfig {
+    def fromEnv(env: String => Option[String] =
+        k => sys.env.get(k)): OnlineConfig =
+      OnlineConfig(
+        backend = env("FEATURE_BACKEND").getOrElse("offline"),
+        keyPrefix = env("REDIS_KEY_PREFIX").getOrElse("fs:customer:"),
+        ttlSeconds = env("REDIS_TTL_SECONDS").flatMap(s =>
+          scala.util.Try(s.toLong).toOption))
   }
 
   /** O16 — stringify row fields the way the reference does
@@ -70,9 +109,11 @@ object KvSink {
   }
 
   /** Materialize latest snapshots into the KV store:
-    * key = `{prefix}{user_id}`, fields per O16. */
+    * key = `{prefix}{user_id}`, fields per O16; `ttlSeconds` applies the
+    * reference's optional per-key expiry after each upsert. */
   def materializeOnline(snapshots: DataFrame, newClient: () => KvClient,
-                        keyPrefix: String = "fs:customer:"): Long = {
+                        keyPrefix: String = "fs:customer:",
+                        ttlSeconds: Option[Long] = None): Long = {
     val featureCols = FeatureStore.featureNames.filterNot(_ == "user_id")
       .filter(snapshots.columns.contains)
     val metaCols = Seq("ts_us").filter(snapshots.columns.contains)
@@ -82,8 +123,9 @@ object KvSink {
     keyed.foreachPartition { (it: Iterator[Row]) =>
       val client = newClient()
       try it.foreach { row =>
-        client.hset(row.getAs[String]("__key"),
-          rowToFields(row, featureCols, metaCols))
+        val key = row.getAs[String]("__key")
+        client.hset(key, rowToFields(row, featureCols, metaCols))
+        ttlSeconds.foreach(client.expire(key, _))
         n.add(1)
       } finally client.close()
     }

@@ -20,6 +20,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     newest row; else newest row with `ts_us ≤ t_ref`.
   *   - `GET /health` → `{status, backend, model, offline_rows}`.
   *   - `POST /refresh` → `{reloaded_rows}` (re-invokes the loader).
+  *   - `POST /debug/write_test` → `{wrote}` (reference: serving/app.py:120
+  *     `/debug/write_test`): proves the pred-log partition dir is creatable
+  *     and writable by writing one dated test record. The reference writes
+  *     a parquet file via pyarrow; the serving edge never launches a Spark
+  *     job, so the record here is a flat-JSON marker with the same fields —
+  *     same property proven (partition dir + write permission), documented
+  *     deviation in format. 503 when no `predsDir` is configured.
+  *   - `GET /debug/log_state` → `{pred_files, feature_files}` (reference:
+  *     serving/app.py:141 `/debug/log_state`): recursive file counts under
+  *     the pred-log and feature-store dirs (parquet plus the test markers).
   *
   * Architecture stance (SURVEY.md §3 EP3): the serving edge reads
   * MATERIALIZED artifacts and never launches a Spark job per request. The
@@ -39,7 +49,9 @@ final class ServingEndpoint(
     loader: () => DataFrame,
     contract: Seq[String],
     scorer: Array[Double] => Double,
-    modelName: String) {
+    modelName: String,
+    predsDir: Option[String] = None,
+    featuresDir: Option[String] = None) {
 
   import ServingEndpoint._
 
@@ -89,6 +101,49 @@ final class ServingEndpoint(
       if (ex.getRequestMethod != "POST") (405, obj("detail" -> "use POST"))
       else (200, obj("reloaded_rows" -> reload()))
     })
+    server.createContext("/debug/write_test", (ex: HttpExchange) =>
+      handle(ex) {
+        if (ex.getRequestMethod != "POST") (405, obj("detail" -> "use POST"))
+        else predsDir match {
+          case None => (503, obj("detail" -> "no predsDir configured"))
+          case Some(dir) =>
+            val now = Instant.now()
+            val day = now.toString.take(10) // yyyy-MM-dd (UTC)
+            val part = java.nio.file.Paths.get(dir, s"date=$day")
+            java.nio.file.Files.createDirectories(part)
+            val path = part.resolve(s"test-${System.nanoTime()}.json")
+            // same fields the reference's test row carries
+            // (serving/app.py:125-133)
+            java.nio.file.Files.write(path, obj(
+              "ts_served" -> now.toString, "latency_ms" -> 0.0,
+              "customer_id" -> 0L, "t_ref" -> now.toString,
+              "threshold" -> 0.5, "probability" -> 0.0,
+              "prediction" -> 0, "model_artifact" -> "test")
+              .getBytes(StandardCharsets.UTF_8))
+            (200, obj("wrote" -> path.toString))
+        }
+      })
+    server.createContext("/debug/log_state", (ex: HttpExchange) =>
+      handle(ex) {
+        def countFiles(d: Option[String]): Long = d match {
+          case None => 0L
+          case Some(root) =>
+            val p = java.nio.file.Paths.get(root)
+            if (!java.nio.file.Files.isDirectory(p)) 0L
+            else {
+              val s = java.nio.file.Files.walk(p)
+              try s.filter { f =>
+                val n = f.getFileName.toString
+                java.nio.file.Files.isRegularFile(f) &&
+                  (n.endsWith(".parquet") ||
+                    (n.startsWith("test-") && n.endsWith(".json")))
+              }.count()
+              finally s.close()
+            }
+        }
+        (200, obj("pred_files" -> countFiles(predsDir),
+          "feature_files" -> countFiles(featuresDir)))
+      })
     server.start()
     server.getAddress.getPort
   }

@@ -19,6 +19,18 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object StreamingFeatures {
 
+  /** `ts` → epoch-micros BIGINT for either events-fixture vintage, keyed
+    * off the batch-loaded schema (same branch as [[graft.Tables.events]]):
+    * legacy TIMESTAMP(NANOS) loads as a raw nanos LongType (`DIV 1000`);
+    * current timestamp[us] loads as TIMESTAMP/TIMESTAMP_NTZ
+    * (`unix_micros`, identity under the UTC session). */
+  private def tsUsExpr(
+      schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.Column =
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts DIV 1000L")
+      case _ => unix_micros(col("ts").cast("timestamp"))
+    }
+
   /** Batch twin: per (event_type, hour bucket) counts and value sums.
     * Integer hour bucket (`ts_us DIV 3600000000`) rather than a window
     * struct, so the result is directly comparable engine-to-engine. */
@@ -50,7 +62,7 @@ object StreamingFeatures {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(eventsDir).schema
     val ev = spark.readStream.schema(schema).parquet(eventsDir)
-      .withColumn("ts_us", expr("ts DIV 1000L"))
+      .withColumn("ts_us", tsUsExpr(schema))
       .withColumn("ts_t", timestamp_micros(col("ts_us")))
       .withWatermark("ts_t", "1 hour")
       .withColumn("vc", round(coalesce(col("value"), lit(0.0)) * 100).cast("long"))
@@ -73,7 +85,7 @@ object StreamingFeatures {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(eventsDir).schema
     def src = spark.readStream.schema(schema).parquet(eventsDir)
-      .withColumn("ts_us", expr("ts DIV 1000L"))
+      .withColumn("ts_us", tsUsExpr(schema))
       .withColumn("ts_t", timestamp_micros(col("ts_us")))
     val purchases = src.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id"), col("ts_us"),
@@ -104,7 +116,7 @@ object StreamingFeatures {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(eventsDir).schema
     def src = spark.readStream.schema(schema).parquet(eventsDir)
-      .withColumn("ts_us", expr("ts DIV 1000L"))
+      .withColumn("ts_us", tsUsExpr(schema))
       .withColumn("ts_t", timestamp_micros(col("ts_us")))
     val purchases = src.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id"), col("ts_us"),
@@ -129,7 +141,7 @@ object StreamingFeatures {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(eventsDir).schema
     spark.readStream.schema(schema).parquet(eventsDir)
-      .withColumn("ts_us", expr("ts DIV 1000L"))
+      .withColumn("ts_us", tsUsExpr(schema))
       .withColumn("ts_t", timestamp_micros(col("ts_us")))
       .withWatermark("ts_t", "1 hour")
       .dropDuplicates("event_id")
@@ -149,7 +161,7 @@ object StreamingFeatures {
     (if (maxFilesPerTrigger > 0)
       reader.option("maxFilesPerTrigger", maxFilesPerTrigger) else reader)
       .parquet(eventsDir)
-      .withColumn("ts_us", expr("ts DIV 1000L"))
+      .withColumn("ts_us", tsUsExpr(schema))
       .withColumn("ts_t", timestamp_micros(col("ts_us")))
       .withWatermark("ts_t", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
@@ -171,7 +183,7 @@ object StreamingFeatures {
       reader.option("maxFilesPerTrigger", maxFilesPerTrigger) else reader)
       .parquet(eventsDir)
     val ev = raw
-      .withColumn("ts_us", expr("ts DIV 1000L"))
+      .withColumn("ts_us", tsUsExpr(schema))
       .withColumn("ts_t", timestamp_micros(col("ts_us")))
       .withWatermark("ts_t", "1 hour")
     ev.withColumn("hour_bucket", expr("ts_us DIV 3600000000"))
@@ -221,7 +233,7 @@ object StreamingFeatures {
         val touched = batch.select(col("user_id")).distinct()
         // full history for the touched users (bounded-lookback read at scale)
         val history = spark.read.parquet(eventsDir)
-          .withColumn("ts_us", expr("ts DIV 1000L"))
+          .withColumn("ts_us", tsUsExpr(schema))
           .join(broadcast(touched), Seq("user_id"))
         val snaps = graft.store.FeatureStore.latestSnapshots(
           graft.ops.Features.featureView(history))
@@ -274,7 +286,8 @@ object StreamingFeatures {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val part = batch
-          .withColumn("week", expr("(ts DIV 1000L) DIV 604800000000"))
+          .withColumn("ts_us", tsUsExpr(schema))
+          .withColumn("week", expr("ts_us DIV 604800000000"))
           .groupBy(col("week"))
           .agg(bitmapSketch(col("user_id")).as("sk"))
         val hPath = new org.apache.hadoop.fs.Path(storePath)
@@ -320,7 +333,7 @@ object StreamingFeatures {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(eventsDir).schema
     val ev = spark.readStream.schema(schema).parquet(eventsDir)
-      .withColumn("ts_us", expr("ts DIV 1000L"))
+      .withColumn("ts_us", tsUsExpr(schema))
       .withColumn("ts_t", timestamp_micros(col("ts_us")))
       .withWatermark("ts_t", "1 hour")
       .withColumn("cents",
@@ -380,7 +393,7 @@ object StreamingFeatures {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(eventsDir).schema
     val ev = spark.readStream.schema(schema).parquet(eventsDir)
-      .withColumn("ts_us", expr("ts DIV 1000L"))
+      .withColumn("ts_us", tsUsExpr(schema))
       .withColumn("cents",
         when(col("event_type") =!= "error",
           round(coalesce(col("value"), lit(0.0)) * 100).cast("long"))
@@ -435,7 +448,7 @@ object StreamingFeatures {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(eventsDir).schema
     val ev = spark.readStream.schema(schema).parquet(eventsDir)
-      .withColumn("ts_us", expr("ts DIV 1000L"))
+      .withColumn("ts_us", tsUsExpr(schema))
       .withColumn("ts_t", timestamp_micros(col("ts_us")))
       .filter(col("event_type").isin("click", "purchase"))
       .withWatermark("ts_t", delay)
@@ -525,7 +538,7 @@ object StreamingFeatures {
       reader.option("maxFilesPerTrigger", maxFilesPerTrigger) else reader)
       .parquet(eventsDir)
       .filter(col("event_type") === "purchase")
-      .withColumn("ts_us", expr("ts DIV 1000L"))
+      .withColumn("ts_us", tsUsExpr(schema))
       .withColumn("cents", round(coalesce(col("value"), lit(0.0)) * 100)
         .cast("long"))
       .select(col("user_id").as[Long], col("ts_us").as[Long],
@@ -596,7 +609,7 @@ object StreamingFeatures {
     val ev = (if (maxFilesPerTrigger > 0)
       reader.option("maxFilesPerTrigger", maxFilesPerTrigger) else reader)
       .parquet(eventsDir)
-      .withColumn("ts_us", expr("ts DIV 1000L"))
+      .withColumn("ts_us", tsUsExpr(schema))
       .withColumn("ts_t", timestamp_micros(col("ts_us")))
       .withWatermark("ts_t", "1 hour")
       .select(col("user_id").as[Long], col("ts_us").as[Long])

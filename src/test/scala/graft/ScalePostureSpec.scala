@@ -651,4 +651,43 @@ class ScalePostureSpec extends SparkSpec {
       s"probe filter must sit below the semi join (filter@$filterIdx, " +
         s"semi@$semiIdx)")
   }
+
+  /** Every WindowExec in the physical plan, with an empty partitionSpec
+    * meaning "all rows to one task" — the scale-killer shape. Checked on
+    * the pre-AQE sparkPlan so the tree is fully materialized. */
+  private def windows(df: org.apache.spark.sql.DataFrame)
+      : Seq[org.apache.spark.sql.execution.window.WindowExec] =
+    df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+
+  test("q250 surrogate-key mint plans NO single-partition window") {
+    val df = SparkEntry.queries("q250_snowflake_build")(spark, sf)
+    val ws = windows(df)
+    // the distributed rank still uses windows — but every one of them is
+    // partitioned (by spark_partition_id), so parallelism scales with the
+    // range partitioning, not with 1
+    assert(ws.nonEmpty, "expected the partition-local rank windows")
+    ws.foreach(w => assert(w.partitionSpec.nonEmpty,
+      "unpartitioned Window (all data to one task):\n" + w.treeString))
+    assert(df.collect().length == 1) // and the query still runs
+  }
+
+  test("q132 winsorize bounds window runs over the REDUCED value domain") {
+    val df = SparkEntry.queries("q132_winsorize")(spark, sf)
+    val ws = windows(df)
+    assert(ws.nonEmpty, "expected the running-count windows")
+    ws.foreach { w =>
+      assert(w.partitionSpec.nonEmpty,
+        "unpartitioned Window:\n" + w.treeString)
+      // the window's input must be the groupBy(g, c) distinct-value
+      // relation, not the raw fact rows: an aggregate sits beneath it
+      val aggBelow = w.child.collectFirst {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+      }
+      assert(aggBelow.isDefined,
+        "winsorize window consumes raw rows (no aggregate below):\n" +
+          w.treeString)
+    }
+  }
 }

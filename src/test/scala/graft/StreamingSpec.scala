@@ -419,15 +419,17 @@ class StreamingSpec extends SparkSpec {
       // purchases span micro-batches, so the ListState MUST merge across
       // batches (a single-batch run never exercises read-modify-write)
       val dir = java.nio.file.Files.createTempDirectory("lastk_stream").toString
-      // RAW schema halves (ts stays a nanos long — statefulLastK re-derives
-      // ts_us itself, same as every file-source op here)
+      // RAW schema halves (ts keeps its fixture vintage — statefulLastK
+      // re-derives ts_us itself, same as every file-source op here).
+      // ntile-split on (ts, event_id) is vintage-agnostic, unlike a
+      // percentile over ts (timestamp median ≠ long).
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$sf/events.parquet")
-      val midTs = raw.agg(percentile_approx($"ts", lit(0.5), lit(100)))
-        .first().getLong(0)
-      raw.filter($"ts" <= midTs).coalesce(1).write.mode("overwrite")
+      val halves = raw.withColumn("c", ntile(2).over(
+        org.apache.spark.sql.expressions.Window.orderBy($"ts", $"event_id")))
+      halves.filter($"c" === 1).drop("c").coalesce(1).write.mode("overwrite")
         .parquet(s"$dir/b0")
-      raw.filter($"ts" > midTs).coalesce(1).write.mode("overwrite")
+      halves.filter($"c" === 2).drop("c").coalesce(1).write.mode("overwrite")
         .parquet(s"$dir/b1")
       val stage = java.nio.file.Files.createTempDirectory("lastk_in").toString
       def onlyParquet(sub: String, name: String): Unit = {
