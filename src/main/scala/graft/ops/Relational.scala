@@ -440,33 +440,50 @@ object Relational {
     * naive `dense_rank().over(Window.orderBy(key))` moves every key to one
     * task — a straight scale-killer on a 100 TB dim build).
     *
-    * Shape: range-repartition by the key (partitions are non-overlapping
-    * and ordered by partition id), rank locally inside each partition
-    * (a PARTITIONED window — parallelism = numParts), then add each
-    * partition's prefix count. The prefix sums come from a triangle
-    * self-join over the per-partition counts (numParts rows — broadcast,
-    * O(P²) on P≈32), so the whole plan stays window-partitioned and
-    * collect-free. The only global structure is one row per partition,
-    * never the keys themselves.
+    * Shape: split the key domain into `numBuckets` ordered VALUE ranges at
+    * approximate quantile boundaries, rank locally inside each bucket
+    * (a PARTITIONED window — parallelism = numBuckets), then add each
+    * bucket's prefix count. The prefix sums come from a triangle
+    * self-join over the per-bucket counts (numBuckets rows — broadcast,
+    * O(B²) on B≈32). The only global structures are the B−1 boundary
+    * values and one count per bucket, never the keys themselves.
+    *
+    * Determinism is load-bearing: the bucket id is a function of the KEY
+    * VALUE against boundary LITERALS (one driver-side approxQuantile
+    * collect of B−1 doubles), so every re-execution of the subtree —
+    * Spark re-evaluates it per reference, and AQE may re-layout any
+    * shuffle — assigns identical buckets. An earlier draft bucketed by
+    * `spark_partition_id()` after a range repartition; that column is
+    * NONDETERMINISTIC, two instances of the subtree could disagree on the
+    * layout, and the inner bucket⋈offsets join then silently dropped rows
+    * (reproduced at sf0.1: 597 831 of 600 000 fact rows survived q250).
+    * Quantile skew only unbalances bucket SIZES, never correctness.
     *
     * Requires `keys` to be distinct on `keyCol` (callers pass the
-    * `.distinct()` dim projection); ranks are then dense and unique.
+    * `.distinct()` dim projection) and numeric; ranks are then dense and
+    * unique.
     */
   def surrogateKeys(keys: DataFrame, keyCol: String, skCol: String,
-                    numParts: Int = 32): DataFrame = {
+                    numBuckets: Int = 32): DataFrame = {
+    val probs = (1 until numBuckets).map(_.toDouble / numBuckets).toArray
+    val bounds =
+      if (probs.isEmpty) Array.empty[Double]
+      else keys.stat.approxQuantile(keyCol, probs, 0.001)
+    val bucket = bounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(col(keyCol).cast("double") > lit(b), 1).otherwise(0)
+    }
     val local = keys
-      .repartitionByRange(numParts, col(keyCol))
-      .withColumn("__pid", spark_partition_id())
+      .withColumn("__b", bucket)
       .withColumn("__rn", row_number().over(
-        Window.partitionBy(col("__pid")).orderBy(col(keyCol))).cast("long"))
-    val counts = local.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
+        Window.partitionBy(col("__b")).orderBy(col(keyCol))).cast("long"))
+    val counts = local.groupBy(col("__b")).agg(count(lit(1)).as("__cnt"))
     val offsets = counts.alias("a")
-      .join(counts.alias("b"), col("b.__pid") < col("a.__pid"), "left")
-      .groupBy(col("a.__pid"))
+      .join(counts.alias("b"), col("b.__b") < col("a.__b"), "left")
+      .groupBy(col("a.__b"))
       .agg(coalesce(sum(col("b.__cnt")), lit(0L)).as("__off"))
-      .select(col("a.__pid").as("__pid"), col("__off"))
-    local.join(broadcast(offsets), Seq("__pid"))
+      .select(col("a.__b").as("__b"), col("__off"))
+    local.join(broadcast(offsets), Seq("__b"))
       .withColumn(skCol, col("__rn") + col("__off"))
-      .drop("__pid", "__rn")
+      .drop("__b", "__rn")
   }
 }
