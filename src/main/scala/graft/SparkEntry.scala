@@ -734,7 +734,8 @@ object SparkEntry {
       Entries43.all.map(q => q.name -> q.fn) ++
       Entries44.all.map(q => q.name -> q.fn) ++
       Entries45.all.map(q => q.name -> q.fn) ++
-      Entries46.all.map(q => q.name -> q.fn)).toMap
+      Entries46.all.map(q => q.name -> q.fn) ++
+      Entries47.all.map(q => q.name -> q.fn)).toMap
 
   def oracleSql: Map[String, String] =
     (all.flatMap(q => q.sql.map(q.name -> _)) ++
@@ -782,5 +783,6 @@ object SparkEntry {
       Entries43.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries44.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries45.all.flatMap(q => q.sql.map(q.name -> _)) ++
-      Entries46.all.flatMap(q => q.sql.map(q.name -> _))).toMap
+      Entries46.all.flatMap(q => q.sql.map(q.name -> _)) ++
+      Entries47.all.flatMap(q => q.sql.map(q.name -> _))).toMap
 }

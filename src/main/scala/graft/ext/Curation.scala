@@ -584,4 +584,29 @@ object Curation {
        |  CAST(count(*) AS BIGINT) AS n,
        |  count(*) < $k AS suppress
        |FROM customer GROUP BY 1, 2, 3""".stripMargin
+
+  /** GRADED contamination census — the release-report complement of the
+    * binary [[decontaminate]] gate: EVERY corpus doc (zero-overlap ones
+    * included) with its distinct-shingle count, eval-overlap hit count, and
+    * integer overlap decile (`hits·10 DIV shingles` ∈ 0..10, zero floats).
+    * A release manifest wants "12 % of docs have ≥30 % eval overlap", not
+    * just the contaminated id list.
+    *
+    * Same scale shape as decontaminate: eval shingle ids broadcast, corpus
+    * side one scan + map-side left join + partial-aggregated counts.
+    */
+  def contaminationGraded(documents: DataFrame, k: Int = 3,
+                          evalMod: Int = 97): DataFrame = {
+    val evalGrams = Dedup.shingleIds(
+        documents.filter(col("doc_id") % evalMod === 0), k)
+      .select(col("sid")).distinct()
+      .withColumn("__e", lit(1))
+    Dedup.shingleIds(documents.filter(col("doc_id") % evalMod =!= 0), k)
+      .join(broadcast(evalGrams), Seq("sid"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__e").isNotNull, 1L).otherwise(0L)).as("n_eval_hits"))
+      .withColumn("overlap_decile",
+        expr("n_eval_hits * 10 DIV n_shingles"))
+  }
 }

@@ -550,4 +550,38 @@ object Dedup {
        |SELECT doc_id, min(s) AS span_start, max(e) AS span_end,
        |  CAST(count(*) AS BIGINT) AS n_grams
        |FROM grp GROUP BY doc_id, g""".stripMargin
+
+  /** WINNOWING fingerprint selection (Schleimer–Wilkerson–Aiken, the MOSS
+    * algorithm): normalize to [a-z0-9], hash every character k-gram
+    * (48-bit md5 prefix — the engine's cross-engine content id), then keep
+    * the MINIMUM hash of each sliding w-window of consecutive gram
+    * positions. Guarantees: any shared substring of length ≥ k+w−1
+    * contributes at least one shared fingerprint, and the selected set is
+    * a ~2/(w+1) density sample — the bounded-size sketch that makes
+    * corpus-scale near-dup detection storable. Fingerprints are kept as a
+    * VALUE set (position ties don't affect it), summarized per doc as
+    * (n_grams, n_fingerprints, fp_min, fp_sum) for exact engine parity.
+    *
+    * Scale shape: everything is row-local array math inside one projection
+    * (no explode, no shuffle) until the final per-doc summary, which is
+    * already one row per doc. Fingerprint sums stay < 2^63 (48-bit values,
+    * docs ≪ 2^15 grams).
+    */
+  def winnowingFingerprints(documents: DataFrame, k: Int = 8,
+                            w: Int = 4): DataFrame =
+    documents
+      .withColumn("t", regexp_replace(lower(col("text")), "[^a-z0-9]", ""))
+      .filter(length(col("t")) >= k + w - 1)
+      .withColumn("hs", expr(
+        s"""transform(sequence(1, length(t) - ${k - 1}),
+           |  i -> CAST(conv(substr(md5(substring(t, i, $k)), 1, 12), 16, 10)
+           |       AS BIGINT))""".stripMargin))
+      .withColumn("fps", expr(
+        s"""array_distinct(transform(sequence(1, size(hs) - ${w - 1}),
+           |  j -> array_min(slice(hs, j, $w))))""".stripMargin))
+      .select(col("doc_id"),
+        size(col("hs")).cast("long").as("n_grams"),
+        size(col("fps")).cast("long").as("n_fingerprints"),
+        array_min(col("fps")).as("fp_min"),
+        expr("aggregate(fps, 0L, (acc, x) -> acc + x)").as("fp_sum"))
 }

@@ -468,4 +468,34 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("vec_id").as("n_id"), col("adist"), col("rnk"))
   }
+
+  /** SIGN-SIGNATURE embedding drift census between two corpus versions
+    * (here: even vs odd vec_id halves standing in for v1/v2): bucket every
+    * vector by the sign bits of its first `bits` dimensions (a 1-bit-
+    * per-dim quantizer — the degenerate SRP with axis-aligned projections,
+    * deterministic and engine-exact since `float > 0` is a bit test), then
+    * per bucket report both populations and the cross-multiplied imbalance
+    * `|n1·T2 − n2·T1|` — an exact-integer drift signal (zero on identical
+    * distributions regardless of T1≠T2; division stays with the consumer).
+    * The "did the embedding distribution move between crawls" monitor that
+    * runs before anyone retrains an ANN index on the new corpus.
+    *
+    * Scale shape: one projection + one groupBy on ≤2^bits buckets + a
+    * broadcast of the 1-row totals. No pairwise anything.
+    */
+  def signDriftCensus(embeddings: DataFrame, bits: Int = 6): DataFrame = {
+    val bucket = (0 until bits).map { j =>
+      when(element_at(col("embedding"), j + 1) > 0f, 1L << j).otherwise(0L)
+    }.reduce(_ + _)
+    val counts = embeddings
+      .select(bucket.as("bucket"), (col("vec_id") % 2).as("half"))
+      .groupBy(col("bucket"))
+      .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("n_v1"),
+        sum(when(col("half") =!= 0, 1L).otherwise(0L)).as("n_v2"))
+    val totals = counts.agg(sum(col("n_v1")).as("t1"), sum(col("n_v2")).as("t2"))
+    counts.join(broadcast(totals))
+      .withColumn("imbalance",
+        abs(col("n_v1") * col("t2") - col("n_v2") * col("t1")))
+      .select(col("bucket"), col("n_v1"), col("n_v2"), col("imbalance"))
+  }
 }

@@ -203,4 +203,30 @@ object TextAnalysis {
       .groupBy(col("doc_id"), col("w1"), col("w2"))
       .agg(count(lit(1)).as("n_matches"), min(col("p")).as("first_pos"))
   }
+
+  /** TOKENIZER FERTILITY profile per language: docs, words (non-empty
+    * [a-zA-Z0-9]+ runs), sub-word tokens (the ⌈len/4⌉ budget heuristic of
+    * [[tokenCountRegex]]) and chars — the integer numerators/denominators
+    * of tokens-per-word (fertility) and chars-per-token, the per-language
+    * tokenizer-efficiency report that decides which languages pay a token
+    * tax under a given vocabulary. Ratios stay with the consumer (integer
+    * discipline).
+    *
+    * Scale shape: row-local array math in one projection, then a
+    * partial-aggregable groupBy on ≤|languages| keys.
+    */
+  def tokenizerFertility(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("w", expr(
+        """filter(split(text, '[^a-zA-Z0-9]+'), x -> x <> '')"""))
+      .select(col("lang"),
+        size(col("w")).cast("long").as("nw"),
+        expr("aggregate(w, 0L, (acc, x) -> acc + (length(x) + 3) DIV 4)")
+          .as("nt"),
+        col("n_chars"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nw")).as("n_words"),
+        sum(col("nt")).as("n_subword_tokens"),
+        sum(col("n_chars")).as("n_chars"))
 }
