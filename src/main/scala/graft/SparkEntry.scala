@@ -735,7 +735,8 @@ object SparkEntry {
       Entries44.all.map(q => q.name -> q.fn) ++
       Entries45.all.map(q => q.name -> q.fn) ++
       Entries46.all.map(q => q.name -> q.fn) ++
-      Entries47.all.map(q => q.name -> q.fn)).toMap
+      Entries47.all.map(q => q.name -> q.fn) ++
+      Entries48.all.map(q => q.name -> q.fn)).toMap
 
   def oracleSql: Map[String, String] =
     (all.flatMap(q => q.sql.map(q.name -> _)) ++
@@ -784,5 +785,6 @@ object SparkEntry {
       Entries44.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries45.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries46.all.flatMap(q => q.sql.map(q.name -> _)) ++
-      Entries47.all.flatMap(q => q.sql.map(q.name -> _))).toMap
+      Entries47.all.flatMap(q => q.sql.map(q.name -> _)) ++
+      Entries48.all.flatMap(q => q.sql.map(q.name -> _))).toMap
 }

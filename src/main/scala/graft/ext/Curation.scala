@@ -595,6 +595,29 @@ object Curation {
     * Same scale shape as decontaminate: eval shingle ids broadcast, corpus
     * side one scan + map-side left join + partial-aggregated counts.
     */
+  /** N-GRAM NOVELTY census by arrival order (doc_id as ingest sequence):
+    * a shingle's first sighting is the min doc_id containing it; a doc's
+    * novelty is how many of its distinct shingles IT saw first, graded as
+    * an integer decile. The "is the crawl still finding new content"
+    * signal — a novelty collapse across a source is the dedup/recrawl
+    * alarm, and the per-doc grade feeds sampling weights.
+    *
+    * Scale shape: groupBy(sid) then join on sid — the join reuses the
+    * aggregation's hash partitioning (co-partitioned, one logical
+    * exchange), then a per-doc partial-aggregable count. No broadcast of
+    * the (corpus-sized) shingle index needed.
+    */
+  def noveltyCensus(documents: DataFrame, k: Int = 3): DataFrame = {
+    val sh = Dedup.shingleIds(documents, k)
+    val first = sh.groupBy(col("sid")).agg(min(col("doc_id")).as("first_id"))
+    sh.join(first, Seq("sid"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_id") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty_decile", expr("n_novel * 10 DIV n_shingles"))
+  }
+
   def contaminationGraded(documents: DataFrame, k: Int = 3,
                           evalMod: Int = 97): DataFrame = {
     val evalGrams = Dedup.shingleIds(

@@ -168,4 +168,36 @@ object Multimodal {
         it.map { case (id, bytes) => decodeStub(id, bytes) }
       }
   }
+
+  /** SHOT-BOUNDARY detection on the frame stream: consecutive COMPLETE
+    * `frameBytes` frames of the payload compared by exact L1 byte distance
+    * (Σ|b_t[i] − b_{t−1}[i]|); a cut is a delta above `threshold` — the
+    * classic pixel-difference shot detector, byte-for-pixel on the payload
+    * stand-in. Emits per media: complete-frame count, cut count, max and
+    * total delta (all exact BIGINTs). A real decoder swaps byte L1 for
+    * frame-histogram distance; the framing arithmetic and the census stay.
+    *
+    * Scale shape: entirely row-local array arithmetic (one projection per
+    * doc — no explode, no shuffle before the final one-row-per-doc
+    * select); the declarative twin of the mapPartitions frame ops above,
+    * chosen here so the oracle can replay the identical integer pipeline.
+    */
+  def shotBoundaries(documents: DataFrame, frameBytes: Int = 64,
+                     threshold: Long = 2000L): DataFrame =
+    documents
+      .withColumn("nf", expr(s"length(text) DIV $frameBytes"))
+      .filter(col("nf") >= 2)
+      .withColumn("deltas", expr(
+        s"""transform(sequence(1, CAST(nf AS INT) - 1),
+           |  t -> aggregate(sequence(1, $frameBytes), 0L,
+           |    (acc, i) -> acc +
+           |      abs(ascii(substring(text, t * $frameBytes + i, 1)) -
+           |          ascii(substring(text, (t - 1) * $frameBytes + i, 1)))))"""
+          .stripMargin))
+      .select(col("doc_id"),
+        col("nf").cast("long").as("n_frames"),
+        expr(s"CAST(size(filter(deltas, d -> d > ${threshold}L)) AS BIGINT)")
+          .as("n_cuts"),
+        array_max(col("deltas")).as("max_delta"),
+        expr("aggregate(deltas, 0L, (acc, x) -> acc + x)").as("sum_delta"))
 }

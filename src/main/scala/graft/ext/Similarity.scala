@@ -469,6 +469,64 @@ object Similarity {
       .select(col("q_id"), col("vec_id").as("n_id"), col("adist"), col("rnk"))
   }
 
+  /** MAXIMAL MARGINAL RELEVANCE selection (Carbonell–Goldstein 1998):
+    * greedy k-pick balancing relevance to a query against redundancy with
+    * what's already picked — round 0 takes the most query-similar vector,
+    * every later round argmaxes `lam·rel − mu·maxSim(selected)` (ties by
+    * smallest id). The query is the lowest-id vector (excluded from
+    * candidates). The diverse-retrieval / dedup-aware-sampling primitive:
+    * where k-center ([[kCenterGreedy]]) maximizes pure coverage, MMR keeps
+    * the picks RELEVANT while still spreading them out.
+    *
+    * `lam`/`mu` are passed separately (not `1−lam`): the oracle writes the
+    * same decimal literals, and `1 − 0.7` is NOT double 0.3.
+    *
+    * Scale shape: identical to kCenterGreedy — per-point state is one
+    * double (max similarity to selected so far), updated by one broadcast
+    * center per round, argmax'd by a partial-aggregable max(struct); the
+    * driver sees k scalar rows, never data.
+    */
+  def mmrSelect(embeddings: DataFrame, k: Int, lam: Double = 0.7,
+                mu: Double = 0.3): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val e = embeddings.select(col("vec_id"), col("embedding"))
+    val qId = e.agg(min(col("vec_id"))).head.getLong(0)
+    val q = e.filter(col("vec_id") === qId)
+      .select(col("embedding").as("q_emb"))
+    var st = e.filter(col("vec_id") =!= qId)
+      .crossJoin(broadcast(q))
+      .withColumn("rel", cosine(col("embedding"), col("q_emb")))
+      .drop("q_emb")
+      .withColumn("ms", lit(null).cast("double"))
+      .localCheckpoint()
+    var selected = Vector.empty[(Long, Long, Double, Option[Double])]
+    for (i <- 0 until k) {
+      val score =
+        if (i == 0) col("rel")
+        else lit(lam) * col("rel") - lit(mu) * col("ms")
+      val top = st
+        .filter(!col("vec_id").isInCollection(selected.map(_._2) :+ -1L))
+        .agg(max(struct(score.as("s"), (-col("vec_id")).as("nid"),
+          col("rel").as("rel"), col("ms").as("ms"))).as("m"))
+        .select(col("m.nid"), col("m.rel"), col("m.ms")).head
+      val picked = -top.getLong(0)
+      selected = selected :+ ((i.toLong, picked, top.getDouble(1),
+        if (i == 0) None else Some(top.getDouble(2))))
+      if (i < k - 1) {
+        val c = e.filter(col("vec_id") === picked)
+          .select(col("embedding").as("c_emb"))
+        val cs = cosine(col("embedding"), col("c_emb"))
+        st = st.crossJoin(broadcast(c))
+          .withColumn("ms",
+            when(col("ms").isNull, cs).otherwise(greatest(col("ms"), cs)))
+          .drop("c_emb")
+          .localCheckpoint()
+      }
+    }
+    selected.toDF("sel_order", "vec_id", "rel", "ms")
+  }
+
   /** SIGN-SIGNATURE embedding drift census between two corpus versions
     * (here: even vs odd vec_id halves standing in for v1/v2): bucket every
     * vector by the sign bits of its first `bits` dimensions (a 1-bit-
