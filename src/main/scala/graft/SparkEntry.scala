@@ -736,7 +736,8 @@ object SparkEntry {
       Entries45.all.map(q => q.name -> q.fn) ++
       Entries46.all.map(q => q.name -> q.fn) ++
       Entries47.all.map(q => q.name -> q.fn) ++
-      Entries48.all.map(q => q.name -> q.fn)).toMap
+      Entries48.all.map(q => q.name -> q.fn) ++
+      Entries49.all.map(q => q.name -> q.fn)).toMap
 
   def oracleSql: Map[String, String] =
     (all.flatMap(q => q.sql.map(q.name -> _)) ++
@@ -786,5 +787,6 @@ object SparkEntry {
       Entries45.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries46.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries47.all.flatMap(q => q.sql.map(q.name -> _)) ++
-      Entries48.all.flatMap(q => q.sql.map(q.name -> _))).toMap
+      Entries48.all.flatMap(q => q.sql.map(q.name -> _)) ++
+      Entries49.all.flatMap(q => q.sql.map(q.name -> _))).toMap
 }

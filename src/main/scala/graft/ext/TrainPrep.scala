@@ -630,4 +630,96 @@ object TrainPrep {
         when(col("c") < col("lo"), -1)
           .when(col("c") > col("hi"), 1).otherwise(0).as("clipped"))
   }
+
+  /** Exact two-sample KOLMOGOROV–SMIRNOV numerator per group: the two
+    * populations are `halfCol` 0/1; the statistic's numerator
+    * `max |cum1·n2 − cum2·n1|` is an exact BIGINT (KS = num / (n1·n2),
+    * division left to the consumer). The numeric-feature drift test
+    * between two loads/crawls — the continuous complement of the
+    * categorical chi-square cells (chiSquareCells) and the sign-bucket
+    * embedding drift census.
+    *
+    * Scale shape: reduced-domain discipline — rows collapse to one per
+    * (group, value) first; the running sums and the max are over the
+    * distinct-value series, partial-aggregable at the end. Products stay
+    * < 2^63 for populations up to ~3·10^9 per group.
+    */
+  def ksDrift(df: DataFrame, grpCol: String, halfCol: String,
+              cents: Column): DataFrame = {
+    val dom = df.select(col(grpCol).as("g"), col(halfCol).as("h"),
+        cents.as("c"))
+      .groupBy(col("g"), col("c"))
+      .agg(sum(when(col("h") === 0, 1L).otherwise(0L)).as("cnt1"),
+        sum(when(col("h") =!= 0, 1L).otherwise(0L)).as("cnt2"))
+    val wOrd = Window.partitionBy(col("g")).orderBy(col("c"))
+    val wAll = Window.partitionBy(col("g"))
+    dom
+      .withColumn("cum1", sum(col("cnt1")).over(wOrd))
+      .withColumn("cum2", sum(col("cnt2")).over(wOrd))
+      .withColumn("n1", sum(col("cnt1")).over(wAll))
+      .withColumn("n2", sum(col("cnt2")).over(wAll))
+      .groupBy(col("g").as(grpCol))
+      .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        max(abs(col("cum1") * col("n2") - col("cum2") * col("n1")))
+          .as("ks_num"))
+  }
+
+  /** Exact MANN–WHITNEY U (two-sided rank-sum) between populations A/B of
+    * `halfCol` 0/1, with AVERAGE ranks for ties kept integer by doubling:
+    * for a value spanning combined positions p+1..p+cnt, 2·avgRank =
+    * 2p + cnt + 1, so 2·R1 = Σ cnt1·(2p + cnt + 1) and
+    * 2·U1 = 2·R1 − n1·(n1+1) are exact BIGINTs. The nonparametric
+    * "did the distribution shift" test that KS complements (KS is
+    * max-deviation, U is stochastic dominance).
+    *
+    * Same reduced-domain shape as [[ksDrift]]: one row per (group, value)
+    * before any window.
+    */
+  def mannWhitney(df: DataFrame, grpCol: String, halfCol: String,
+                  cents: Column): DataFrame = {
+    val dom = df.select(col(grpCol).as("g"), col(halfCol).as("h"),
+        cents.as("c"))
+      .groupBy(col("g"), col("c"))
+      .agg(sum(when(col("h") === 0, 1L).otherwise(0L)).as("cnt1"),
+        sum(when(col("h") =!= 0, 1L).otherwise(0L)).as("cnt2"))
+      .withColumn("cnt", col("cnt1") + col("cnt2"))
+    val wOrd = Window.partitionBy(col("g")).orderBy(col("c"))
+    dom
+      .withColumn("p", coalesce(sum(col("cnt")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .groupBy(col("g").as(grpCol))
+      .agg(sum(col("cnt1")).as("n1"), sum(col("cnt2")).as("n2"),
+        sum(col("cnt1") * (col("p") * 2 + col("cnt") + 1)).as("r1_x2"))
+      .withColumn("u1_x2",
+        col("r1_x2") - col("n1") * (col("n1") + 1))
+  }
+
+  /** Deterministic EPOCH-SHUFFLE shard plan: for each epoch, every doc is
+    * assigned a shard by 48-bit `md5(epoch|doc_id)` and a position within
+    * the shard by that same hash order (ties by doc_id) — the shard-local
+    * shuffle real training loaders run (global shuffles don't scale; a
+    * per-shard permutation that changes every epoch does). Reproducible
+    * end to end: same corpus + epoch ⇒ the same plan on any engine.
+    *
+    * Scale shape: hash projection + a window PARTITIONED by (epoch,
+    * shard) — parallelism is epochs × shards, never a global sort.
+    */
+  def epochShufflePlan(documents: DataFrame, epochs: Int,
+                       shards: Int): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val ep = spark.createDataset(0 until epochs).toDF("epoch")
+      .withColumn("epoch", col("epoch").cast("long"))
+    val hashed = documents.select(col("doc_id")).crossJoin(ep)
+      .withColumn("h", expr(
+        "CAST(conv(substr(md5(concat(CAST(epoch AS STRING), '|', " +
+          "CAST(doc_id AS STRING))), 1, 12), 16, 10) AS BIGINT)"))
+      .withColumn("shard", pmod(col("h"), lit(shards.toLong)))
+    hashed
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("epoch"), col("shard"))
+          .orderBy(col("h"), col("doc_id"))).cast("long"))
+      .select(col("epoch"), col("shard"), col("pos"), col("doc_id"),
+        col("h"))
+  }
 }
