@@ -737,7 +737,8 @@ object SparkEntry {
       Entries46.all.map(q => q.name -> q.fn) ++
       Entries47.all.map(q => q.name -> q.fn) ++
       Entries48.all.map(q => q.name -> q.fn) ++
-      Entries49.all.map(q => q.name -> q.fn)).toMap
+      Entries49.all.map(q => q.name -> q.fn) ++
+      Entries50.all.map(q => q.name -> q.fn)).toMap
 
   def oracleSql: Map[String, String] =
     (all.flatMap(q => q.sql.map(q.name -> _)) ++
@@ -788,5 +789,6 @@ object SparkEntry {
       Entries46.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries47.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries48.all.flatMap(q => q.sql.map(q.name -> _)) ++
-      Entries49.all.flatMap(q => q.sql.map(q.name -> _))).toMap
+      Entries49.all.flatMap(q => q.sql.map(q.name -> _)) ++
+      Entries50.all.flatMap(q => q.sql.map(q.name -> _))).toMap
 }

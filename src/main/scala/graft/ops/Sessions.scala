@@ -142,4 +142,34 @@ object Sessions {
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_views"), max(col("stage")).as("best_stage"))
   }
+
+  /** PER-KEY OUT-OF-ORDER LATENESS census: within each user's stream in
+    * ARRIVAL order (event_id — the ingest sequence stand-in), an event's
+    * lateness is how far the key's running max event time had already
+    * advanced past it (`maxPrev − ts`, clamped at 0). Aggregated per
+    * event_type: events, late events, max and total lateness micros — the
+    * exact measurements that size a Structured Streaming watermark delay
+    * and a mapGroupsWithState timeout (set the watermark below your
+    * observed p-max lateness and you drop those rows).
+    *
+    * Scale shape: one window PARTITIONED by user_id (the same exchange
+    * every per-key op here rides), then a partial-aggregable census on
+    * ≤|event types| keys.
+    */
+  def latenessCensus(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts_us"))
+      .withColumn("late_us",
+        greatest(coalesce(max(col("ts_us")).over(w) - col("ts_us"),
+          lit(0L)), lit(0L)))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("late_us") > 0L, 1L).otherwise(0L)).as("n_late"),
+        max(col("late_us")).as("max_late_us"),
+        sum(col("late_us")).as("sum_late_us"))
+  }
 }
