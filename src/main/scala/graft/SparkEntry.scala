@@ -738,7 +738,8 @@ object SparkEntry {
       Entries47.all.map(q => q.name -> q.fn) ++
       Entries48.all.map(q => q.name -> q.fn) ++
       Entries49.all.map(q => q.name -> q.fn) ++
-      Entries50.all.map(q => q.name -> q.fn)).toMap
+      Entries50.all.map(q => q.name -> q.fn) ++
+      Entries51.all.map(q => q.name -> q.fn)).toMap
 
   def oracleSql: Map[String, String] =
     (all.flatMap(q => q.sql.map(q.name -> _)) ++
@@ -790,5 +791,6 @@ object SparkEntry {
       Entries47.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries48.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries49.all.flatMap(q => q.sql.map(q.name -> _)) ++
-      Entries50.all.flatMap(q => q.sql.map(q.name -> _))).toMap
+      Entries50.all.flatMap(q => q.sql.map(q.name -> _)) ++
+      Entries51.all.flatMap(q => q.sql.map(q.name -> _))).toMap
 }

@@ -29,7 +29,8 @@ object GraftFunctions {
     "bitmap_count" -> (exprs => BitmapCount(exprs.head)),
     "bitmap_contains" -> (exprs => BitmapContains(exprs(0), exprs(1))),
     "bitmap_and" -> (exprs => BitmapAnd(exprs(0), exprs(1))),
-    "cms_sketch" -> (exprs => CmsSketchAgg(exprs.head)))
+    "cms_sketch" -> (exprs => CmsSketchAgg(exprs.head)),
+    "kll_quantiles" -> (exprs => KllQuantilesAgg(exprs.head)))
 
   /** Second arg of graft_word_stats is a foldable array of string literals
     * (the stopword vocabulary) — evaluated once at resolution time. */
@@ -99,6 +100,12 @@ object GraftFunctions {
 
   def cmsSketch(c: Column): Column =
     org.apache.spark.sql.functions.call_function("cms_sketch", c)
+
+  /** Mergeable KLL quantile sketch — ARRAY<DOUBLE> of estimates at
+    * [[KllCodec.Quantiles]]. See KllAgg.scala for the determinism and
+    * error-bound contract. */
+  def kllQuantiles(c: Column): Column =
+    org.apache.spark.sql.functions.call_function("kll_quantiles", c)
 
   /** Point estimate from a [[CmsSketchAgg]] sketch — fully declarative
     * (md5-prefix double hashing + `element_at`, mirroring CmsCodec exactly),
