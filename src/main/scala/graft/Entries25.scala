@@ -148,7 +148,7 @@ object Entries25 {
             row_number().over(Window.partitionBy(col("user_id"))
               .orderBy(col("ts_us").asc, col("event_id").asc))
               .cast("long").as("rn"))
-          .localCheckpoint()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val aMin = pos.groupBy(col("user_id"), col("t").as("a"))
           .agg(min(col("rn")).as("a_rn"))
           .select(col("user_id"), col("a"), col("a_rn"))

@@ -64,7 +64,8 @@ object Entries27 {
             (graft.ops.Relational.epochUs(col("o_orderdate"))
               / 86400000000L).cast("long").as("day"))
           .agg(count(lit(1)).as("n_orders"))
-          .localCheckpoint() // spine + left join both consume it
+          // spine + left join both consume it (lazy persist keeps lineage)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val spine = daily.groupBy(col("nation"))
           .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
           .select(col("nation"),

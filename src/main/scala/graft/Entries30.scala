@@ -32,7 +32,7 @@ object Entries30 {
           .groupBy(col("day"))
           .agg(bitmapSketch(col("user_id")).as("bm"),
             count(lit(1)).as("n_events"))
-          .localCheckpoint()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val offsets = daily.select(col("day"), explode(
           expr("sequence(0L, 6L)")).as("off"))
           .select((col("day") + col("off")).as("w_day"), col("day"))

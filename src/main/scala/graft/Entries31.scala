@@ -23,7 +23,8 @@ object Entries31 {
           .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
         val tf = words.groupBy(col("doc_id"), col("w"))
           .agg(count(lit(1)).as("tf"))
-          .localCheckpoint() // df aggregate + rank join both consume it
+          // df aggregate + rank join both consume it
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
         // rank by tf/df (N constant per rank scope): tf·df' comparison ⟺
         // exact rational order; ties by word for determinism
@@ -56,7 +57,8 @@ object Entries31 {
       (s, d) => {
         val words = Tables.documents(s, d)
           .select(col("source"), explode(split(col("text"), " ")).as("w"))
-          .localCheckpoint() // vocab build + probe side both consume it
+          // vocab build + probe side both consume it
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val vocab = words.groupBy(col("w")).agg(count(lit(1)).as("n"))
           .withColumn("vocab_id", row_number().over(
             Window.orderBy(col("n").desc, col("w").asc)).cast("long"))
@@ -109,7 +111,8 @@ object Entries31 {
         val sw = Tables.documents(s, d)
           .select(col("source"), explode(split(col("text"), " ")).as("w"))
           .distinct()
-          .localCheckpoint() // sizes + both pair sides consume it
+          // sizes + both pair sides consume it
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val sizes = sw.groupBy(col("source")).agg(count(lit(1)).as("n"))
         val pairs = sw.select(col("source").as("s1"), col("w"))
           .join(sw.select(col("source").as("s2"), col("w")), Seq("w"))

@@ -133,7 +133,9 @@ object Entries34 {
           .select(col("user_id"),
             (col("ts_us") / 604800000000L).cast("long").as("week"))
           .distinct()
-          .localCheckpoint() // maxWeek action + tagged window consume it
+          // maxWeek action + tagged window consume it; lazy persist
+          // keeps lineage (executor loss recomputes, not fails)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val w = Window.partitionBy(col("user_id")).orderBy(col("week").asc)
         val maxWeek = wu.agg(max(col("week"))).head().getLong(0)
         val tagged = wu
@@ -199,7 +201,8 @@ object Entries34 {
             col("o_custkey") === col("c_custkey"))
           .select(col("c_nationkey").cast("long").as("nation"),
             col("s"), col("e"), col("o_orderkey"))
-          .localCheckpoint() // both union branches consume it
+          // both union branches consume it; persist keeps lineage
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val evs = spans.select(col("nation"), col("s").as("ts"),
           lit(1L).as("delta"), col("o_orderkey"))
           .unionByName(spans.select(col("nation"), col("e").as("ts"),

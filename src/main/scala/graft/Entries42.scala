@@ -123,11 +123,13 @@ object Entries42 {
             Seq("l_orderkey"))
           .filter(col("u") < col("v"))
           .select(col("u"), col("v")).distinct()
-          .localCheckpoint() // degrees + the stats join both consume it
+          // degrees + the stats join both consume it
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val deg = edges.select(col("u").as("n"), col("v").as("m"))
           .unionByName(edges.select(col("v").as("n"), col("u").as("m")))
           .groupBy(col("n")).agg(count(lit(1)).as("deg"))
-          .localCheckpoint() // hist + both stats joins consume it (3×)
+          // hist + both stats joins consume it (3×)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val hist = deg.groupBy(col("deg")).agg(count(lit(1)).as("n_nodes"))
         val stats = edges
           .join(deg.select(col("n").as("u"), col("deg").as("du")), Seq("u"))

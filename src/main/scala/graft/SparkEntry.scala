@@ -620,7 +620,8 @@ object SparkEntry {
         // the feature view feeds its own stage AND the label join; the
         // split feeds two stages — materialize each once (uncut, the
         // events scan re-planned 8 times end-to-end)
-        val feats = Features.featureView(ev).localCheckpoint()
+        val feats = Features.featureView(ev)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val labels = Labels.churnLabelsWindow(
           ev.filter(col("event_type") === "purchase")
             .select(col("user_id"), col("event_id"), col("ts_us")),
@@ -629,7 +630,8 @@ object SparkEntry {
           .select(col("user_id"), col("event_id"), col("ts_us"))
           .join(labels, Seq("user_id", "event_id"), "inner")
         val split = Labels.orderedSplit(labeled,
-          Seq("user_id", "ts_us", "event_id")).localCheckpoint()
+          Seq("user_id", "ts_us", "event_id"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         stage("bronze", ev, h(col("user_id"), col("event_id")))
           .unionByName(stage("features", feats,
             h(col("user_id"), col("event_id"), col("txn_count_30d"),
@@ -739,7 +741,8 @@ object SparkEntry {
       Entries48.all.map(q => q.name -> q.fn) ++
       Entries49.all.map(q => q.name -> q.fn) ++
       Entries50.all.map(q => q.name -> q.fn) ++
-      Entries51.all.map(q => q.name -> q.fn)).toMap
+      Entries51.all.map(q => q.name -> q.fn) ++
+      Entries52.all.map(q => q.name -> q.fn)).toMap
 
   def oracleSql: Map[String, String] =
     (all.flatMap(q => q.sql.map(q.name -> _)) ++
@@ -792,5 +795,6 @@ object SparkEntry {
       Entries48.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries49.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries50.all.flatMap(q => q.sql.map(q.name -> _)) ++
-      Entries51.all.flatMap(q => q.sql.map(q.name -> _))).toMap
+      Entries51.all.flatMap(q => q.sql.map(q.name -> _)) ++
+      Entries52.all.flatMap(q => q.sql.map(q.name -> _))).toMap
 }

@@ -47,7 +47,7 @@ object Density {
   /** DBSCAN. `pts` must carry (vec_id, x, y). Output:
     * (vec_id, role ∈ {core,border,noise}, cluster_id nullable). */
   def dbscan(pts: DataFrame, eps: Double, minPts: Long): DataFrame = {
-    val edges = epsEdges2D(pts, eps).localCheckpoint() // read 3× below
+    val edges = epsEdges2D(pts, eps).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // read 3× below
     val coreIds = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
       .filter(col("deg") >= minPts)
       .select(col("u").as("vec_id"))

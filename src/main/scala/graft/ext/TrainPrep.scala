@@ -139,7 +139,7 @@ object TrainPrep {
       .min(BigInt(1) << 48).toLong
     def candidates(us: DataFrame, pre: Option[Long]): DataFrame =
       negCandidates(us, userCol, items, itemCol, positives, pre)
-    val kept = candidates(users, Some(thr)).localCheckpoint()
+    val kept = candidates(users, Some(thr)).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val short = kept.groupBy(col(userCol))
       .agg(count(lit(1)).as("__k")).filter(col("__k") < m)
       .select(col(userCol))
@@ -516,7 +516,7 @@ object TrainPrep {
     // NINE times (measured in the formatted plan)
     val base = df.select(col(groupCol).as("g"), cents.as("c"), tie.as("tid"))
       .filter(col("c").isNotNull)
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def med2Of(in: DataFrame, v: String): DataFrame = {
       val w = Window.partitionBy(col("g")).orderBy(col(v).asc, col("tid").asc)
       val cnt = in.groupBy(col("g")).agg(count(lit(1)).as("n"))

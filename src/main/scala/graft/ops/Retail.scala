@@ -197,7 +197,7 @@ object Retail {
       .distinct()
       // four consumers (nOrders action, item census, both pair sides) —
       // uncut, the distinct subtree evaluates four times
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nOrders = baskets.select(col("oid")).distinct().count()
     val itemCnt = baskets.groupBy(col("item"))
       .agg(count(lit(1)).as("n_item"))

@@ -1,0 +1,200 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{GraftFunctions, KllCodec}
+
+/** Round-8 batch 1 pins: KLL sketch error bound + merge behavior, the q295
+  * gate verdicts, Adamic–Adar hand example, bootstrap weight distribution,
+  * padding-census conservation, Zipf slope sign. */
+class Batch51Spec extends SparkSpec {
+
+  import spark.implicits._
+
+  // ------------------------------------------------------------- KLL sketch
+
+  test("KLL: exact passthrough below capacity (no compaction ever fires)") {
+    val s = new KllCodec.State
+    (1 to 200).reverse.foreach(i => s.add(i.toDouble))
+    val qs = s.quantiles(Array(0.01, 0.5, 1.0))
+    // with no compaction the sketch holds every item: estimates are the
+    // exact order statistics ceil(q*n)
+    assert(qs(0) === 2.0) // ceil(0.01*200) = 2
+    assert(qs(1) === 100.0)
+    assert(qs(2) === 200.0)
+  }
+
+  test("KLL: rank error within 2% on 50k uniform + lognormal-ish values") {
+    def rankErr(values: IndexedSeq[Double]): Double = {
+      val s = new KllCodec.State
+      values.foreach(s.add)
+      val sorted = values.sorted
+      val n = values.length
+      KllCodec.Quantiles.map { q =>
+        val est = s.quantiles(Array(q))(0)
+        val rank = sorted.count(_ <= est).toDouble / n
+        math.abs(rank - q)
+      }.max
+    }
+    // deterministic pseudo-data (LCG), two shapes
+    var x = 12345L
+    def next(): Long = { x = x * 6364136223846793005L + 1442695040888963407L; x }
+    val uni = (1 to 50000).map(_ => ((next() >>> 11).toDouble / (1L << 53)))
+    val skew = uni.map(u => math.exp(6 * u)) // heavy right tail
+    assert(rankErr(uni) < 0.02, "uniform")
+    assert(rankErr(skew) < 0.02, "skewed")
+  }
+
+  test("KLL: merging partitioned sketches stays within the same bound") {
+    var x = 99L
+    def next(): Long = { x = x * 6364136223846793005L + 1442695040888963407L; x }
+    val values = (1 to 40000).map(_ => ((next() >>> 11).toDouble / (1L << 53)))
+    // 16 partial sketches, binary-merged like a partial-agg tree
+    val parts = values.grouped(2500).map { chunk =>
+      val s = new KllCodec.State
+      chunk.foreach(s.add)
+      s
+    }.toSeq
+    val merged = parts.reduce { (a, b) =>
+      // round-trip serialization on every merge, as the exec path does
+      val a2 = KllCodec.deserialize(KllCodec.serialize(a))
+      a2.mergeIn(KllCodec.deserialize(KllCodec.serialize(b)))
+      a2
+    }
+    assert(merged.n === 40000L)
+    val sorted = values.sorted
+    KllCodec.Quantiles.foreach { q =>
+      val est = merged.quantiles(Array(q))(0)
+      val rank = sorted.count(_ <= est).toDouble / values.length
+      assert(math.abs(rank - q) < 0.02, s"q=$q rank=$rank")
+    }
+  }
+
+  test("KLL: empty input yields NaNs; SQL agg matches direct state") {
+    val s = new KllCodec.State
+    assert(s.quantiles(Array(0.5))(0).isNaN)
+    GraftFunctions.register(spark)
+    val est = spark.range(1, 1001)
+      .select(col("id").cast("double").as("v"))
+      .agg(GraftFunctions.kllQuantiles(col("v")).as("e"))
+      .head().getSeq[Double](0)
+    // range is split across partitions whose partial sketches compact on
+    // merge, so p50 is approximate — but must stay within the 2% rank bound
+    assert(math.abs(est(3) - 500.0) <= 20.0, s"p50 ${est(3)}")
+  }
+
+  test("q295 gate: every verdict is TRUE at sf (self-judging oracle is honest)") {
+    val out = SparkEntry.queries("q295_kll_gate")(spark, sf).collect()
+    assert(out.length === 21) // 3 returnflags × 7 quantiles
+    assert(out.forall(r => r.getBoolean(r.fieldIndex("ok"))))
+  }
+
+  // ------------------------------------------------------ Adamic–Adar pairs
+
+  test("q293: hand-checked Adamic–Adar on a 3-user toy graph") {
+    // u1: {a,b}, u2: {a,b,c}, u3: {b,c} — capped deg = 2,3,2
+    val toy = Seq(
+      (1L, "a"), (1L, "b"),
+      (2L, "a"), (2L, "b"), (2L, "c"),
+      (3L, "b"), (3L, "c"))
+      .toDF("user_id", "item")
+    val w = toy.groupBy("user_id").agg(count(lit(1)).as("deg"))
+      .where(col("deg") >= 2)
+      .withColumn("w_q",
+        floor(lit(1000000.0) / log(col("deg").cast("double"))).cast("long"))
+    val scores = toy.as("a")
+      .join(toy.as("b"),
+        col("a.user_id") === col("b.user_id") && col("a.item") < col("b.item"))
+      .select(col("a.user_id").as("user_id"),
+        col("a.item").as("i1"), col("b.item").as("i2"))
+      .join(w.select("user_id", "w_q"), Seq("user_id"))
+      .groupBy("i1", "i2")
+      .agg(sum("w_q").as("s"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val w2 = math.floor(1e6 / math.log(2.0)).toLong // 1442695
+    val w3 = math.floor(1e6 / math.log(3.0)).toLong // 910239
+    assert(scores(("a", "b")) === w2 + w3) // shared by u1(deg2), u2(deg3)
+    assert(scores(("b", "c")) === w3 + w2) // u2, u3
+    assert(scores(("a", "c")) === w3)      // u2 only
+  }
+
+  test("q293 at sf: scores positive, pair keys canonical (i1 < i2)") {
+    val out = SparkEntry.queries("q293_adamic_adar")(spark, sf)
+    val rs = out.collect()
+    assert(rs.nonEmpty)
+    rs.foreach { r =>
+      assert(r.getString(0) < r.getString(1))
+      assert(r.getLong(r.fieldIndex("aa_score_q")) >=
+        2L * math.floor(1e6 / math.log(10.0)).toLong) // ≥2 shared, deg ≤ 10
+    }
+  }
+
+  // ------------------------------------------------------------- bootstrap
+
+  test("q296: Poisson(1) md5 weights ~ 37% zeros; replicate means bracket the sample mean") {
+    val o = Tables.orders(spark, sf)
+    val n = o.count()
+    val b = o.select(col("o_orderkey"),
+      explode(sequence(lit(0), lit(31))).as("b"))
+    val h = conv(substring(md5(concat(col("o_orderkey").cast("string"),
+      lit("_"), col("b").cast("string"))), 1, 12), 16, 10).cast("long")
+    val zeros = b.withColumn("h", h)
+      .where(col("h") < 103548857136060L).count()
+    val frac = zeros.toDouble / (n * 32)
+    assert(math.abs(frac - math.exp(-1)) < 0.02, s"zero-weight frac $frac")
+
+    val ci = SparkEntry.queries("q296_bootstrap_ci")(spark, sf).collect()
+    assert(ci.length === 5)
+    val means = Tables.orders(spark, sf).groupBy("o_orderpriority")
+      .agg(avg("o_totalprice").as("m")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    ci.foreach { r =>
+      val (lo, hi) = (r.getDouble(1), r.getDouble(2))
+      assert(lo < hi)
+      val m = means(r.getString(0))
+      // a ~94% CI from 32 replicates should contain the sample mean
+      assert(lo < m && m < hi, s"${r.getString(0)}: [$lo,$hi] vs $m")
+    }
+  }
+
+  // ------------------------------------------------------- padding census
+
+  test("q297: tokens conserved — kept + truncated = total; pad within cap") {
+    val docs = Tables.documents(spark, sf)
+      .select(size(split(col("text"), " ")).cast("long").as("n"))
+      .agg(sum("n")).head().getLong(0)
+    val out = SparkEntry.queries("q297_padding_census")(spark, sf).collect()
+    val kept = out.map(_.getLong(3)).sum
+    val trunc = out.map(_.getLong(5)).sum
+    assert(kept + trunc === docs)
+    out.foreach { r =>
+      val cap = r.getLong(1); val nd = r.getLong(2); val pad = r.getLong(4)
+      assert(pad >= 0 && pad < cap * nd)
+    }
+  }
+
+  // ------------------------------------------------------------ Zipf slope
+
+  test("q298: slope is negative and finite for every language") {
+    val out = SparkEntry.queries("q298_zipf_slope")(spark, sf).collect()
+    assert(out.length >= 3)
+    out.foreach { r =>
+      val s = r.getDouble(r.fieldIndex("zipf_slope"))
+      assert(!s.isNaN && !s.isInfinite)
+      assert(s < 0.0, s"${r.getString(0)} slope $s")
+    }
+  }
+
+  // ----------------------------------------------------------- l-diversity
+
+  test("q294: l_distinct never exceeds group size; flag consistent") {
+    val out = SparkEntry.queries("q294_ldiversity")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val n = r.getLong(r.fieldIndex("n_rows"))
+      val l = r.getLong(r.fieldIndex("l_distinct"))
+      assert(l >= 1 && l <= n)
+      assert(r.getBoolean(r.fieldIndex("meets_l3")) === (l >= 3))
+    }
+  }
+}
