@@ -742,7 +742,8 @@ object SparkEntry {
       Entries49.all.map(q => q.name -> q.fn) ++
       Entries50.all.map(q => q.name -> q.fn) ++
       Entries51.all.map(q => q.name -> q.fn) ++
-      Entries52.all.map(q => q.name -> q.fn)).toMap
+      Entries52.all.map(q => q.name -> q.fn) ++
+      Entries53.all.map(q => q.name -> q.fn)).toMap
 
   def oracleSql: Map[String, String] =
     (all.flatMap(q => q.sql.map(q.name -> _)) ++
@@ -796,5 +797,6 @@ object SparkEntry {
       Entries49.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries50.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries51.all.flatMap(q => q.sql.map(q.name -> _)) ++
-      Entries52.all.flatMap(q => q.sql.map(q.name -> _))).toMap
+      Entries52.all.flatMap(q => q.sql.map(q.name -> _)) ++
+      Entries53.all.flatMap(q => q.sql.map(q.name -> _))).toMap
 }
