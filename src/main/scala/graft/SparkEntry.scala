@@ -743,7 +743,8 @@ object SparkEntry {
       Entries50.all.map(q => q.name -> q.fn) ++
       Entries51.all.map(q => q.name -> q.fn) ++
       Entries52.all.map(q => q.name -> q.fn) ++
-      Entries53.all.map(q => q.name -> q.fn)).toMap
+      Entries53.all.map(q => q.name -> q.fn) ++
+      Entries54.all.map(q => q.name -> q.fn)).toMap
 
   def oracleSql: Map[String, String] =
     (all.flatMap(q => q.sql.map(q.name -> _)) ++
@@ -798,5 +799,6 @@ object SparkEntry {
       Entries50.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries51.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries52.all.flatMap(q => q.sql.map(q.name -> _)) ++
-      Entries53.all.flatMap(q => q.sql.map(q.name -> _))).toMap
+      Entries53.all.flatMap(q => q.sql.map(q.name -> _)) ++
+      Entries54.all.flatMap(q => q.sql.map(q.name -> _))).toMap
 }
