@@ -690,4 +690,56 @@ class ScalePostureSpec extends SparkSpec {
           w.treeString)
     }
   }
+
+  test("q309 equi-depth histogram plans NO single-partition window") {
+    val df = SparkEntry.queries("q309_equi_depth_hist")(spark, sf)
+    val ws = windows(df)
+    // the distributed CDF keeps a window only for the bucket-local running
+    // sum — partitioned by the value bucket, never global
+    assert(ws.nonEmpty, "expected the bucket-local running-sum window")
+    ws.foreach(w => assert(w.partitionSpec.nonEmpty,
+      "unpartitioned Window (all data to one task):\n" + w.treeString))
+    assert(df.collect().length === 8)
+  }
+
+  test("q295 KLL gate: sketch partial-aggregates map-side; gate join " +
+    "broadcasts the 21-row side") {
+    val df = SparkEntry.queries("q295_kll_gate")(spark, sf)
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    // TypedImperativeAggregate => ObjectHashAggregate with a partial pass
+    assert(plan.contains("ObjectHashAggregate"), plan.take(800))
+    assert(plan.contains("partial_kll_quantiles"),
+      "kll sketch must partial-aggregate before the shuffle")
+    // exact-rank verification joins the tiny gate relation by broadcast
+    assert(plan.contains("BroadcastHashJoin"),
+      "gate join must broadcast, got:\n" +
+        plan.linesIterator.filter(_.contains("Join")).mkString("\n"))
+    assert(df.collect().forall(_.getBoolean(3)))
+  }
+
+  test("q293 Adamic-Adar: the per-user recency cap is a WindowGroupLimit") {
+    val df = SparkEntry.queries("q293_adamic_adar")(spark, sf)
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    // rn <= 10 must prune inside the window sort, not after materializing
+    // every (user, item) row through the full window
+    assert(plan.contains("WindowGroupLimit"), "cap must push into the window")
+    assert(df.collect().nonEmpty)
+  }
+
+  test("q296 bootstrap: all 32 replicates ride one partial aggregation " +
+    "(no per-replicate shuffle)") {
+    val df = SparkEntry.queries("q296_bootstrap_ci")(spark, sf)
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    val exchanges = plan.linesIterator
+      .count(_.matches("""\(\d+\) Exchange.*"""))
+    // one shuffle to (priority, b) cells, one for the rank window on the
+    // 160-row replicate relation, one for the final per-priority collapse
+    assert(exchanges <= 3, s"expected <=3 exchanges, got $exchanges:\n" +
+      plan.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    assert(plan.contains("partial_sum") || plan.contains("HashAggregate"),
+      "replicate sums must partial-aggregate map-side")
+  }
 }
