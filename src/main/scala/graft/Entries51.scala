@@ -16,12 +16,15 @@ import graft.ExtEntries.Q
   */
 object Entries51 {
 
-  // Poisson(1) CDF cutoffs scaled to the 48-bit md5-prefix domain
-  // (floor(CDF(k) * 2^48) for k = 0..4; weight 5 beyond). Shared literal
-  // constants between the Spark side and the oracle SQL below.
+  // Poisson(1) CDF cutoffs scaled to the affine-hash modulus P = 1000003
+  // (floor(CDF(k) * P) for k = 0..4; weight 5 beyond). Shared literal
+  // constants between the Spark side and the oracle SQL below. The per-
+  // replicate uniform is (hashA(b)·h + hashB(b)) mod P over ONE 48-bit md5
+  // per ROW — the Kirsch–Mitzenmacher discipline the CMS and minhash
+  // families already use, so the 32-replicate fan-out costs one digest,
+  // not 32.
   private val PoissonCut: Seq[Long] = Seq(
-    103548857136060L, 207097714272121L, 258872142840152L,
-    276130285696162L, 280444821410164L)
+    367880L, 735761L, 919701L, 981014L, 996343L)
 
   private val BootB = 32 // bootstrap replicates
 
@@ -169,21 +172,23 @@ object Entries51 {
     // DETERMINISTIC POISSON-BOOTSTRAP CI for mean order value per priority
     // (Efron resampling in its shuffle-friendly form: instead of drawing B
     // samples-with-replacement — a full repartition per replicate — each row
-    // gets a Poisson(1) multiplicity per replicate from a 48-bit md5
-    // uniform, so all B replicate sums ride ONE map-side partial
-    // aggregation). The md5→weight cutoffs are shared integer literals with
-    // the oracle. CI = 2nd / 31st order statistic of the 32 replicate means
+    // gets a Poisson(1) multiplicity per replicate from an affine hash of
+    // ONE 48-bit md5 per row, so all B replicate sums ride ONE map-side
+    // partial aggregation and one digest). The cutoffs are shared integer
+    // literals with the oracle. CI = 2nd / 31st order statistic of the 32 replicate means
     // (a ~94% interval); replicate selection is rank-based, not value-based,
     // so it is deterministic under ties.
     Q("q296_bootstrap_ci",
       (s, d) => {
         val o = Tables.orders(s, d)
-        val b = o.select(col("o_orderpriority"), col("o_orderkey"),
-          col("o_totalprice"),
+        // ONE md5 per row; replicate b derives its uniform by the shared
+        // affine family (hashA/hashB mod P) — 1/32nd the digest cost
+        val b = o.select(col("o_orderpriority"), col("o_totalprice"),
+          conv(substring(md5(col("o_orderkey").cast("string")), 1, 12),
+            16, 10).cast("long").as("h0"),
           explode(sequence(lit(0), lit(BootB - 1))).as("b"))
-        val h = conv(substring(md5(
-          concat(col("o_orderkey").cast("string"), lit("_"),
-            col("b").cast("string"))), 1, 12), 16, 10).cast("long")
+        val h = (col("h0") * (col("b") * 101L + 37L) +
+          (col("b") * 577L + 89L)) % graft.ext.Dedup.P
         val w = when(h < PoissonCut(0), 0L)
           .when(h < PoissonCut(1), 1L)
           .when(h < PoissonCut(2), 2L)
@@ -215,9 +220,13 @@ object Entries51 {
               |        ELSE 5 END AS w
               |    FROM (
               |      SELECT o_orderpriority, o_totalprice, b,
-              |        ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)
-              |          || '_' || CAST(b AS VARCHAR)), 1, 12))::BIGINT AS h
-              |      FROM orders
+              |        (h0 * (b * 101 + 37) + (b * 577 + 89))
+              |          % ${graft.ext.Dedup.P} AS h
+              |      FROM (
+              |        SELECT o_orderpriority, o_totalprice,
+              |          ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)),
+              |            1, 12))::BIGINT AS h0
+              |        FROM orders)
               |      CROSS JOIN (SELECT unnest(range(0, $BootB)) AS b)))
               |  GROUP BY 1, 2),
               |ranked AS (

@@ -131,15 +131,18 @@ class Batch51Spec extends SparkSpec {
 
   // ------------------------------------------------------------- bootstrap
 
-  test("q296: Poisson(1) md5 weights ~ 37% zeros; replicate means bracket the sample mean") {
+  test("q296: Poisson(1) affine weights ~ 37% zeros; replicate means bracket the sample mean") {
     val o = Tables.orders(spark, sf)
     val n = o.count()
-    val b = o.select(col("o_orderkey"),
+    // replicate the query's scheme: ONE md5 per row, per-replicate affine
+    val b = o.select(
+      conv(substring(md5(col("o_orderkey").cast("string")), 1, 12), 16, 10)
+        .cast("long").as("h0"),
       explode(sequence(lit(0), lit(31))).as("b"))
-    val h = conv(substring(md5(concat(col("o_orderkey").cast("string"),
-      lit("_"), col("b").cast("string"))), 1, 12), 16, 10).cast("long")
+    val h = (col("h0") * (col("b") * 101L + 37L) +
+      (col("b") * 577L + 89L)) % graft.ext.Dedup.P
     val zeros = b.withColumn("h", h)
-      .where(col("h") < 103548857136060L).count()
+      .where(col("h") < 367880L).count()
     val frac = zeros.toDouble / (n * 32)
     assert(math.abs(frac - math.exp(-1)) < 0.02, s"zero-weight frac $frac")
 
