@@ -744,7 +744,8 @@ object SparkEntry {
       Entries51.all.map(q => q.name -> q.fn) ++
       Entries52.all.map(q => q.name -> q.fn) ++
       Entries53.all.map(q => q.name -> q.fn) ++
-      Entries54.all.map(q => q.name -> q.fn)).toMap
+      Entries54.all.map(q => q.name -> q.fn) ++
+      Entries55.all.map(q => q.name -> q.fn)).toMap
 
   def oracleSql: Map[String, String] =
     (all.flatMap(q => q.sql.map(q.name -> _)) ++
@@ -800,5 +801,6 @@ object SparkEntry {
       Entries51.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries52.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries53.all.flatMap(q => q.sql.map(q.name -> _)) ++
-      Entries54.all.flatMap(q => q.sql.map(q.name -> _))).toMap
+      Entries54.all.flatMap(q => q.sql.map(q.name -> _)) ++
+      Entries55.all.flatMap(q => q.sql.map(q.name -> _))).toMap
 }

@@ -30,7 +30,8 @@ object GraftFunctions {
     "bitmap_contains" -> (exprs => BitmapContains(exprs(0), exprs(1))),
     "bitmap_and" -> (exprs => BitmapAnd(exprs(0), exprs(1))),
     "cms_sketch" -> (exprs => CmsSketchAgg(exprs.head)),
-    "kll_quantiles" -> (exprs => KllQuantilesAgg(exprs.head)))
+    "kll_quantiles" -> (exprs => KllQuantilesAgg(exprs.head)),
+    "char_grams" -> (exprs => CharGrams(exprs(0), exprs(1))))
 
   /** Second arg of graft_word_stats is a foldable array of string literals
     * (the stopword vocabulary) — evaluated once at resolution time. */
