@@ -745,7 +745,8 @@ object SparkEntry {
       Entries52.all.map(q => q.name -> q.fn) ++
       Entries53.all.map(q => q.name -> q.fn) ++
       Entries54.all.map(q => q.name -> q.fn) ++
-      Entries55.all.map(q => q.name -> q.fn)).toMap
+      Entries55.all.map(q => q.name -> q.fn) ++
+      Entries56.all.map(q => q.name -> q.fn)).toMap
 
   def oracleSql: Map[String, String] =
     (all.flatMap(q => q.sql.map(q.name -> _)) ++
@@ -802,5 +803,6 @@ object SparkEntry {
       Entries52.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries53.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries54.all.flatMap(q => q.sql.map(q.name -> _)) ++
-      Entries55.all.flatMap(q => q.sql.map(q.name -> _))).toMap
+      Entries55.all.flatMap(q => q.sql.map(q.name -> _)) ++
+      Entries56.all.flatMap(q => q.sql.map(q.name -> _))).toMap
 }

@@ -31,7 +31,9 @@ object GraftFunctions {
     "bitmap_and" -> (exprs => BitmapAnd(exprs(0), exprs(1))),
     "cms_sketch" -> (exprs => CmsSketchAgg(exprs.head)),
     "kll_quantiles" -> (exprs => KllQuantilesAgg(exprs.head)),
-    "char_grams" -> (exprs => CharGrams(exprs(0), exprs(1))))
+    "char_grams" -> (exprs => CharGrams(exprs(0), exprs(1))),
+    "kll_sketch" -> (exprs => KllSketchAgg(exprs.head)),
+    "kll_merge_quantiles" -> (exprs => KllMergeQuantilesAgg(exprs.head)))
 
   /** Second arg of graft_word_stats is a foldable array of string literals
     * (the stopword vocabulary) — evaluated once at resolution time. */
@@ -107,6 +109,12 @@ object GraftFunctions {
     * error-bound contract. */
   def kllQuantiles(c: Column): Column =
     org.apache.spark.sql.functions.call_function("kll_quantiles", c)
+
+  def kllSketch(c: Column): Column =
+    org.apache.spark.sql.functions.call_function("kll_sketch", c)
+
+  def kllMergeQuantiles(c: Column): Column =
+    org.apache.spark.sql.functions.call_function("kll_merge_quantiles", c)
 
   /** Point estimate from a [[CmsSketchAgg]] sketch — fully declarative
     * (md5-prefix double hashing + `element_at`, mirroring CmsCodec exactly),

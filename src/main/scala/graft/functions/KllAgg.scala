@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType}
 
 /** KLL-style streaming quantile sketch (Karnin, Lang & Liberty, FOCS 2016)
   * as a MERGEABLE `TypedImperativeAggregate` — the missing member of the
@@ -176,6 +176,100 @@ object KllCodec {
     }
     s
   }
+}
+
+/** `kll_sketch(value_col)` → BINARY serialized sketch state — the
+  * store-and-rollup form (the bitmap_sketch analogue): persist one blob per
+  * (group × day) cell, then OR them up the rollup tree with
+  * [[KllMergeQuantilesAgg]] without touching the fact table again. */
+case class KllSketchAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KllCodec.State]
+  with UnaryLike[Expression] {
+
+  require(child.dataType == DoubleType,
+    s"kll_sketch takes a DOUBLE column, got ${child.dataType}")
+
+  override def createAggregationBuffer(): KllCodec.State = new KllCodec.State
+
+  override def update(b: KllCodec.State, input: InternalRow): KllCodec.State = {
+    val v = child.eval(input)
+    if (v != null) b.add(v.asInstanceOf[Double])
+    b
+  }
+
+  override def merge(b1: KllCodec.State, b2: KllCodec.State): KllCodec.State = {
+    b1.mergeIn(b2)
+    b1
+  }
+
+  override def eval(b: KllCodec.State): Any = KllCodec.serialize(b)
+
+  override def serialize(b: KllCodec.State): Array[Byte] = KllCodec.serialize(b)
+  override def deserialize(bytes: Array[Byte]): KllCodec.State =
+    KllCodec.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(offset: Int): KllSketchAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): KllSketchAgg =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildInternal(newChild: Expression): KllSketchAgg =
+    copy(child = newChild)
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "kll_sketch"
+}
+
+/** `kll_merge_quantiles(sketch_col)` → ARRAY<DOUBLE>: merges serialized
+  * [[KllSketchAgg]] blobs (level-wise concatenation + recompaction — the
+  * same mergeIn the exec path uses) and evaluates [[KllCodec.Quantiles]].
+  * The re-aggregation completing the KLL algebra the way BitmapMergeAgg
+  * completes the bitmap's. */
+case class KllMergeQuantilesAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KllCodec.State]
+  with UnaryLike[Expression] {
+
+  require(child.dataType == BinaryType,
+    s"kll_merge_quantiles takes a BINARY sketch, got ${child.dataType}")
+
+  override def createAggregationBuffer(): KllCodec.State = new KllCodec.State
+
+  override def update(b: KllCodec.State, input: InternalRow): KllCodec.State = {
+    val v = child.eval(input)
+    if (v != null)
+      b.mergeIn(KllCodec.deserialize(v.asInstanceOf[Array[Byte]]))
+    b
+  }
+
+  override def merge(b1: KllCodec.State, b2: KllCodec.State): KllCodec.State = {
+    b1.mergeIn(b2)
+    b1
+  }
+
+  override def eval(b: KllCodec.State): Any =
+    new GenericArrayData(b.quantiles(KllCodec.Quantiles))
+
+  override def serialize(b: KllCodec.State): Array[Byte] = KllCodec.serialize(b)
+  override def deserialize(bytes: Array[Byte]): KllCodec.State =
+    KllCodec.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(offset: Int): KllMergeQuantilesAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): KllMergeQuantilesAgg =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildInternal(
+      newChild: Expression): KllMergeQuantilesAgg =
+    copy(child = newChild)
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "kll_merge_quantiles"
 }
 
 /** `kll_quantiles(value_col)` → ARRAY<DOUBLE> of the estimates at
