@@ -746,7 +746,8 @@ object SparkEntry {
       Entries53.all.map(q => q.name -> q.fn) ++
       Entries54.all.map(q => q.name -> q.fn) ++
       Entries55.all.map(q => q.name -> q.fn) ++
-      Entries56.all.map(q => q.name -> q.fn)).toMap
+      Entries56.all.map(q => q.name -> q.fn) ++
+      Entries57.all.map(q => q.name -> q.fn)).toMap
 
   def oracleSql: Map[String, String] =
     (all.flatMap(q => q.sql.map(q.name -> _)) ++
@@ -804,5 +805,6 @@ object SparkEntry {
       Entries53.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries54.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries55.all.flatMap(q => q.sql.map(q.name -> _)) ++
-      Entries56.all.flatMap(q => q.sql.map(q.name -> _))).toMap
+      Entries56.all.flatMap(q => q.sql.map(q.name -> _)) ++
+      Entries57.all.flatMap(q => q.sql.map(q.name -> _))).toMap
 }
