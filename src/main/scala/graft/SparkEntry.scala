@@ -747,7 +747,8 @@ object SparkEntry {
       Entries54.all.map(q => q.name -> q.fn) ++
       Entries55.all.map(q => q.name -> q.fn) ++
       Entries56.all.map(q => q.name -> q.fn) ++
-      Entries57.all.map(q => q.name -> q.fn)).toMap
+      Entries57.all.map(q => q.name -> q.fn) ++
+      Entries58.all.map(q => q.name -> q.fn)).toMap
 
   def oracleSql: Map[String, String] =
     (all.flatMap(q => q.sql.map(q.name -> _)) ++
@@ -806,5 +807,6 @@ object SparkEntry {
       Entries54.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries55.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries56.all.flatMap(q => q.sql.map(q.name -> _)) ++
-      Entries57.all.flatMap(q => q.sql.map(q.name -> _))).toMap
+      Entries57.all.flatMap(q => q.sql.map(q.name -> _)) ++
+      Entries58.all.flatMap(q => q.sql.map(q.name -> _))).toMap
 }
