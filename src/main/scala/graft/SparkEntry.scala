@@ -748,7 +748,8 @@ object SparkEntry {
       Entries55.all.map(q => q.name -> q.fn) ++
       Entries56.all.map(q => q.name -> q.fn) ++
       Entries57.all.map(q => q.name -> q.fn) ++
-      Entries58.all.map(q => q.name -> q.fn)).toMap
+      Entries58.all.map(q => q.name -> q.fn) ++
+      Entries59.all.map(q => q.name -> q.fn)).toMap
 
   def oracleSql: Map[String, String] =
     (all.flatMap(q => q.sql.map(q.name -> _)) ++
@@ -808,5 +809,6 @@ object SparkEntry {
       Entries55.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries56.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries57.all.flatMap(q => q.sql.map(q.name -> _)) ++
-      Entries58.all.flatMap(q => q.sql.map(q.name -> _))).toMap
+      Entries58.all.flatMap(q => q.sql.map(q.name -> _)) ++
+      Entries59.all.flatMap(q => q.sql.map(q.name -> _))).toMap
 }
