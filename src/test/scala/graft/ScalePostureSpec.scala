@@ -742,4 +742,64 @@ class ScalePostureSpec extends SparkSpec {
     assert(plan.contains("partial_sum") || plan.contains("HashAggregate"),
       "replicate sums must partial-aggregate map-side")
   }
+
+  test("q321 Spearman rank windows consume the REDUCED value domain " +
+    "(aggregate below every window)") {
+    val df = SparkEntry.queries("q321_spearman_corr")(spark, sf)
+    val ws = windows(df)
+    assert(ws.nonEmpty, "expected the cumulative-rank windows")
+    ws.foreach { w =>
+      assert(w.partitionSpec.nonEmpty,
+        "unpartitioned Window:\n" + w.treeString)
+      val aggBelow = w.child.collectFirst {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+      }
+      assert(aggBelow.isDefined,
+        "rank window consumes raw rows (no aggregate below):\n" +
+          w.treeString)
+    }
+  }
+
+  test("q335/q337: every window in the privacy/eval curves sits above " +
+    "an aggregate (bucket/score domain, never raw rows)") {
+    for (name <- Seq("q335_tcloseness", "q337_pr_points")) {
+      val df = SparkEntry.queries(name)(spark, sf)
+      val ws = windows(df)
+      assert(ws.nonEmpty, s"$name: expected cumulative-CDF windows")
+      ws.foreach { w =>
+        val aggBelow = w.child.collectFirst {
+          case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+            a
+        }
+        assert(aggBelow.isDefined,
+          s"$name window consumes raw rows (no aggregate below):\n" +
+            w.treeString)
+      }
+    }
+  }
+
+  test("q327 SQ8: probe side broadcasts; the corpus is never shuffled " +
+    "for the distance join") {
+    val df = SparkEntry.queries("q327_sq8_recall")(spark, sf)
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"),
+      "probe set must broadcast:\n" +
+        plan.linesIterator.filter(_.contains("Join")).mkString("\n"))
+  }
+
+  test("q338 Hilbert key is one whole-stage-codegen map pass (no " +
+    "exchange, no window)") {
+    val df = SparkEntry.queries("q338_hilbert_key")(spark, sf)
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    val exchanges = plan.linesIterator
+      .count(_.matches("""\(\d+\) Exchange.*"""))
+    assert(exchanges === 0, s"layout keying must not shuffle:\n$plan")
+    assert(windows(df).isEmpty, "layout keying must not window")
+    // formatted mode prefixes codegen'd operators with '*'
+    assert(plan.linesIterator.exists(_.matches("""\s*\*+\s*Project.*""")),
+      s"the unrolled walk must stay inside codegen:\n$plan")
+  }
 }
