@@ -749,7 +749,8 @@ object SparkEntry {
       Entries56.all.map(q => q.name -> q.fn) ++
       Entries57.all.map(q => q.name -> q.fn) ++
       Entries58.all.map(q => q.name -> q.fn) ++
-      Entries59.all.map(q => q.name -> q.fn)).toMap
+      Entries59.all.map(q => q.name -> q.fn) ++
+      Entries60.all.map(q => q.name -> q.fn)).toMap
 
   def oracleSql: Map[String, String] =
     (all.flatMap(q => q.sql.map(q.name -> _)) ++
@@ -810,5 +811,6 @@ object SparkEntry {
       Entries56.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries57.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries58.all.flatMap(q => q.sql.map(q.name -> _)) ++
-      Entries59.all.flatMap(q => q.sql.map(q.name -> _))).toMap
+      Entries59.all.flatMap(q => q.sql.map(q.name -> _)) ++
+      Entries60.all.flatMap(q => q.sql.map(q.name -> _))).toMap
 }
