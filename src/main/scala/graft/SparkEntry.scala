@@ -750,7 +750,8 @@ object SparkEntry {
       Entries57.all.map(q => q.name -> q.fn) ++
       Entries58.all.map(q => q.name -> q.fn) ++
       Entries59.all.map(q => q.name -> q.fn) ++
-      Entries60.all.map(q => q.name -> q.fn)).toMap
+      Entries60.all.map(q => q.name -> q.fn) ++
+      Entries61.all.map(q => q.name -> q.fn)).toMap
 
   def oracleSql: Map[String, String] =
     (all.flatMap(q => q.sql.map(q.name -> _)) ++
@@ -812,5 +813,6 @@ object SparkEntry {
       Entries57.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries58.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries59.all.flatMap(q => q.sql.map(q.name -> _)) ++
-      Entries60.all.flatMap(q => q.sql.map(q.name -> _))).toMap
+      Entries60.all.flatMap(q => q.sql.map(q.name -> _)) ++
+      Entries61.all.flatMap(q => q.sql.map(q.name -> _))).toMap
 }
