@@ -58,9 +58,12 @@ object Bench {
     // as null (this killed rounds 1–3).
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
-      s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"queries":$fullQs,"sf":"$sfDir"}"""
-        .getBytes("UTF-8"))
+    // only FULL runs refresh the committed snapshot — a dev-filtered run
+    // overwriting it with a 6-query file misstated a whole round's bench
+    if (args.isEmpty)
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+        s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"queries":$fullQs,"sf":"$sfDir"}"""
+          .getBytes("UTF-8"))
     // One-line summary: numeric-prefix keys ("q47_asof_join_native" → "q47",
     // prefixes are unique across the suite), 3-decimal values; if the suite
     // ever outgrows the budget, drop the FASTEST entries first so the line

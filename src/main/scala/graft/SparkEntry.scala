@@ -751,7 +751,9 @@ object SparkEntry {
       Entries58.all.map(q => q.name -> q.fn) ++
       Entries59.all.map(q => q.name -> q.fn) ++
       Entries60.all.map(q => q.name -> q.fn) ++
-      Entries61.all.map(q => q.name -> q.fn)).toMap
+      Entries61.all.map(q => q.name -> q.fn) ++
+      Entries62.all.map(q => q.name -> q.fn) ++
+      Entries63.all.map(q => q.name -> q.fn)).toMap
 
   def oracleSql: Map[String, String] =
     (all.flatMap(q => q.sql.map(q.name -> _)) ++
@@ -814,5 +816,7 @@ object SparkEntry {
       Entries58.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries59.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries60.all.flatMap(q => q.sql.map(q.name -> _)) ++
-      Entries61.all.flatMap(q => q.sql.map(q.name -> _))).toMap
+      Entries61.all.flatMap(q => q.sql.map(q.name -> _)) ++
+      Entries62.all.flatMap(q => q.sql.map(q.name -> _)) ++
+      Entries63.all.flatMap(q => q.sql.map(q.name -> _))).toMap
 }
