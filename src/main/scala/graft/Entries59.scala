@@ -25,7 +25,7 @@ object Entries59 {
     * accumulate walk, unrolled over bit planes. Input cols hx, hy in
     * [0, 256); adds hd and consumes hx/hy. All simultaneous-select (the
     * new hx needs the OLD hy), hence withColumns per step. */
-  private def hilbertD(df0: DataFrame): DataFrame =
+  private[graft] def hilbertD(df0: DataFrame): DataFrame =
     HilbertSteps.foldLeft(df0.withColumn("hd", lit(0L))) { (cur, s) =>
       cur
         .withColumns(Map(
@@ -49,7 +49,7 @@ object Entries59 {
 
   /** The identical walk as a DuckDB CTE chain h0 → h8 (h0 must provide
     * o_orderkey, x, y). */
-  private def hilbertCte: String = {
+  private[graft] def hilbertCte: String = {
     val steps = HilbertSteps.zipWithIndex.map { case (s, i) =>
       s"""r$i AS (
          |  SELECT o_orderkey, x, y, hx, hy, hd,
@@ -262,8 +262,11 @@ object Entries59 {
     Q("q336_did_estimator",
       (s, d) => {
         val ev = Tables.events(s, d)
-        val mid = ev.agg(((min(col("ts_us")) + max(col("ts_us")))
-          / lit(2L)).cast("long").as("mid_us"))
+        // integer DIV, not `/`: epoch-2024 micros sum to ~3.4e18, past
+        // double's 2^53 mantissa — a float midpoint can differ from the
+        // oracle's exact // by hundreds of microseconds
+        val mid = ev.agg(expr("(min(ts_us) + max(ts_us)) DIV 2")
+          .as("mid_us"))
         val cells = ev.filter(col("event_type") === "purchase")
           .crossJoin(broadcast(mid))
           .select((col("user_id") % 2 === 1).cast("int").as("treat"),

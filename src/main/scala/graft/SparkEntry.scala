@@ -753,7 +753,8 @@ object SparkEntry {
       Entries60.all.map(q => q.name -> q.fn) ++
       Entries61.all.map(q => q.name -> q.fn) ++
       Entries62.all.map(q => q.name -> q.fn) ++
-      Entries63.all.map(q => q.name -> q.fn)).toMap
+      Entries63.all.map(q => q.name -> q.fn) ++
+      Entries64.all.map(q => q.name -> q.fn)).toMap
 
   def oracleSql: Map[String, String] =
     (all.flatMap(q => q.sql.map(q.name -> _)) ++
@@ -818,5 +819,6 @@ object SparkEntry {
       Entries60.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries61.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries62.all.flatMap(q => q.sql.map(q.name -> _)) ++
-      Entries63.all.flatMap(q => q.sql.map(q.name -> _))).toMap
+      Entries63.all.flatMap(q => q.sql.map(q.name -> _)) ++
+      Entries64.all.flatMap(q => q.sql.map(q.name -> _))).toMap
 }
