@@ -754,7 +754,8 @@ object SparkEntry {
       Entries61.all.map(q => q.name -> q.fn) ++
       Entries62.all.map(q => q.name -> q.fn) ++
       Entries63.all.map(q => q.name -> q.fn) ++
-      Entries64.all.map(q => q.name -> q.fn)).toMap
+      Entries64.all.map(q => q.name -> q.fn) ++
+      Entries65.all.map(q => q.name -> q.fn)).toMap
 
   def oracleSql: Map[String, String] =
     (all.flatMap(q => q.sql.map(q.name -> _)) ++
@@ -820,5 +821,6 @@ object SparkEntry {
       Entries61.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries62.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries63.all.flatMap(q => q.sql.map(q.name -> _)) ++
-      Entries64.all.flatMap(q => q.sql.map(q.name -> _))).toMap
+      Entries64.all.flatMap(q => q.sql.map(q.name -> _)) ++
+      Entries65.all.flatMap(q => q.sql.map(q.name -> _))).toMap
 }
