@@ -755,7 +755,8 @@ object SparkEntry {
       Entries62.all.map(q => q.name -> q.fn) ++
       Entries63.all.map(q => q.name -> q.fn) ++
       Entries64.all.map(q => q.name -> q.fn) ++
-      Entries65.all.map(q => q.name -> q.fn)).toMap
+      Entries65.all.map(q => q.name -> q.fn) ++
+      Entries66.all.map(q => q.name -> q.fn)).toMap
 
   def oracleSql: Map[String, String] =
     (all.flatMap(q => q.sql.map(q.name -> _)) ++
@@ -822,5 +823,6 @@ object SparkEntry {
       Entries62.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries63.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries64.all.flatMap(q => q.sql.map(q.name -> _)) ++
-      Entries65.all.flatMap(q => q.sql.map(q.name -> _))).toMap
+      Entries65.all.flatMap(q => q.sql.map(q.name -> _)) ++
+      Entries66.all.flatMap(q => q.sql.map(q.name -> _))).toMap
 }
