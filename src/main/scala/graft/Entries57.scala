@@ -31,12 +31,12 @@ object Entries57 {
 
   /** token counts per (doc_id, tok) — the shared reduced relation for the
     * text-quality family (one explode, then everything is aggregates). */
-  private def tokenCounts(docs: DataFrame): DataFrame =
+  private[graft] def tokenCounts(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
         explode(split(trim(col("text")), "\\s+")).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
 
-  private val tokenCountsCte =
+  private[graft] val tokenCountsCte =
     """tc AS (
       |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS cnt
       |  FROM (SELECT doc_id,

@@ -756,7 +756,8 @@ object SparkEntry {
       Entries63.all.map(q => q.name -> q.fn) ++
       Entries64.all.map(q => q.name -> q.fn) ++
       Entries65.all.map(q => q.name -> q.fn) ++
-      Entries66.all.map(q => q.name -> q.fn)).toMap
+      Entries66.all.map(q => q.name -> q.fn) ++
+      Entries67.all.map(q => q.name -> q.fn)).toMap
 
   def oracleSql: Map[String, String] =
     (all.flatMap(q => q.sql.map(q.name -> _)) ++
@@ -824,5 +825,6 @@ object SparkEntry {
       Entries63.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries64.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries65.all.flatMap(q => q.sql.map(q.name -> _)) ++
-      Entries66.all.flatMap(q => q.sql.map(q.name -> _))).toMap
+      Entries66.all.flatMap(q => q.sql.map(q.name -> _)) ++
+      Entries67.all.flatMap(q => q.sql.map(q.name -> _))).toMap
 }
