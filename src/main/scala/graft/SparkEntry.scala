@@ -757,7 +757,8 @@ object SparkEntry {
       Entries64.all.map(q => q.name -> q.fn) ++
       Entries65.all.map(q => q.name -> q.fn) ++
       Entries66.all.map(q => q.name -> q.fn) ++
-      Entries67.all.map(q => q.name -> q.fn)).toMap
+      Entries67.all.map(q => q.name -> q.fn) ++
+      Entries68.all.map(q => q.name -> q.fn)).toMap
 
   def oracleSql: Map[String, String] =
     (all.flatMap(q => q.sql.map(q.name -> _)) ++
@@ -826,5 +827,6 @@ object SparkEntry {
       Entries64.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries65.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries66.all.flatMap(q => q.sql.map(q.name -> _)) ++
-      Entries67.all.flatMap(q => q.sql.map(q.name -> _))).toMap
+      Entries67.all.flatMap(q => q.sql.map(q.name -> _)) ++
+      Entries68.all.flatMap(q => q.sql.map(q.name -> _))).toMap
 }
