@@ -758,7 +758,8 @@ object SparkEntry {
       Entries65.all.map(q => q.name -> q.fn) ++
       Entries66.all.map(q => q.name -> q.fn) ++
       Entries67.all.map(q => q.name -> q.fn) ++
-      Entries68.all.map(q => q.name -> q.fn)).toMap
+      Entries68.all.map(q => q.name -> q.fn) ++
+      Entries69.all.map(q => q.name -> q.fn)).toMap
 
   def oracleSql: Map[String, String] =
     (all.flatMap(q => q.sql.map(q.name -> _)) ++
@@ -828,5 +829,6 @@ object SparkEntry {
       Entries65.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries66.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries67.all.flatMap(q => q.sql.map(q.name -> _)) ++
-      Entries68.all.flatMap(q => q.sql.map(q.name -> _))).toMap
+      Entries68.all.flatMap(q => q.sql.map(q.name -> _)) ++
+      Entries69.all.flatMap(q => q.sql.map(q.name -> _))).toMap
 }
