@@ -30,12 +30,13 @@ object Entries69 {
 
     // CORPUS DIVERGENCE, rational form: triangular discrimination between
     // each language's token distribution and the corpus-wide distribution,
-    // Δ(p,q) = Σ_tok (p−q)²/(p+q) ∈ [0,2]. The token grid is |langs| ×
-    // |vocab| (a REDUCED domain — vocabulary, not rows); absent (lang,tok)
-    // cells enter as exact zeros via the grid left-join; the corpus mixture
-    // q is never zero on the grid, so the denominator needs no guard. Each
-    // term is quantized to pico grain as a BIGINT before the per-language
-    // sum, so the total is order-free.
+    // Δ(p,q) = Σ_tok (p−q)²/(p+q) ∈ [0,2]. NO lang×vocab grid is ever
+    // built (broadcasting a 100 TB corpus vocabulary is the anti-shape):
+    // tokens ABSENT from a language contribute exactly q = c/C each, so
+    // their total is the closed form (C − Σ_present c)/C and only the
+    // PRESENT (lang,tok) cells are enumerated. Present terms are quantized
+    // to pico grain as BIGINTs before the per-language sum (order-free);
+    // the absent remainder is one more bit-exact division.
     Q("q393_corpus_divergence",
       (s, d) => {
         val docs = Tables.documents(s, d)
@@ -45,16 +46,19 @@ object Entries69 {
         val corpus = tl.groupBy(col("tok")).agg(sum(col("a")).as("c"))
         val langTot = tl.groupBy(col("lang")).agg(sum(col("a")).as("la"))
         val ctot = corpus.agg(sum(col("c")).as("lc"))
-        val grid = langTot.crossJoin(broadcast(corpus))
-          .join(tl, Seq("lang", "tok"), "left")
-          .withColumn("a", coalesce(col("a"), lit(0L)))
+        val present = tl.join(corpus, Seq("tok"))
+          .join(broadcast(langTot), Seq("lang"))
           .crossJoin(broadcast(ctot))
-        grid.selectExpr("lang", "tok", "a", "la", "c", "lc",
+        present.selectExpr("lang", "la", "lc", "c",
             s"$tdTermStr AS term_pico")
           .groupBy(col("lang")).agg(
             max(col("la")).as("n_tokens"),
-            sum(when(col("a") > 0L, 1L).otherwise(0L)).as("vocab_lang"),
-            sum(col("term_pico")).as("td_pico"))
+            count(lit(1)).as("vocab_lang"),
+            sum(col("term_pico")).as("present_pico"),
+            max(col("lc")).as("lc"),
+            sum(col("c")).as("c_present"))
+          .selectExpr("lang", "n_tokens", "vocab_lang",
+            "present_pico + CAST(floor(CAST(lc - c_present AS DOUBLE) / lc * 1000000000000) AS BIGINT) AS td_pico")
       },
       Some(s"""WITH ${Entries57.tokenCountsCte},
               |tl AS (
@@ -66,17 +70,22 @@ object Entries69 {
               |lt AS (
               |  SELECT lang, CAST(sum(a) AS BIGINT) AS la FROM tl GROUP BY 1),
               |ct AS (SELECT CAST(sum(c) AS BIGINT) AS lc FROM corpus),
-              |grid AS (
-              |  SELECT lt.lang, corpus.tok, coalesce(tl.a, 0) AS a,
-              |    lt.la, corpus.c, ct.lc
-              |  FROM lt CROSS JOIN corpus
-              |  LEFT JOIN tl ON tl.lang = lt.lang AND tl.tok = corpus.tok
-              |  CROSS JOIN ct)
-              |SELECT lang, CAST(max(la) AS BIGINT) AS n_tokens,
-              |  CAST(sum(CASE WHEN a > 0 THEN 1 ELSE 0 END) AS BIGINT)
-              |    AS vocab_lang,
-              |  CAST(sum($tdTermStr) AS BIGINT) AS td_pico
-              |FROM grid GROUP BY 1""".stripMargin)),
+              |present AS (
+              |  SELECT tl.lang, tl.a, lt.la, corpus.c, ct.lc
+              |  FROM tl JOIN corpus USING (tok)
+              |  JOIN lt ON lt.lang = tl.lang
+              |  CROSS JOIN ct),
+              |agg AS (
+              |  SELECT lang, CAST(max(la) AS BIGINT) AS n_tokens,
+              |    CAST(count(*) AS BIGINT) AS vocab_lang,
+              |    CAST(sum($tdTermStr) AS BIGINT) AS present_pico,
+              |    CAST(max(lc) AS BIGINT) AS lc,
+              |    CAST(sum(c) AS BIGINT) AS c_present
+              |  FROM present GROUP BY 1)
+              |SELECT lang, n_tokens, vocab_lang,
+              |  present_pico + CAST(floor(CAST(lc - c_present AS DOUBLE)
+              |    / lc * 1000000000000) AS BIGINT) AS td_pico
+              |FROM agg""".stripMargin)),
 
     // SOURCE VOCABULARY MARGINAL (leave-one-source-out value): for each
     // ingest source, the vocabulary types that would VANISH from the corpus
