@@ -759,7 +759,8 @@ object SparkEntry {
       Entries66.all.map(q => q.name -> q.fn) ++
       Entries67.all.map(q => q.name -> q.fn) ++
       Entries68.all.map(q => q.name -> q.fn) ++
-      Entries69.all.map(q => q.name -> q.fn)).toMap
+      Entries69.all.map(q => q.name -> q.fn) ++
+      Entries70.all.map(q => q.name -> q.fn)).toMap
 
   def oracleSql: Map[String, String] =
     (all.flatMap(q => q.sql.map(q.name -> _)) ++
@@ -830,5 +831,6 @@ object SparkEntry {
       Entries66.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries67.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries68.all.flatMap(q => q.sql.map(q.name -> _)) ++
-      Entries69.all.flatMap(q => q.sql.map(q.name -> _))).toMap
+      Entries69.all.flatMap(q => q.sql.map(q.name -> _)) ++
+      Entries70.all.flatMap(q => q.sql.map(q.name -> _))).toMap
 }
