@@ -760,7 +760,8 @@ object SparkEntry {
       Entries67.all.map(q => q.name -> q.fn) ++
       Entries68.all.map(q => q.name -> q.fn) ++
       Entries69.all.map(q => q.name -> q.fn) ++
-      Entries70.all.map(q => q.name -> q.fn)).toMap
+      Entries70.all.map(q => q.name -> q.fn) ++
+      Entries71.all.map(q => q.name -> q.fn)).toMap
 
   def oracleSql: Map[String, String] =
     (all.flatMap(q => q.sql.map(q.name -> _)) ++
@@ -832,5 +833,6 @@ object SparkEntry {
       Entries67.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries68.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries69.all.flatMap(q => q.sql.map(q.name -> _)) ++
-      Entries70.all.flatMap(q => q.sql.map(q.name -> _))).toMap
+      Entries70.all.flatMap(q => q.sql.map(q.name -> _)) ++
+      Entries71.all.flatMap(q => q.sql.map(q.name -> _))).toMap
 }
