@@ -239,6 +239,7 @@ object Entries69 {
       (s, d) => {
         val li = Tables.lineitem(s, d)
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
         val pairs = li.alias("a")
           .join(li.alias("b"), col("a.ok") === col("b.ok") &&
             col("a.pk") =!= col("b.pk"))
@@ -261,7 +262,8 @@ object Entries69 {
             "(rec_pop * 1000000) DIV (recommended_n * total_lines) AS mean_rec_pop_ppm")
       },
       Some("""WITH li AS (
-             |  SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+             |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+             |  FROM lineitem),
              |pairs AS (
              |  SELECT a.pk AS p1, b.pk AS p2, count(*) AS cop
              |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk

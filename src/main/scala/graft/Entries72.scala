@@ -1,0 +1,284 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ExtEntries.Q
+
+/** Round-10 batch 5 — generated-unroll showcase (the q338/q346 pattern
+  * pushed further): Holt's linear-trend smoother unrolled over the fixed
+  * 24-month 1996–97 calendar as a pure mul/add chain, a session
+  * inactivity-threshold sweep in one window pass, the histogram split-gain
+  * finder behind gradient-boosted trees, and Erlang-C wait probability as
+  * a Horner polynomial with build-time literal coefficients. No
+  * transcendentals anywhere; every double chain is generated once in
+  * Scala and emitted into both engines.
+  */
+object Entries72 {
+
+  /** Holt recursion unrolled: 24 steps, alpha=0.3, beta=0.1. Returns the
+    * (name -> expr) chain; step t defines lt/bt from l(t-1)/b(t-1) and the
+    * pivoted month column m{t}. Shared verbatim by selectExpr and the
+    * oracle's chained CTEs. */
+  private val holtSteps: Seq[(String, String)] = {
+    val a = "0.3"; val b = "0.1"
+    // l1 = m0, b1 = m1 - m0 seed; steps 2..23 use month t
+    val seed = Seq("l1" -> "CAST(m0 AS DOUBLE)",
+      "b1" -> "CAST(m1 AS DOUBLE) - CAST(m0 AS DOUBLE)")
+    val steps = (2 until 24).flatMap { t =>
+      val p = t - 1
+      Seq(
+        s"l$t" -> s"$a * CAST(m$t AS DOUBLE) + (1.0 - $a) * (l$p + b$p)",
+        s"b$t" -> s"$b * (l$t - l$p) + (1.0 - $b) * b$p")
+    }
+    seed ++ steps
+  }
+
+  /** Erlang-C pieces for c=16 servers: Horner form of sum_{k<16} a^k/k!
+    * and the a^16/16! tail product — literal integer divisors only. */
+  private val erlangC = 16
+  private val erlangSumStr: String =
+    (1 until erlangC).reverse.foldLeft("1.0") { (acc, k) =>
+      s"(1.0 + (a / $k.0) * $acc)"
+    }
+  private val erlangTailStr: String =
+    (1 to erlangC).map(k => s"(a / $k.0)").mkString(" * ")
+
+  val all: Seq[Q] = Seq(
+
+    // HOLT LINEAR-TREND SMOOTHER, unrolled: monthly 1996–97 revenue cents
+    // pivot to ONE row (24 conditional sums — the calendar fixes the width
+    // at any SF), then 46 generated mul/add steps produce the final level,
+    // trend and 1/2/3-month-ahead forecasts. Zero windows, zero shuffles
+    // beyond the one aggregation, whole chain codegen'd; bit-exact because
+    // only +/* touch the doubles.
+    Q("q411_holt_unroll",
+      (s, d) => {
+        val monthCols = (0 until 24).map { m =>
+          val y = 1996 + m / 12; val mo = m % 12 + 1
+          sum(when(year(col("o_orderdate")) === y &&
+            month(col("o_orderdate")) === mo,
+            round(col("o_totalprice") * 100).cast("long")).otherwise(0L))
+            .as(s"m$m")
+        }
+        val piv = Tables.orders(s, d)
+          .agg(monthCols.head, monthCols.tail: _*)
+        val chained = holtSteps.foldLeft(piv) { case (df, (nm, e)) =>
+          df.selectExpr((df.columns.toSeq :+ s"$e AS $nm"): _*)
+        }
+        chained.selectExpr(
+          "CAST(floor(l23) AS BIGINT) AS level_cents",
+          "CAST(floor(b23) AS BIGINT) AS trend_cents",
+          "CAST(floor(l23 + b23) AS BIGINT) AS fc1_cents",
+          "CAST(floor(l23 + 2.0*b23) AS BIGINT) AS fc2_cents",
+          "CAST(floor(l23 + 3.0*b23) AS BIGINT) AS fc3_cents")
+      },
+      Some {
+        val pivSql = (0 until 24).map { m =>
+          val y = 1996 + m / 12; val mo = m % 12 + 1
+          s"CAST(sum(CASE WHEN year(o_orderdate) = $y AND " +
+            s"month(o_orderdate) = $mo THEN " +
+            s"CAST(round(o_totalprice*100) AS BIGINT) ELSE 0 END) " +
+            s"AS BIGINT) AS m$m"
+        }.mkString(",\n|    ")
+        val ctes = holtSteps.zipWithIndex.map { case ((nm, e), i) =>
+          val prev = if (i == 0) "piv" else s"s${i - 1}"
+          s"s$i AS (SELECT *, $e AS $nm FROM $prev)"
+        }.mkString(",\n|")
+        s"""WITH piv AS (
+           |  SELECT
+           |    $pivSql
+           |  FROM orders),
+           |$ctes
+           |SELECT CAST(floor(l23) AS BIGINT) AS level_cents,
+           |  CAST(floor(b23) AS BIGINT) AS trend_cents,
+           |  CAST(floor(l23 + b23) AS BIGINT) AS fc1_cents,
+           |  CAST(floor(l23 + 2.0*b23) AS BIGINT) AS fc2_cents,
+           |  CAST(floor(l23 + 3.0*b23) AS BIGINT) AS fc3_cents
+           |FROM s${holtSteps.length - 1}""".stripMargin
+      }),
+
+    // SESSION INACTIVITY-THRESHOLD SWEEP: how many sessions does each gap
+    // parameter θ ∈ {5,15,30,60} minutes produce? ONE user-partitioned
+    // window pass computes the inter-event deltas; each θ is then a
+    // conditional aggregate over the same delta relation (sessions =
+    // users + boundary-crossing deltas). The parameter-tuning table
+    // upstream of q-sessionize, integer-only.
+    Q("q412_gap_sweep",
+      (s, d) => {
+        // ties in (user, ts) order arbitrarily in both engines, but every
+        // tied pair has delta 0, so the boundary counts are deterministic
+        val d2 = Tables.events(s, d)
+          .select(col("user_id"), col("ts_us"))
+          .withColumn("prev", lag(col("ts_us"), 1).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("user_id")).orderBy(col("ts_us").asc)))
+          .select(col("user_id"), (col("ts_us") - col("prev")).as("delta"))
+        val thetas = d2.sparkSession.range(1)
+          .selectExpr("explode(array(300L, 900L, 1800L, 3600L)) AS theta_s")
+        d2.crossJoin(broadcast(thetas))
+          .groupBy(col("theta_s")).agg(
+            countDistinct(col("user_id")).as("n_users"),
+            count(lit(1)).as("n_events"),
+            (countDistinct(col("user_id")) +
+              sum(when(col("delta") > col("theta_s") * 1000000L, 1L)
+                .otherwise(0L))).as("n_sessions"))
+          .selectExpr("theta_s", "n_users", "n_sessions",
+            "(n_events * 1000) DIV n_sessions AS events_per_session_milli")
+      },
+      Some("""WITH d2 AS (
+             |  SELECT user_id,
+             |    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+             |      PARTITION BY user_id ORDER BY epoch_us(ts) ASC) AS delta
+             |  FROM events),
+             |thetas AS (
+             |  SELECT CAST(unnest([300, 900, 1800, 3600]) AS BIGINT)
+             |    AS theta_s)
+             |SELECT theta_s,
+             |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+             |  CAST(count(DISTINCT user_id) +
+             |    sum(CASE WHEN delta > theta_s * 1000000 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_sessions,
+             |  (CAST(count(*) AS BIGINT) * 1000) //
+             |    (CAST(count(DISTINCT user_id) +
+             |      sum(CASE WHEN delta > theta_s * 1000000 THEN 1 ELSE 0 END)
+             |      AS BIGINT)) AS events_per_session_milli
+             |FROM d2 CROSS JOIN thetas
+             |GROUP BY 1""".stripMargin)),
+
+    // HISTOGRAM SPLIT-GAIN FINDER (the per-feature inner loop of
+    // LightGBM/XGBoost's histogram algorithm): bucket the feature, take
+    // label stats per bucket, scan prefix splits for the best
+    // squared-error gain SL²/nL + SR²/nR − S²/n. The scan window runs on
+    // the BUCKET domain (≤50 rows per feature at any SF); gains are
+    // quantized to micro on bit-exact chains, argmax broken by threshold.
+    Q("q413_split_gain",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(round(col("l_quantity")).cast("long").as("qty"),
+            round(col("l_discount") * 100).cast("long").as("disc"),
+            when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+        val stacked = li.selectExpr("'quantity' AS feature", "qty AS b", "y")
+          .unionByName(li.selectExpr("'discount_cents' AS feature",
+            "disc AS b", "y"))
+        val buckets = stacked.groupBy(col("feature"), col("b"))
+          .agg(count(lit(1)).as("n_b"), sum(col("y")).as("s_b"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("feature")).orderBy(col("b").asc)
+          .rowsBetween(Long.MinValue, 0)
+        val wAll = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("feature"))
+        val scans = buckets
+          .withColumn("nl", sum(col("n_b")).over(w))
+          .withColumn("sl", sum(col("s_b")).over(w))
+          .withColumn("n", sum(col("n_b")).over(wAll))
+          .withColumn("s", sum(col("s_b")).over(wAll))
+          .filter(col("nl") < col("n"))
+          .selectExpr("feature", "b AS split_at", "nl", "n",
+            "CAST(floor((CAST(sl AS DOUBLE)*sl/nl + " +
+              "CAST(s - sl AS DOUBLE)*(s - sl)/(n - nl) - " +
+              "CAST(s AS DOUBLE)*s/n) * 1000000) AS BIGINT) AS gain_micro")
+        scans.withColumn("rk", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("feature"))
+              .orderBy(col("gain_micro").desc, col("split_at").asc)))
+          .filter(col("rk") === 1)
+          .selectExpr("feature", "split_at", "gain_micro", "nl",
+            "n - nl AS nr")
+      },
+      Some("""WITH li AS (
+             |  SELECT CAST(round(l_quantity) AS BIGINT) AS qty,
+             |    CAST(round(l_discount * 100) AS BIGINT) AS disc,
+             |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+             |  FROM lineitem),
+             |stacked AS (
+             |  SELECT 'quantity' AS feature, qty AS b, y FROM li
+             |  UNION ALL
+             |  SELECT 'discount_cents', disc, y FROM li),
+             |buckets AS (
+             |  SELECT feature, b, CAST(count(*) AS BIGINT) AS n_b,
+             |    CAST(sum(y) AS BIGINT) AS s_b
+             |  FROM stacked GROUP BY 1, 2),
+             |scans AS (
+             |  SELECT feature, b AS split_at,
+             |    sum(n_b) OVER (PARTITION BY feature ORDER BY b ASC
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nl,
+             |    sum(s_b) OVER (PARTITION BY feature ORDER BY b ASC
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sl,
+             |    sum(n_b) OVER (PARTITION BY feature) AS n,
+             |    sum(s_b) OVER (PARTITION BY feature) AS s
+             |  FROM buckets),
+             |gains AS (
+             |  SELECT feature, split_at, nl, n,
+             |    CAST(floor((CAST(sl AS DOUBLE)*sl/nl +
+             |      CAST(s - sl AS DOUBLE)*(s - sl)/(n - nl) -
+             |      CAST(s AS DOUBLE)*s/n) * 1000000) AS BIGINT) AS gain_micro
+             |  FROM scans WHERE nl < n),
+             |best AS (
+             |  SELECT feature, split_at, gain_micro, nl, n - nl AS nr,
+             |    row_number() OVER (PARTITION BY feature
+             |      ORDER BY gain_micro DESC, split_at ASC) AS rk
+             |  FROM gains)
+             |SELECT feature, split_at, gain_micro, nl, nr
+             |FROM best WHERE rk = 1""".stripMargin)),
+
+    // ERLANG-C WAIT PROBABILITY per order priority: offered load a = λ·W
+    // Erlangs (from the q403 Little's-law integers), c = 16 servers; the
+    // Erlang-C sum is the HORNER polynomial with literal integer divisors
+    // and the tail a^16/16! an explicit product — both generated once in
+    // Scala, so the only operations on a are mul/div/add (bit-exact).
+    // Saturated queues (a ≥ c) report the closed 1e6 ppm.
+    Q("q414_erlang_c",
+      (s, d) => {
+        val lat = Tables.lineitem(s, d)
+          .groupBy(col("l_orderkey")).agg(
+            (graft.ops.Relational.epochUs(max(col("l_shipdate")))
+              / lit(86400000000L)).cast("long").as("ship_day"))
+        val ord = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderpriority").as("priority"),
+            (graft.ops.Relational.epochUs(col("o_orderdate"))
+              / lit(86400000000L)).cast("long").as("ord_day"))
+          .join(lat, col("o_orderkey") === col("l_orderkey"))
+          .select(col("priority"), col("ord_day"),
+            (col("ship_day") - col("ord_day")).as("lat_days"))
+        val span = ord.agg(
+          (max(col("ord_day") + col("lat_days")) - min(col("ord_day")) + 1L)
+            .as("horizon"))
+        ord.groupBy(col("priority")).agg(
+            count(lit(1)).as("n_orders"),
+            sum(col("lat_days")).as("sum_lat"))
+          .crossJoin(broadcast(span))
+          // a = (orders/day)·(mean latency days)/52 worker-shares: scaled
+          // so the fixture sits near the interesting regime; a is one
+          // bit-exact division chain on exact integers
+          .selectExpr("priority", "n_orders",
+            "CAST(sum_lat AS DOUBLE) / horizon / 52.0 AS a")
+          .selectExpr("priority", "n_orders",
+            "CAST(floor(a * 1000000) AS BIGINT) AS a_micro",
+            s"CASE WHEN a >= $erlangC.0 THEN 1000000 ELSE " +
+              s"CAST(floor((($erlangTailStr) * ($erlangC.0/($erlangC.0 - a))) / " +
+              s"(($erlangSumStr) + ($erlangTailStr) * ($erlangC.0/($erlangC.0 - a))) * 1000000) AS BIGINT) END AS p_wait_ppm")
+      },
+      Some(s"""WITH lat AS (
+              |  SELECT l_orderkey,
+              |    max(epoch_us(l_shipdate)) // 86400000000 AS ship_day
+              |  FROM lineitem GROUP BY 1),
+              |ord AS (
+              |  SELECT o_orderpriority AS priority,
+              |    epoch_us(o_orderdate) // 86400000000 AS ord_day,
+              |    ship_day - (epoch_us(o_orderdate) // 86400000000)
+              |      AS lat_days
+              |  FROM orders JOIN lat ON o_orderkey = l_orderkey),
+              |span AS (
+              |  SELECT max(ord_day + lat_days) - min(ord_day) + 1 AS horizon
+              |  FROM ord),
+              |agg AS (
+              |  SELECT priority, CAST(count(*) AS BIGINT) AS n_orders,
+              |    CAST(sum(lat_days) AS DOUBLE) / max(horizon) / 52.0 AS a
+              |  FROM ord CROSS JOIN span
+              |  GROUP BY 1)
+              |SELECT priority, n_orders,
+              |  CAST(floor(a * 1000000) AS BIGINT) AS a_micro,
+              |  CASE WHEN a >= $erlangC.0 THEN 1000000 ELSE
+              |    CAST(floor((($erlangTailStr) * ($erlangC.0/($erlangC.0 - a))) /
+              |      (($erlangSumStr) + ($erlangTailStr) * ($erlangC.0/($erlangC.0 - a))) * 1000000) AS BIGINT) END AS p_wait_ppm
+              |FROM agg""".stripMargin)))
+}

@@ -761,7 +761,8 @@ object SparkEntry {
       Entries68.all.map(q => q.name -> q.fn) ++
       Entries69.all.map(q => q.name -> q.fn) ++
       Entries70.all.map(q => q.name -> q.fn) ++
-      Entries71.all.map(q => q.name -> q.fn)).toMap
+      Entries71.all.map(q => q.name -> q.fn) ++
+      Entries72.all.map(q => q.name -> q.fn)).toMap
 
   def oracleSql: Map[String, String] =
     (all.flatMap(q => q.sql.map(q.name -> _)) ++
@@ -834,5 +835,6 @@ object SparkEntry {
       Entries68.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries69.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries70.all.flatMap(q => q.sql.map(q.name -> _)) ++
-      Entries71.all.flatMap(q => q.sql.map(q.name -> _))).toMap
+      Entries71.all.flatMap(q => q.sql.map(q.name -> _)) ++
+      Entries72.all.flatMap(q => q.sql.map(q.name -> _))).toMap
 }
