@@ -1,0 +1,231 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ExtEntries.Q
+
+/** Round-10 batch 6 — sequential monitoring and decision-policy axis:
+  * O'Brien–Fleming group-sequential looks (boundary z's as literals from
+  * the published K=4 table), inverse-propensity off-policy evaluation
+  * (IPS + self-normalized variant, integer-quantized weights), and the
+  * Syntetos–Boylan demand-intermittency quadrant. Transcendental-free
+  * throughout; every division is guarded or provably nonzero.
+  */
+object Entries73 {
+
+  /** O'Brien–Fleming two-sided 5% boundaries for K=4 equally-spaced looks
+    * (Jennison & Turnbull, Group Sequential Methods, Table 2.3), micro-
+    * quantized literals — no inverse normal CDF runs in-engine. */
+  private val obfBoundaryMicro: Map[Int, Long] =
+    Map(1 -> 4333000L, 2 -> 2963000L, 3 -> 2359000L, 4 -> 2014000L)
+
+  /** Pooled two-proportion z, shared verbatim: cumulative cells
+    * n1,x1,n2,x2 (BIGINT), all-double chain (div/mul/sqrt = bit-exact). */
+  private val zStr =
+    "(CAST(x1 AS DOUBLE)/n1 - CAST(x2 AS DOUBLE)/n2) / " +
+      "sqrt(nullif((CAST(x1 + x2 AS DOUBLE)/(n1 + n2)) * " +
+      "(1.0 - CAST(x1 + x2 AS DOUBLE)/(n1 + n2)) * " +
+      "(1.0/n1 + 1.0/n2), 0.0))"
+
+  val all: Seq[Q] = Seq(
+
+    // O'BRIEN–FLEMING GROUP-SEQUENTIAL MONITOR: four quarterly looks over
+    // 1996, arms split by a deterministic md5 of the order key, metric =
+    // share of orders with a returned line. Each look's CUMULATIVE cells
+    // come from one conditional aggregation (quarter <= look, a 4-literal
+    // cross join — the look dimension is fixed, not data-sized); z is one
+    // bit-exact chain; boundaries are published literals. The early-stop
+    // discipline q402's SPRT lacks (fixed looks, spent alpha).
+    Q("q415_obrien_fleming",
+      (s, d) => {
+        val base = Tables.orders(s, d)
+          .filter(year(col("o_orderdate")) === 1996)
+          .join(Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+            .select(col("l_orderkey")).distinct(),
+            col("o_orderkey") === col("l_orderkey"), "left")
+          .select(
+            (conv(substring(md5(col("o_orderkey").cast("string")), 1, 12),
+              16, 10).cast("long") % 2L).as("arm"),
+            quarter(col("o_orderdate")).as("qtr"),
+            when(col("l_orderkey").isNotNull, 1L).otherwise(0L).as("ret"))
+        val looks = base.sparkSession.range(1)
+          .selectExpr("explode(array(1, 2, 3, 4)) AS look")
+        val cells = base.crossJoin(broadcast(looks))
+          .filter(col("qtr") <= col("look"))
+          .groupBy(col("look")).agg(
+            sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n1"),
+            sum(when(col("arm") === 0L, col("ret")).otherwise(0L)).as("x1"),
+            sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n2"),
+            sum(when(col("arm") === 1L, col("ret")).otherwise(0L)).as("x2"))
+        val boundary = obfBoundaryMicro.map { case (k, b) =>
+          s"WHEN look = $k THEN ${b}L"
+        }.mkString("CASE ", " ", " END")
+        cells.selectExpr("look", "n1", "x1", "n2", "x2",
+            s"CAST(floor(($zStr) * 1000000) AS BIGINT) AS z_micro",
+            s"$boundary AS boundary_micro")
+          .selectExpr("look", "n1", "x1", "n2", "x2", "z_micro",
+            "boundary_micro",
+            "abs(z_micro) >= boundary_micro AS crossed")
+      },
+      Some {
+        val boundary = obfBoundaryMicro.map { case (k, b) =>
+          s"WHEN look = $k THEN $b"
+        }.mkString("CASE ", " ", " END")
+        s"""WITH base AS (
+           |  SELECT ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 12))
+           |      ::BIGINT % 2 AS arm,
+           |    quarter(o_orderdate) AS qtr,
+           |    CASE WHEN o_orderkey IN (
+           |      SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')
+           |      THEN 1 ELSE 0 END AS ret
+           |  FROM orders WHERE year(o_orderdate) = 1996),
+           |looks AS (SELECT CAST(unnest([1, 2, 3, 4]) AS BIGINT) AS look),
+           |cells AS (
+           |  SELECT look,
+           |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+           |    CAST(sum(CASE WHEN arm = 0 THEN ret ELSE 0 END) AS BIGINT) AS x1,
+           |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+           |    CAST(sum(CASE WHEN arm = 1 THEN ret ELSE 0 END) AS BIGINT) AS x2
+           |  FROM base CROSS JOIN looks
+           |  WHERE qtr <= look
+           |  GROUP BY 1)
+           |SELECT look, n1, x1, n2, x2,
+           |  CAST(floor(($zStr) * 1000000) AS BIGINT) AS z_micro,
+           |  $boundary AS boundary_micro,
+           |  abs(CAST(floor(($zStr) * 1000000) AS BIGINT))
+           |    >= ($boundary) AS crossed
+           |FROM cells""".stripMargin
+      }),
+
+    // OFF-POLICY EVALUATION (IPS + SNIPS): logged policy = the observed
+    // order priority per market segment; target policy = always
+    // '1-URGENT'; reward = order revenue cents when no line was returned.
+    // Propensities are EXACT segment-level count ratios, so the importance
+    // weight 1/p = n_seg/n_seg_a is a ratio of BIGINTs — quantized to
+    // milli as an exact integer division BEFORE the sums, keeping both
+    // estimators order-free. The counterfactual "what if we always
+    // expedited" revenue readout.
+    Q("q416_ips_policy_value",
+      (s, d) => {
+        val rew = Tables.orders(s, d)
+          .join(Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+            .select(col("l_orderkey")).distinct(),
+            col("o_orderkey") === col("l_orderkey"), "left")
+          .join(broadcast(Tables.customer(s, d)
+            .select(col("c_custkey"), col("c_mktsegment"))),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("c_mktsegment").as("seg"),
+            col("o_orderpriority").as("act"),
+            when(col("l_orderkey").isNull,
+              round(col("o_totalprice") * 100).cast("long"))
+              .otherwise(0L).as("r_cents"))
+        val prop = rew.groupBy(col("seg"), col("act"))
+          .agg(count(lit(1)).as("n_seg_a"))
+        val segTot = prop.groupBy(col("seg")).agg(sum(col("n_seg_a")).as("n_seg"))
+        val weighted = rew
+          .join(broadcast(prop), Seq("seg", "act"))
+          .join(broadcast(segTot), Seq("seg"))
+          .selectExpr("seg", "act", "r_cents",
+            "CASE WHEN act = '1-URGENT' THEN (n_seg * 1000) DIV n_seg_a ELSE 0 END AS w_milli")
+        weighted.agg(
+            count(lit(1)).as("n"),
+            sum(when(col("w_milli") > 0L, 1L).otherwise(0L)).as("matched"),
+            sum(col("w_milli") * col("r_cents")).as("wr"),
+            sum(col("w_milli")).as("w"))
+          .selectExpr("n", "matched",
+            "wr DIV (n * 1000) AS ips_cents_per_order",
+            "CASE WHEN w > 0 THEN wr DIV w ELSE NULL END AS snips_cents")
+      },
+      Some("""WITH rew AS (
+             |  SELECT c_mktsegment AS seg, o_orderpriority AS act,
+             |    CASE WHEN o_orderkey IN (
+             |      SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')
+             |      THEN 0
+             |      ELSE CAST(round(o_totalprice * 100) AS BIGINT) END
+             |      AS r_cents
+             |  FROM orders JOIN customer ON o_custkey = c_custkey),
+             |prop AS (
+             |  SELECT seg, act, CAST(count(*) AS BIGINT) AS n_seg_a
+             |  FROM rew GROUP BY 1, 2),
+             |segtot AS (
+             |  SELECT seg, CAST(sum(n_seg_a) AS BIGINT) AS n_seg
+             |  FROM prop GROUP BY 1),
+             |weighted AS (
+             |  SELECT rew.seg, rew.act, r_cents,
+             |    CASE WHEN rew.act = '1-URGENT'
+             |      THEN (n_seg * 1000) // n_seg_a ELSE 0 END AS w_milli
+             |  FROM rew
+             |  JOIN prop ON prop.seg = rew.seg AND prop.act = rew.act
+             |  JOIN segtot ON segtot.seg = rew.seg),
+             |agg AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(CASE WHEN w_milli > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS matched,
+             |    CAST(sum(w_milli * r_cents) AS BIGINT) AS wr,
+             |    CAST(sum(w_milli) AS BIGINT) AS w
+             |  FROM weighted)
+             |SELECT n, matched, wr // (n * 1000) AS ips_cents_per_order,
+             |  CASE WHEN w > 0 THEN wr // w ELSE NULL END AS snips_cents
+             |FROM agg""".stripMargin)),
+
+    // DEMAND-INTERMITTENCY QUADRANT (Syntetos–Boylan): per brand, the
+    // average inter-demand interval ADI = calendar weeks / non-zero weeks
+    // and CV² of the non-zero weekly sizes — BOTH pure integer ratios
+    // (cv2_milli = 1000·n(n·Σx²−Σx²)/((n−1)·Σx²)) — classified against
+    // the published 1.32 / 0.49 cutoffs as milli literals. Decides
+    // Croston/SBA vs exponential smoothing upstream of q227/q411.
+    Q("q417_intermittency_class",
+      (s, d) => {
+        val weekly = Tables.lineitem(s, d)
+          .join(broadcast(Tables.part(s, d)
+            .select(col("p_partkey"), col("p_brand"))),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand").as("brand"),
+            (graft.ops.Relational.epochUs(col("l_shipdate"))
+              / lit(604800000000L)).cast("long").as("week"))
+          .agg(sum(round(col("l_quantity")).cast("long")).as("x"))
+        val span = weekly.agg(
+          (max(col("week")) - min(col("week")) + 1L).as("cal_weeks"))
+        weekly.filter(col("x") > 0L)
+          .groupBy(col("brand")).agg(
+            count(lit(1)).as("nz"),
+            sum(col("x")).as("sx"),
+            sum(col("x") * col("x")).as("sxx"))
+          .filter(col("nz") > 1L)
+          .crossJoin(broadcast(span))
+          .selectExpr("brand", "nz", "cal_weeks",
+            "(cal_weeks * 1000) DIV nz AS adi_milli",
+            "(nz * (nz * sxx - sx * sx) * 1000) DIV ((nz - 1) * sx * sx) AS cv2_milli")
+          .selectExpr("brand", "nz", "cal_weeks", "adi_milli", "cv2_milli",
+            "CASE WHEN adi_milli < 1320 AND cv2_milli < 490 THEN 'smooth' " +
+              "WHEN adi_milli >= 1320 AND cv2_milli < 490 THEN 'intermittent' " +
+              "WHEN adi_milli < 1320 THEN 'erratic' " +
+              "ELSE 'lumpy' END AS demand_class")
+      },
+      Some("""WITH weekly AS (
+             |  SELECT p_brand AS brand,
+             |    epoch_us(l_shipdate) // 604800000000 AS week,
+             |    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS x
+             |  FROM lineitem JOIN part ON l_partkey = p_partkey
+             |  GROUP BY 1, 2),
+             |span AS (
+             |  SELECT max(week) - min(week) + 1 AS cal_weeks FROM weekly),
+             |mom AS (
+             |  SELECT brand, CAST(count(*) AS BIGINT) AS nz,
+             |    CAST(sum(x) AS BIGINT) AS sx,
+             |    CAST(sum(x*x) AS BIGINT) AS sxx
+             |  FROM weekly WHERE x > 0 GROUP BY 1)
+             |SELECT brand, nz, CAST(cal_weeks AS BIGINT) AS cal_weeks,
+             |  (cal_weeks * 1000) // nz AS adi_milli,
+             |  (nz * (nz * sxx - sx * sx) * 1000) // ((nz - 1) * sx * sx)
+             |    AS cv2_milli,
+             |  CASE WHEN (cal_weeks * 1000) // nz < 1320
+             |      AND (nz * (nz * sxx - sx * sx) * 1000)
+             |        // ((nz - 1) * sx * sx) < 490 THEN 'smooth'
+             |    WHEN (cal_weeks * 1000) // nz >= 1320
+             |      AND (nz * (nz * sxx - sx * sx) * 1000)
+             |        // ((nz - 1) * sx * sx) < 490 THEN 'intermittent'
+             |    WHEN (cal_weeks * 1000) // nz < 1320 THEN 'erratic'
+             |    ELSE 'lumpy' END AS demand_class
+             |FROM mom CROSS JOIN span
+             |WHERE nz > 1""".stripMargin)))
+}

@@ -762,7 +762,8 @@ object SparkEntry {
       Entries69.all.map(q => q.name -> q.fn) ++
       Entries70.all.map(q => q.name -> q.fn) ++
       Entries71.all.map(q => q.name -> q.fn) ++
-      Entries72.all.map(q => q.name -> q.fn)).toMap
+      Entries72.all.map(q => q.name -> q.fn) ++
+      Entries73.all.map(q => q.name -> q.fn)).toMap
 
   def oracleSql: Map[String, String] =
     (all.flatMap(q => q.sql.map(q.name -> _)) ++
@@ -836,5 +837,6 @@ object SparkEntry {
       Entries69.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries70.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries71.all.flatMap(q => q.sql.map(q.name -> _)) ++
-      Entries72.all.flatMap(q => q.sql.map(q.name -> _))).toMap
+      Entries72.all.flatMap(q => q.sql.map(q.name -> _)) ++
+      Entries73.all.flatMap(q => q.sql.map(q.name -> _))).toMap
 }
