@@ -802,4 +802,51 @@ class ScalePostureSpec extends SparkSpec {
     assert(plan.linesIterator.exists(_.matches("""\s*\*+\s*Project.*""")),
       s"the unrolled walk must stay inside codegen:\n$plan")
   }
+
+  test("q393 corpus divergence never builds the lang x vocab grid: no " +
+    "CartesianProduct, and the only nested-loop join carries one scalar row") {
+    val df = SparkEntry.queries("q393_corpus_divergence")(spark, sf)
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct"),
+      s"vocab grid cross product found:\n$plan")
+    val bnlj = plan.linesIterator
+      .count(_.matches("""\(\d+\) BroadcastNestedLoopJoin.*"""))
+    assert(bnlj <= 1, s"expected at most the 1-row total join:\n$plan")
+  }
+
+  test("q413 split-gain windows consume the bucket domain (aggregate " +
+    "below every window) and q404's quantile rides the value domain") {
+    for (name <- Seq("q413_split_gain", "q404_newsvendor")) {
+      val df = SparkEntry.queries(name)(spark, sf)
+      val ws = windows(df)
+      assert(ws.nonEmpty, s"$name: expected bucket-domain windows")
+      ws.foreach { w =>
+        assert(w.partitionSpec.nonEmpty,
+          s"$name has an unpartitioned window:\n" + w.treeString)
+        val aggBelow = w.child.collectFirst {
+          case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+            a
+        }
+        assert(aggBelow.isDefined,
+          s"$name window consumes raw rows (no aggregate below):\n" +
+            w.treeString)
+      }
+    }
+  }
+
+  test("q411 Holt unroll plans zero windows and exactly one aggregation " +
+    "exchange — the 46-step chain is a pure Project stack") {
+    val df = SparkEntry.queries("q411_holt_unroll")(spark, sf)
+    assert(windows(df).isEmpty, "the unrolled recursion must not window")
+    val plan = df.queryExecution.sparkPlan
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.length <= 1,
+      s"only the pivot aggregation may shuffle:\n${plan.treeString}")
+    val projects = plan.collect {
+      case p: org.apache.spark.sql.execution.ProjectExec => p
+    }
+    assert(projects.nonEmpty, "expected the unrolled Project chain")
+  }
 }
