@@ -14,9 +14,12 @@ import graft.ExtEntries.Q
   * instead of Jensen–Shannon precisely because it is a div/mul chain on
   * identical operands — bit-exact across engines (verify SKILL: no ln/exp
   * in oracle-checked outputs) — quantized per token BEFORE the cross-token
-  * BIGINT sum. q395's log-survival uses ln but floors each term at 1e-6
-  * grain (knife-edge width ~1e-12 of the grain) following the q298
-  * precedent. Everything else is pure integer arithmetic.
+  * BIGINT sum. q395 ships the EXACT (d_t, c_t, n_at_risk) product-limit
+  * table — S(t) and log-survival are one exact rational product away and
+  * left to the consumer (the r6 floored-ln column lost hash parity to a
+  * ±1 ulp libm difference at a grid boundary; the q299 PSI/Zipf rows set
+  * the emit-the-exact-table precedent). Everything else is pure integer
+  * arithmetic.
   */
 object Entries69 {
 
@@ -137,11 +140,11 @@ object Entries69 {
 
     // KAPLAN–MEIER repeat-purchase survival: T = days from a customer's
     // first order to their second (event) or to the corpus horizon
-    // (right-censored). The product-limit curve is reported as the exact
-    // (d_t, n_t) table plus the CUMULATIVE log-survival in micro-nats —
-    // each ln(1 − d/n) term floored to a BIGINT before the ordered sum, so
-    // the running total is exact integer arithmetic (S(t) = exp(·/1e6) is
-    // left to the reader). The unpartitioned window runs on the distinct-T
+    // (right-censored). The product-limit curve is reported as the EXACT
+    // (d_t, c_t, n_at_risk) table — S(t) = Π(1 − d/n) and its log are one
+    // rational product away and left to the consumer (same stance as
+    // q299's PSI/Zipf rows: never ship a transcendental the reader can
+    // apply themselves). The unpartitioned window runs on the distinct-T
     // day domain — calendar-bounded, size-invariant at any SF.
     Q("q395_kaplan_meier",
       (s, d) => {
@@ -173,17 +176,8 @@ object Entries69 {
             coalesce(sum(col("d_t") + col("c_t")).over(w), lit(0L)))
           .withColumn("n_at_risk", col("n_total") - col("left_before"))
           .filter(col("d_t") > 0L)
-          // d == n (everyone at risk exits) sends S(t) to exact zero:
-          // log-survival is NULL there by convention, and no later event
-          // row can exist (the risk set is empty afterwards)
-          .selectExpr("t", "d_t", "n_at_risk",
-            "CASE WHEN d_t < n_at_risk THEN CAST(floor(ln(1.0 - CAST(d_t AS DOUBLE) / n_at_risk) * 1000000) AS BIGINT) END AS step_micro")
-        cum.withColumn("cum_micro",
-            sum(col("step_micro")).over(org.apache.spark.sql.expressions
-              .Window.orderBy(col("t").asc)
-              .rowsBetween(Long.MinValue, 0)))
-          .selectExpr("t", "d_t", "n_at_risk",
-            "CASE WHEN step_micro IS NULL THEN NULL ELSE cum_micro END AS logs_micro")
+          .selectExpr("t", "d_t", "c_t", "n_at_risk")
+        cum
       },
       Some("""WITH od AS (
              |  SELECT DISTINCT o_custkey AS cust,
@@ -210,23 +204,13 @@ object Entries69 {
              |  FROM spells GROUP BY 1),
              |n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM spells),
              |cum AS (
-             |  SELECT t, d_t,
+             |  SELECT t, d_t, c_t,
              |    n.n_total - coalesce(sum(d_t + c_t) OVER (ORDER BY t ASC
              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
              |      AS n_at_risk
-             |  FROM byt CROSS JOIN n),
-             |steps AS (
-             |  SELECT t, d_t, n_at_risk,
-             |    CASE WHEN d_t < n_at_risk THEN
-             |      CAST(floor(ln(1.0 - CAST(d_t AS DOUBLE) / n_at_risk)
-             |        * 1000000) AS BIGINT) END AS step_micro
-             |  FROM cum WHERE d_t > 0)
-             |SELECT t, d_t, n_at_risk,
-             |  CASE WHEN step_micro IS NULL THEN NULL ELSE
-             |    CAST(sum(step_micro) OVER (ORDER BY t ASC
-             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             |      AS BIGINT) END AS logs_micro
-             |FROM steps""".stripMargin)),
+             |  FROM byt CROSS JOIN n)
+             |SELECT t, d_t, c_t, n_at_risk
+             |FROM cum WHERE d_t > 0""".stripMargin)),
 
     // RECOMMENDER CATALOG COVERAGE: top-3 co-purchase recommendations per
     // part (same-order pairs, count desc, key asc tie-break), then the

@@ -188,7 +188,11 @@ object Entries71 {
     // per-stratum association sign is sign(a·d − b·c) — exact integers —
     // and a stratum is flagged when it contradicts the pooled sign. The
     // guard that keeps a per-region dashboard from inverting a global
-    // conclusion (or vice versa).
+    // conclusion (or vice versa). The exposure flag compares the RAW
+    // parquet double (l_discount >= 0.05) — both engines read the same
+    // bits, so the comparison is bit-identical; round(x*100) at the class
+    // boundary is not (Spark HALF_UP-on-BigDecimal vs DuckDB
+    // round-half-away can disagree by an ulp — the r6 hash miss).
     Q("q408_simpson_reversal",
       (s, d) => {
         val sup = Tables.supplier(s, d)
@@ -200,7 +204,7 @@ object Entries71 {
         val tab = Tables.lineitem(s, d)
           .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
           .select(col("r_name").as("stratum"),
-            (round(col("l_discount") * 100).cast("long") >= 5L).as("e"),
+            (col("l_discount") >= 0.05).as("e"),
             (col("l_returnflag") === "R").as("r"))
           .groupBy(col("stratum")).agg(
             sum(when(col("e") && col("r"), 1L).otherwise(0L)).as("a"),
@@ -225,13 +229,13 @@ object Entries71 {
              |  JOIN region ON n_regionkey = r_regionkey),
              |tab AS (
              |  SELECT r_name AS stratum,
-             |    CAST(sum(CASE WHEN CAST(round(l_discount*100) AS BIGINT) >= 5
+             |    CAST(sum(CASE WHEN l_discount >= 0.05
              |      AND l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS a,
-             |    CAST(sum(CASE WHEN CAST(round(l_discount*100) AS BIGINT) >= 5
+             |    CAST(sum(CASE WHEN l_discount >= 0.05
              |      AND l_returnflag <> 'R' THEN 1 ELSE 0 END) AS BIGINT) AS b,
-             |    CAST(sum(CASE WHEN CAST(round(l_discount*100) AS BIGINT) < 5
+             |    CAST(sum(CASE WHEN l_discount < 0.05
              |      AND l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS c,
-             |    CAST(sum(CASE WHEN CAST(round(l_discount*100) AS BIGINT) < 5
+             |    CAST(sum(CASE WHEN l_discount < 0.05
              |      AND l_returnflag <> 'R' THEN 1 ELSE 0 END) AS BIGINT) AS d
              |  FROM lineitem JOIN sup ON l_suppkey = s_suppkey
              |  GROUP BY 1),

@@ -148,8 +148,16 @@ object Entries72 {
     // LightGBM/XGBoost's histogram algorithm): bucket the feature, take
     // label stats per bucket, scan prefix splits for the best
     // squared-error gain SL²/nL + SR²/nR − S²/n. The scan window runs on
-    // the BUCKET domain (≤50 rows per feature at any SF); gains are
-    // quantized to micro on bit-exact chains, argmax broken by threshold.
+    // the BUCKET domain (≤50 rows per feature at any SF). The gain is
+    // EXACT: it cross-multiplies to (sl·nr − sr·nl)²/(nl·nr·n), so
+    // gain_micro = (D²·1e6) div (nl·nr·n) is one integer division on
+    // 128-bit intermediates (Spark DECIMAL(38,0), DuckDB HUGEINT) —
+    // operands are non-negative, so Spark's truncating `div` and DuckDB's
+    // flooring `//` agree bit-for-bit (the r6 double-chain floor did
+    // not). D² ≤ n⁴, so D²·1e6 < 1e38 holds through sf10 (n = 6e7
+    // lineitem rows → 1.3e37); beyond that move the grain from micro to
+    // milli (same bound style as q387/q389). Argmax ties break by
+    // threshold asc.
     Q("q413_split_gain",
       (s, d) => {
         val li = Tables.lineitem(s, d)
@@ -173,9 +181,12 @@ object Entries72 {
           .withColumn("s", sum(col("s_b")).over(wAll))
           .filter(col("nl") < col("n"))
           .selectExpr("feature", "b AS split_at", "nl", "n",
-            "CAST(floor((CAST(sl AS DOUBLE)*sl/nl + " +
-              "CAST(s - sl AS DOUBLE)*(s - sl)/(n - nl) - " +
-              "CAST(s AS DOUBLE)*s/n) * 1000000) AS BIGINT) AS gain_micro")
+            "CAST(sl AS DECIMAL(38,0)) * (n - nl) - " +
+              "CAST(s - sl AS DECIMAL(38,0)) * nl AS dd")
+          .selectExpr("feature", "split_at", "nl", "n",
+            "CAST((dd * dd * 1000000) div " +
+              "(CAST(nl AS DECIMAL(38,0)) * (n - nl) * n) AS BIGINT) " +
+              "AS gain_micro")
         scans.withColumn("rk", row_number().over(
             org.apache.spark.sql.expressions.Window
               .partitionBy(col("feature"))
@@ -208,9 +219,12 @@ object Entries72 {
              |  FROM buckets),
              |gains AS (
              |  SELECT feature, split_at, nl, n,
-             |    CAST(floor((CAST(sl AS DOUBLE)*sl/nl +
-             |      CAST(s - sl AS DOUBLE)*(s - sl)/(n - nl) -
-             |      CAST(s AS DOUBLE)*s/n) * 1000000) AS BIGINT) AS gain_micro
+             |    CAST(((CAST(sl AS HUGEINT) * (n - nl) -
+             |      CAST(s - sl AS HUGEINT) * nl) *
+             |      (CAST(sl AS HUGEINT) * (n - nl) -
+             |      CAST(s - sl AS HUGEINT) * nl) * 1000000) //
+             |      (CAST(nl AS HUGEINT) * (n - nl) * n) AS BIGINT)
+             |      AS gain_micro
              |  FROM scans WHERE nl < n),
              |best AS (
              |  SELECT feature, split_at, gain_micro, nl, n - nl AS nr,

@@ -39,20 +39,21 @@ class Batch69Spec extends SparkSpec {
     assert(out.map(_.getAs[Long]("sole_types")).sum === singles)
   }
 
-  test("q395: the risk set shrinks strictly with t, log-survival is " +
-    "non-increasing, and d never exceeds the risk set") {
+  test("q395: the risk set shrinks strictly with t, exits are exact, " +
+    "and d never exceeds the risk set") {
     val out = q("q395_kaplan_meier").collect().sortBy(_.getAs[Long]("t"))
     assert(out.nonEmpty)
     out.foreach { r =>
       assert(r.getAs[Long]("d_t") >= 1L)
+      assert(r.getAs[Long]("c_t") >= 0L)
       assert(r.getAs[Long]("d_t") <= r.getAs[Long]("n_at_risk"))
     }
     out.sliding(2).foreach {
       case Array(a, b) =>
         assert(a.getAs[Long]("n_at_risk") > b.getAs[Long]("n_at_risk"))
-        if (a.get(a.fieldIndex("logs_micro")) != null &&
-          b.get(b.fieldIndex("logs_micro")) != null)
-          assert(a.getAs[Long]("logs_micro") >= b.getAs[Long]("logs_micro"))
+        // the risk set shrinks by at least the exits recorded at a
+        assert(b.getAs[Long]("n_at_risk") <=
+          a.getAs[Long]("n_at_risk") - a.getAs[Long]("d_t") - a.getAs[Long]("c_t"))
       case _ =>
     }
     // the first spell count matches the number of customers with orders

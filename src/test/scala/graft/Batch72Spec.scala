@@ -56,9 +56,9 @@ class Batch72Spec extends SparkSpec {
       Array("discount_cents", "quantity"))
     val n = Tables.lineitem(spark, sf).count()
     out.foreach { r =>
-      // the variance decomposition guarantees gain >= 0 (floor can shave
-      // a single micro below zero)
-      assert(r.getAs[Long]("gain_micro") >= -1L)
+      // gain = (sl·nr − sr·nl)²/(nl·nr·n) is a square over a positive
+      // denominator — exactly non-negative, no floor shaving
+      assert(r.getAs[Long]("gain_micro") >= 0L)
       assert(r.getAs[Long]("nl") + r.getAs[Long]("nr") === n)
       assert(r.getAs[Long]("nl") > 0L && r.getAs[Long]("nr") > 0L)
     }
