@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Heavy-hitter detection at corpus scale — exact answers with sketch-style
   * economics.
@@ -30,22 +31,55 @@ object Sketches {
     * Wall-clock = two scans + a candidate-sized shuffle; the full-domain
     * alternative is one scan + a domain-sized shuffle. At any realistic
     * skew (frequent items ≪ domain) the two-pass form wins by orders of
-    * magnitude, and it degrades gracefully: worst case (uniform data,
-    * threshold too low) the candidate set approaches the domain and it
-    * matches the naive cost.
+    * magnitude.
+    *
+    * DEGRADATION GUARDS (the 100 TB story): the pigeonhole bound weakens
+    * as P grows — at P ≥ T the local threshold hits 1 and the "candidate"
+    * set is the whole domain, so `broadcast(candidates)` would become an
+    * unbounded driver-side materialization. Two tripwires keep the op
+    * bounded:
+    *
+    *   1. `localThr ≤ 1` (detectable BEFORE any pass): the prune can't
+    *      reject anything — skip pass 1 entirely and run the naive exact
+    *      two-phase groupBy (map-side partial combine bounds the shuffle
+    *      to per-partition distinct keys; no broadcast anywhere).
+    *   2. the materialized candidate count exceeds
+    *      `maxBroadcastCandidates`: same fallback. The candidate pass is
+    *      persisted, so deciding costs one count over the (small) pruned
+    *      set, not a rescan. A shuffle semi-join would be WORSE than the
+    *      naive plan here — it shuffles every input row, while the
+    *      two-phase aggregate ships only partial (key, count) pairs.
+    *
+    * Either way the result is exact; the guards only pick the cheaper
+    * physical plan for the data at hand.
     */
-  def heavyHitters(items: DataFrame, itemCol: String,
-                   minCount: Long): DataFrame = {
+  def heavyHitters(items: DataFrame, itemCol: String, minCount: Long,
+                   maxBroadcastCandidates: Long = 2000000L): DataFrame = {
     val spark = items.sparkSession
     import spark.implicits._
     val ds = items.select(col(itemCol).cast("string")).as[String]
+
+    def naiveExact: DataFrame =
+      ds.toDF(itemCol)
+        .groupBy(col(itemCol))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= minCount)
+
     val p = ds.rdd.getNumPartitions.toLong
     val localThr = (minCount - 1) / p + 1 // ⌈T/P⌉ via (T-1) div P + 1
+    if (localThr <= 1L) return naiveExact
+
     val candidates = ds.mapPartitions { it =>
       val m = scala.collection.mutable.HashMap.empty[String, Long]
       it.foreach(s => m.update(s, m.getOrElse(s, 0L) + 1L))
       m.iterator.collect { case (s, c) if c >= localThr => s }
     }.toDF(itemCol).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nCand = candidates.count()
+    if (nCand > maxBroadcastCandidates) {
+      candidates.unpersist()
+      return naiveExact
+    }
     ds.toDF(itemCol)
       .join(broadcast(candidates), Seq(itemCol), "left_semi")
       .groupBy(col(itemCol))

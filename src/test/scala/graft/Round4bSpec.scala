@@ -102,6 +102,26 @@ class Round4bSpec extends SparkSpec {
     assert(got == Set(("hot", 32L)))
   }
 
+  test("heavyHitters degradation guards stay exact: candidate cap hit " +
+    "and pigeonhole floor both fall back to the two-phase aggregate") {
+    val toks = Tables.documents(spark, sf)
+      .select(explode(split($"text", " ")).as("tok"))
+    val expect = toks.groupBy($"tok").count().filter($"count" >= 50L)
+      .as[(String, Long)].collect().toSet
+    // cap = 0: every candidate set exceeds it → naive fallback
+    val capped = graft.ext.Sketches
+      .heavyHitters(toks, "tok", 50L, maxBroadcastCandidates = 0L)
+      .as[(String, Long)].collect().toSet
+    assert(capped == expect)
+    // threshold <= partition count: localThr = 1, prune rejects nothing
+    // → pass 1 skipped entirely, still exact
+    val p = toks.rdd.getNumPartitions.toLong
+    val lowThr = graft.ext.Sketches.heavyHitters(toks, "tok", p)
+    val expectLow = toks.groupBy($"tok").count().filter($"count" >= p)
+      .as[(String, Long)].collect().toSet
+    assert(lowThr.as[(String, Long)].collect().toSet == expectLow)
+  }
+
   test("weightedSample takes exactly k per group, ordered by hash/weight") {
     val docs = Tables.documents(spark, sf)
     val got = graft.ext.TrainPrep.weightedSample(docs, "source", "doc_id",

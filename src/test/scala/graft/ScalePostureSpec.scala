@@ -341,6 +341,31 @@ class ScalePostureSpec extends SparkSpec {
         s"recount exchange (${exAbove.max})")
   }
 
+  test("q128 heavy hitters: degraded-pigeonhole fallbacks plan NO broadcast " +
+    "and keep the two-phase (partial+final) aggregate") {
+    val toks = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("tok"))
+    // candidate cap exceeded → the unbounded broadcast(candidates) must NOT
+    // appear; the plan is the plain map-side-combine aggregate
+    val capped = graft.ext.Sketches
+      .heavyHitters(toks, "tok", 50L, maxBroadcastCandidates = 0L)
+    val planCapped = planOf(capped)
+    assert(!planCapped.contains("BroadcastHashJoin") &&
+      !planCapped.contains("BroadcastExchange"),
+      "cap-exceeded fallback must not broadcast:\n" +
+        planCapped.linesIterator.filter(_.contains("Broadcast")).mkString("\n"))
+    assert(planCapped.linesIterator
+      .count(_.matches("""\(\d+\) HashAggregate.*""")) >= 2,
+      "fallback must keep partial+final aggregation:\n" + planCapped.take(800))
+    // localThr = 1 (T <= P) → pass 1 skipped, same broadcast-free shape
+    val p = toks.rdd.getNumPartitions.toLong
+    val low = graft.ext.Sketches.heavyHitters(toks, "tok", p)
+    val planLow = planOf(low)
+    assert(!planLow.contains("BroadcastHashJoin") &&
+      !planLow.contains("BroadcastExchange"),
+      "pigeonhole-floor fallback must not broadcast")
+  }
+
   test("q129 weighted sample: per-group top-k plans a partial WindowGroupLimit") {
     val df = SparkEntry.queries("q129_weighted_sample")(spark, sf)
     val plan = planOf(df)
