@@ -20,7 +20,16 @@ object Entries72 {
     * oracle's chained CTEs. */
   private val holtSteps: Seq[(String, String)] = {
     val a = "0.3"; val b = "0.1"
-    // l1 = m0, b1 = m1 - m0 seed; steps 2..23 use month t
+    // Seed choice (DELIBERATE, pinned by Batch72Spec's independent Scala
+    // fold): l1 = m0 with b1 = m1 - m0, updates starting at t=2 — i.e.
+    // m1 never enters a level update and the smoother lags the textbook
+    // recursion (which seeds l1 = y1) by one month. Chosen so the seed
+    // level is a RAW observation rather than a derived one: both engines
+    // read the identical m0, and the first blended value appears only
+    // inside the generated mul/add chain. Changing to l1 = m1 would be
+    // equally bit-exact but would silently shift every downstream
+    // level/trend/forecast; keep the seed stable now that the oracle and
+    // spec pin it.
     val seed = Seq("l1" -> "CAST(m0 AS DOUBLE)",
       "b1" -> "CAST(m1 AS DOUBLE) - CAST(m0 AS DOUBLE)")
     val steps = (2 until 24).flatMap { t =>

@@ -12,9 +12,13 @@ import graft.ExtEntries.Q
   */
 object Entries73 {
 
-  /** O'Brien–Fleming two-sided 5% boundaries for K=4 equally-spaced looks
-    * (Jennison & Turnbull, Group Sequential Methods, Table 2.3), micro-
-    * quantized literals — no inverse normal CDF runs in-engine. */
+  /** Two-sided 5% boundaries for K=4 equally-spaced looks from the
+    * Lan–DeMets O'Brien–Fleming-TYPE alpha-spending function (Lan &
+    * DeMets 1983, Biometrika 70:659-663) — note these are the spending
+    * approximation's values, not the classical O'Brien–Fleming
+    * c_B·sqrt(K/k) boundaries of Jennison & Turnbull Table 2.3 (which
+    * would be 4.049/2.863/2.337/2.024). Micro-quantized literals — no
+    * inverse normal CDF runs in-engine. */
   private val obfBoundaryMicro: Map[Int, Long] =
     Map(1 -> 4333000L, 2 -> 2963000L, 3 -> 2359000L, 4 -> 2014000L)
 
@@ -170,9 +174,17 @@ object Entries73 {
     // DEMAND-INTERMITTENCY QUADRANT (Syntetos–Boylan): per brand, the
     // average inter-demand interval ADI = calendar weeks / non-zero weeks
     // and CV² of the non-zero weekly sizes — BOTH pure integer ratios
-    // (cv2_milli = 1000·n(n·Σx²−Σx²)/((n−1)·Σx²)) — classified against
-    // the published 1.32 / 0.49 cutoffs as milli literals. Decides
-    // Croston/SBA vs exponential smoothing upstream of q227/q411.
+    // (cv2_milli = 1000·n(n·Σx²−(Σx)²)/((n−1)·(Σx)²)) — classified against
+    // the published 1.32 / 0.49 cutoffs as milli literals. The CV²
+    // numerator runs on 128-bit intermediates (Spark DECIMAL(38,0),
+    // DuckDB HUGEINT): per-brand Σx grows ~linearly with SF while nz is
+    // calendar-fixed, so n·(n·Σx²−(Σx)²)·1000 exceeds 2^63 past ~sf1 —
+    // and DuckDB raises on BIGINT overflow while Spark wraps, so the
+    // engines would silently diverge (the q413 remedy; bounded by
+    // nz²·(Σx)²·1000 < 1e38 through sf100+). n·Σx² ≥ (Σx)² by
+    // Cauchy–Schwarz, so operands stay non-negative and trunc (Spark
+    // DIV) agrees with floor (DuckDB //). Decides Croston/SBA vs
+    // exponential smoothing upstream of q227/q411.
     Q("q417_intermittency_class",
       (s, d) => {
         val weekly = Tables.lineitem(s, d)
@@ -194,7 +206,11 @@ object Entries73 {
           .crossJoin(broadcast(span))
           .selectExpr("brand", "nz", "cal_weeks",
             "(cal_weeks * 1000) DIV nz AS adi_milli",
-            "(nz * (nz * sxx - sx * sx) * 1000) DIV ((nz - 1) * sx * sx) AS cv2_milli")
+            "CAST((CAST(nz AS DECIMAL(38,0)) * " +
+              "(CAST(nz AS DECIMAL(38,0)) * sxx - " +
+              "CAST(sx AS DECIMAL(38,0)) * sx) * 1000) DIV " +
+              "(CAST(nz - 1 AS DECIMAL(38,0)) * sx * sx) AS BIGINT) " +
+              "AS cv2_milli")
           .selectExpr("brand", "nz", "cal_weeks", "adi_milli", "cv2_milli",
             "CASE WHEN adi_milli < 1320 AND cv2_milli < 490 THEN 'smooth' " +
               "WHEN adi_milli >= 1320 AND cv2_milli < 490 THEN 'intermittent' " +
@@ -213,19 +229,21 @@ object Entries73 {
              |  SELECT brand, CAST(count(*) AS BIGINT) AS nz,
              |    CAST(sum(x) AS BIGINT) AS sx,
              |    CAST(sum(x*x) AS BIGINT) AS sxx
-             |  FROM weekly WHERE x > 0 GROUP BY 1)
-             |SELECT brand, nz, CAST(cal_weeks AS BIGINT) AS cal_weeks,
-             |  (cal_weeks * 1000) // nz AS adi_milli,
-             |  (nz * (nz * sxx - sx * sx) * 1000) // ((nz - 1) * sx * sx)
-             |    AS cv2_milli,
-             |  CASE WHEN (cal_weeks * 1000) // nz < 1320
-             |      AND (nz * (nz * sxx - sx * sx) * 1000)
-             |        // ((nz - 1) * sx * sx) < 490 THEN 'smooth'
-             |    WHEN (cal_weeks * 1000) // nz >= 1320
-             |      AND (nz * (nz * sxx - sx * sx) * 1000)
-             |        // ((nz - 1) * sx * sx) < 490 THEN 'intermittent'
-             |    WHEN (cal_weeks * 1000) // nz < 1320 THEN 'erratic'
+             |  FROM weekly WHERE x > 0 GROUP BY 1),
+             |cv AS (
+             |  SELECT brand, nz, CAST(cal_weeks AS BIGINT) AS cal_weeks,
+             |    (cal_weeks * 1000) // nz AS adi_milli,
+             |    CAST((CAST(nz AS HUGEINT) *
+             |      (CAST(nz AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
+             |      * 1000) // (CAST(nz - 1 AS HUGEINT) * sx * sx)
+             |      AS BIGINT) AS cv2_milli
+             |  FROM mom CROSS JOIN span
+             |  WHERE nz > 1)
+             |SELECT brand, nz, cal_weeks, adi_milli, cv2_milli,
+             |  CASE WHEN adi_milli < 1320 AND cv2_milli < 490 THEN 'smooth'
+             |    WHEN adi_milli >= 1320 AND cv2_milli < 490
+             |      THEN 'intermittent'
+             |    WHEN adi_milli < 1320 THEN 'erratic'
              |    ELSE 'lumpy' END AS demand_class
-             |FROM mom CROSS JOIN span
-             |WHERE nz > 1""".stripMargin)))
+             |FROM cv""".stripMargin)))
 }
