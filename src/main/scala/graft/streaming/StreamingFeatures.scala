@@ -219,16 +219,33 @@ object StreamingFeatures {
     * the micro-batch's user set against the (growing) bronze directory; at
     * 100 TB the join is against the bounded 30-day lookback partition range
     * instead (same code path, partition-pruned read).
+    *
+    * RESTART RECOVERY: pass `checkpointDir` in production. The file-source
+    * offsets live in the checkpoint, so a restarted query resumes at the
+    * first unprocessed file — already-materialized files are never re-read,
+    * and if a crash lands BETWEEN the KV upsert and the offset commit, the
+    * replayed batch is absorbed by `hsetIfNewer` (the sink is idempotent
+    * under event-time freshness, which is exactly the at-least-once
+    * contract foreachBatch provides). Without a checkpoint every restart
+    * reprocesses the full backlog — correct (idempotent sink) but a full
+    * rescan; StreamingSpec pins both behaviors.
     */
   def streamOnlineMaterialize(spark: SparkSession, eventsDir: String,
                               newClient: () => graft.store.KvSink.KvClient,
-                              keyPrefix: String = "fs:customer:"): StreamingQuery = {
+                              keyPrefix: String = "fs:customer:",
+                              checkpointDir: Option[String] = None,
+                              maxFilesPerTrigger: Int = 0): StreamingQuery = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(eventsDir).schema
-    val raw = spark.readStream.schema(schema).parquet(eventsDir)
-    raw.writeStream
+    val reader = spark.readStream.schema(schema)
+    val raw = (if (maxFilesPerTrigger > 0)
+      reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
+    else reader).parquet(eventsDir)
+    val writer = raw.writeStream
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
+    checkpointDir.foreach(writer.option("checkpointLocation", _))
+    writer
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val touched = batch.select(col("user_id")).distinct()
         // full history for the touched users (bounded-lookback read at scale)

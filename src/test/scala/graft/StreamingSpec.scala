@@ -281,6 +281,72 @@ class StreamingSpec extends SparkSpec {
     assert(got.count() > 0)
   }
 
+  test("online materialization restart: checkpoint resumes at the first " +
+    "unprocessed file and converges to the batch store") {
+    // crash/deploy simulation for streamOnlineMaterialize: run over half
+    // the backlog, stop, append the second half, restart with the SAME
+    // checkpoint. The restarted query must read ONLY the new file (offsets
+    // recovered), the store must converge to the batch twin over the full
+    // data, and a third restart with nothing new must process zero rows.
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    import graft.store.{FeatureStore, KvSink}
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    val chunked = raw.withColumn("c", ntile(2).over(
+      org.apache.spark.sql.expressions.Window.orderBy($"ts", $"event_id")))
+    val dir = Files.createTempDirectory("events_restart")
+    val chunkFiles = (1 to 2).map { k =>
+      val tmp = Files.createTempDirectory(s"rchunk_$k")
+      chunked.filter($"c" === k).drop("c")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      new java.io.File(tmp.toString).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .head.toPath
+    }
+    def stage(k: Int): Unit = {
+      val dst = dir.resolve(f"chunk-$k%03d.parquet")
+      Files.copy(chunkFiles(k - 1), dst)
+      Files.setLastModifiedTime(dst, FileTime.fromMillis(1000000L + k * 60000L))
+    }
+    val ckpt = Files.createTempDirectory("materialize_ckpt").toString
+    val chunkRows = chunkFiles.map(p =>
+      spark.read.parquet(p.toString).count())
+
+    KvSink.InMemoryKvClient.clear()
+    stage(1)
+    val run1 = StreamingFeatures.streamOnlineMaterialize(
+      spark, dir.toString, () => new KvSink.InMemoryKvClient,
+      checkpointDir = Some(ckpt))
+    run1.processAllAvailable(); run1.stop()
+    assert(run1.recentProgress.map(_.numInputRows).sum == chunkRows(0))
+
+    stage(2) // the backlog grows while the query is down
+    val run2 = StreamingFeatures.streamOnlineMaterialize(
+      spark, dir.toString, () => new KvSink.InMemoryKvClient,
+      checkpointDir = Some(ckpt))
+    run2.processAllAvailable(); run2.stop()
+    // offset recovery: ONLY the new file is read, not the full backlog
+    assert(run2.recentProgress.map(_.numInputRows).sum == chunkRows(1),
+      s"restart must resume after chunk 1: ${run2.recentProgress.map(_.numInputRows).toSeq}")
+    val streamed = KvSink.InMemoryKvClient.snapshot
+
+    val gold = FeatureStore.buildGold(spark, sf)
+    KvSink.InMemoryKvClient.clear()
+    KvSink.materializeOnline(FeatureStore.latestSnapshots(gold),
+      () => new KvSink.InMemoryKvClient)
+    val batch = KvSink.InMemoryKvClient.snapshot
+    assert(streamed.keySet == batch.keySet && streamed.nonEmpty)
+    streamed.foreach { case (k, fields) => assert(fields == batch(k), k) }
+
+    // idle restart: nothing new → zero rows processed
+    val run3 = StreamingFeatures.streamOnlineMaterialize(
+      spark, dir.toString, () => new KvSink.InMemoryKvClient,
+      checkpointDir = Some(ckpt))
+    run3.processAllAvailable(); run3.stop()
+    assert(run3.recentProgress.map(_.numInputRows).sum == 0)
+  }
+
   test("dropDuplicatesWithinWatermark dedups an at-least-once replay across batches") {
     // the same file delivered twice in separate micro-batches (an
     // at-least-once source replay): bounded-state dedup must emit each
