@@ -21,9 +21,14 @@ object Entries54 {
     // zone-map (q143) consumer asks for next.
     Q("q309_equi_depth_hist",
       (s, d) => {
+        // persisted: FOUR consumers (n scalar, approxQuantile, the offsets
+        // branch, the bucketed branch) would otherwise each re-run the
+        // fact scan + reduce; the cached relation is the distinct-cents
+        // domain, tiny at any SF (the q271 scan-dedup discipline)
         val vals = Tables.lineitem(s, d)
           .select(round(col("l_extendedprice") * 100).cast("long").as("c"))
           .groupBy(col("c")).agg(count(lit(1)).as("cnt"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val n = vals.agg(sum(col("cnt"))).head().getLong(0)
         val k = 8L
         // distributed CDF (the surrogateKeys discipline): value-range

@@ -128,38 +128,41 @@ object Entries63 {
     // CONSISTENT-HASH RING RESIZE CENSUS: growing 8 → 9 shards, what
     // fraction of keys move under (a) modulo sharding and (b) a 16-vnode
     // hash ring. The measured version of the classic claim (modulo moves
-    // ~8/9 of keys, the ring ~1/9): vnode positions are md5-derived, the
-    // successor lookup is a broadcast min-over-candidates — no shuffle on
-    // the key side. Partner to rendezvous hashing (q217).
+    // ~8/9 of keys, the ring ~1/9): vnode positions are build-time md5
+    // literals, the successor lookup a row-local sorted-array probe — the
+    // key side is ONE scan-project, no shuffle at all before the final
+    // scalar aggregate. Partner to rendezvous hashing (q217).
     Q("q359_ring_resize",
       (s, d) => {
         def h48(c: Column) =
           conv(substring(md5(c), 1, 12), 16, 10).cast("long")
         val keys = Tables.customer(s, d)
           .select(h48(concat(lit("k:"), col("c_custkey"))).as("h"))
-        def vnodes(n: Int) = {
-          val rows = for (node <- 0 until n; v <- 0 until 16)
-            yield (node.toLong, v.toLong)
-          import s.implicits._
-          rows.toDF("node", "v")
-            .select(col("node"),
-              h48(concat(lit("node:"), col("node"), lit(":"), col("v")))
-                .as("pos"))
+        // The ring is 16 vnodes per node — 128/144 BUILD-TIME constants
+        // (Scala MD5 of the same "node:n:v" strings Spark's md5 would
+        // hash), so the successor lookup is a ROW-LOCAL probe of a sorted
+        // literal array: smallest packed (pos·256+node) ≥ h·256, wrapping
+        // to the array head. Packing keeps the (pos, node) lexicographic
+        // tie-break of a struct-min. Zero joins, zero extra shuffles — the
+        // first draft cross-joined keys × vnodes and grouped back by key,
+        // which shuffled |keys| rows per ring for what is a scalar
+        // function of h (the q402/q406/q414 build-time-constant pattern).
+        def md48(sIn: String): Long = {
+          val dg = java.security.MessageDigest.getInstance("MD5")
+            .digest(sIn.getBytes("UTF-8"))
+          var h = 0L; var i = 0
+          while (i < 6) { h = (h << 8) | (dg(i) & 0xffL); i += 1 }
+          h
         }
-        def assign(nNodes: Int, outCol: String) = {
-          val vs = vnodes(nNodes)
-          keys.crossJoin(broadcast(vs))
-            .groupBy(col("h"))
-            .agg(
-              min(when(col("pos") >= col("h"),
-                struct(col("pos"), col("node")))).as("ge"),
-              min(struct(col("pos"), col("node"))).as("wrap"))
-            .select(col("h"),
-              coalesce(col("ge.node"), col("wrap.node")).as(outCol))
+        def assign(nNodes: Int, outCol: String): Column = {
+          val packed = (for (node <- 0 until nNodes; v <- 0 until 16)
+            yield md48(s"node:$node:$v") * 256L + node).sorted
+          val arr = array(packed.map(lit): _*)
+          (coalesce(
+            array_min(filter(arr, p => p >= col("h") * 256L)),
+            lit(packed.head)) % 256L).as(outCol)
         }
-        val a8 = assign(8, "ring8")
-        val a9 = assign(9, "ring9")
-        keys.join(a8, Seq("h")).join(a9, Seq("h"))
+        keys.select(col("h"), assign(8, "ring8"), assign(9, "ring9"))
           .agg(count(lit(1)).as("n_keys"),
             sum(when(pmod(col("h"), lit(8L)) =!= pmod(col("h"), lit(9L)),
               1L).otherwise(0L)).as("moved_mod"),

@@ -341,6 +341,19 @@ class ScalePostureSpec extends SparkSpec {
         s"recount exchange (${exAbove.max})")
   }
 
+  test("q359 ring resize: row-local successor probe plans zero joins and " +
+    "one exchange (the final scalar aggregate)") {
+    val df = SparkEntry.queries("q359_ring_resize")(spark, sf)
+    val plan = planOf(df)
+    assert(!plan.contains("Join"),
+      "ring assignment must be a scalar projection, not a join:\n" +
+        plan.linesIterator.filter(_.contains("Join")).mkString("\n"))
+    assert(countExchanges(plan) == 1,
+      s"expected exactly the final-aggregate exchange, got " +
+        s"${countExchanges(plan)}:\n" +
+        plan.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+  }
+
   test("q128 heavy hitters: degraded-pigeonhole fallbacks plan NO broadcast " +
     "and keep the two-phase (partial+final) aggregate") {
     val toks = Tables.documents(spark, sf)
