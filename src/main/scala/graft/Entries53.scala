@@ -193,10 +193,13 @@ object Entries53 {
     // c_ab·N·c_a·c_b ≤ ~1e13, well inside double's 2^53.
     Q("q308_word_pmi",
       (s, d) => {
+        // persisted: the unigram counts and BOTH sides of the co-occurrence
+        // self-join read dw — three explode+distinct replays without it
         val dw = Tables.documents(s, d)
           .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
           .where(length(col("w")) > 0)
           .distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val n = Tables.documents(s, d).count()
         val cw = dw.groupBy(col("w")).agg(count(lit(1)).as("c"))
         val pairs = dw.as("a")

@@ -141,6 +141,10 @@ object Entries54 {
           .filter(col("prev7").isNotNull)
           .withColumn("resid", abs(col("cents") - col("prev7")))
           .withColumn("year", (col("day") / 365.2425).cast("long") + 1970L)
+          // persisted: calib feeds the count AND rank passes, test the
+          // final join — three replays of the orders join + window without
+          // the cache (the relation is the nation×day domain)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val calib = withPrev.filter(col("year") === 1996L)
         val test = withPrev.filter(col("year") === 1997L)
         val rw = Window.partitionBy(col("nation"))

@@ -74,13 +74,17 @@ object Entries56 {
           .join(broadcast(Tables.customer(s, d)
             .select(col("c_custkey"), col("c_mktsegment"))),
             col("o_custkey") === col("c_custkey"))
+        // persisted joint cells (≤ 25 rows); marginals and the total all
+        // derive from them — one fact pass instead of four (the total is
+        // the cell sum, identical by algebra)
         val cells = jo.groupBy(col("c_mktsegment"), col("o_orderpriority"))
           .agg(count(lit(1)).as("n_xy"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val mx = cells.groupBy(col("c_mktsegment"))
           .agg(sum(col("n_xy")).as("n_x"))
         val my = cells.groupBy(col("o_orderpriority"))
           .agg(sum(col("n_xy")).as("n_y"))
-        val n = jo.count()
+        val n = cells.agg(sum(col("n_xy"))).head().getLong(0)
         cells.join(broadcast(mx), Seq("c_mktsegment"))
           .join(broadcast(my), Seq("o_orderpriority"))
           .select(col("c_mktsegment"), col("o_orderpriority"), col("n_xy"),

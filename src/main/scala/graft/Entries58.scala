@@ -117,10 +117,14 @@ object Entries58 {
       (s, d) => {
         val li = Tables.lineitem(s, d)
           .select(col("l_orderkey"), col("l_partkey"))
+        // persisted: the edge mine (self-join + distinct) feeds the degree
+        // map AND the moment pass — without the cache each consumer
+        // re-runs the fact self-join (q271 scan-dedup discipline)
         val edges = li.as("a").join(li.as("b"), Seq("l_orderkey"))
           .filter(col("a.l_partkey") < col("b.l_partkey"))
           .select(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
           .distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val dir = edges.select(col("pa").as("u"), col("pb").as("w"))
           .unionByName(edges.select(col("pb").as("u"), col("pa").as("w")))
         val deg = dir.groupBy(col("u")).agg(count(lit(1)).as("deg"))
@@ -248,11 +252,15 @@ object Entries58 {
     // Spearman for continuous, τ-b for heavily-tied discrete columns.
     Q("q331_kendall_tau",
       (s, d) => {
+        // persisted: the joint-cell reduce (≤ 50×11 cells per flag) feeds
+        // the concordance self-join and three tie-count passes — five
+        // fact scans without the cache, one with it
         val cells = Tables.lineitem(s, d)
           .groupBy(col("l_returnflag").as("g"),
             round(col("l_quantity") * 100).cast("long").as("x"),
             round(col("l_discount") * 100).cast("long").as("y"))
           .agg(count(lit(1)).as("cnt"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val cd = cells.as("a").join(cells.as("b"),
             col("a.g") === col("b.g") && col("a.x") < col("b.x"))
           .groupBy(col("a.g").as("g"))

@@ -182,8 +182,12 @@ object Entries59 {
           .select(col("o_orderpriority").as("g"),
             expr("least(19L, CAST(round(o_totalprice * 100) AS LONG) DIV 2500000L)")
               .as("k"))
+        // persisted (≤ 100 cells); the grid, the per-group CDF and the
+        // overall CDF all derive from it — one orders scan total (the
+        // overall marginal is the cell sum over g, identical by algebra)
         val cellCnt = bucketed.groupBy(col("g"), col("k"))
           .agg(count(lit(1)).as("cnt"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val grid = cellCnt.select(col("g")).distinct()
           .crossJoin(cellCnt.select(col("k")).distinct())
         val cells = grid.join(cellCnt, Seq("g", "k"), "left")
@@ -195,7 +199,7 @@ object Entries59 {
           .withColumn("n_g", sum(col("cnt")).over(Window.partitionBy(col("g"))))
           .select(col("g"), col("k"),
             expr("(cum * 1000000L) DIV n_g").as("cum_g_ppm"))
-        val overall = bucketed.groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+        val overall = cellCnt.groupBy(col("k")).agg(sum(col("cnt")).as("cnt"))
         val wa = Window.orderBy(col("k"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val acum = overall

@@ -88,8 +88,11 @@ object Entries60 {
     Q("q340_cohort_triangle",
       (s, d) => {
         val ev = Tables.events(s, d)
+        // persisted: the per-user cohort map feeds the size census AND the
+        // revenue-cell join — each would otherwise replay the events reduce
         val cohorts = ev.groupBy(col("user_id"))
           .agg(expr("min(ts_us) DIV 604800000000L").as("cw"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val sizes = cohorts.groupBy(col("cw"))
           .agg(count(lit(1)).as("cohort_users"))
         val cells = ev.filter(col("event_type") === "purchase")
@@ -97,6 +100,7 @@ object Entries60 {
           .groupBy(col("cw"),
             (expr("ts_us DIV 604800000000L") - col("cw")).as("age_wk"))
           .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val totals = cells.groupBy(col("cw"))
           .agg(sum(col("cents")).as("tot_c"))
         cells.join(broadcast(totals), Seq("cw"))
@@ -264,11 +268,15 @@ object Entries60 {
     // to the OLS slopes of q124/q304.
     Q("q343_theil_sen",
       (s, d) => {
+        // persisted: the day-grain reduce feeds both sides of the banded
+        // self-join, and the pair relation feeds the bucket counts, the
+        // total and the in-bucket rank — six orders scans without caches
         val daily = Tables.orders(s, d)
           .groupBy(datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
             .cast("long").as("day"))
           .agg(expr("sum(CAST(round(o_totalprice * 100) AS LONG)) DIV 100")
             .as("x"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val pairs = daily.as("a").join(daily.as("b"),
             col("b.day") > col("a.day") &&
               col("b.day") <= col("a.day") + 30)
@@ -283,6 +291,7 @@ object Entries60 {
               nullif((col("b.day") - col("a.day")).cast("double"), lit(0.0)))
               .cast("long").as("slope_q"))
           .withColumn("tie", col("d1") * 100000L + col("d2"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val bucketed = pairs.withColumn("bk",
           floor(col("slope_q").cast("double") / 1e9).cast("long"))
         val bCnt = bucketed.groupBy(col("bk")).agg(count(lit(1)).as("cnt"))

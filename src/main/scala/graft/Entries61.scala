@@ -22,17 +22,27 @@ object Entries61 {
     * coefficients; returns one (level, n_nodes, energy) row per level.
     * Missing days act as implicit zeros (absent children of a groupBy). */
   private def haarEnergies(l0: DataFrame): DataFrame = {
-    val levels = (1 to HaarLevels).scanLeft(l0) { (cur, _) =>
-      cur.groupBy(expr("t DIV 2").as("t"))
-        .agg(sum(col("x")).as("x"),
-          sum(when(col("t") % 2 === 0, col("x")).otherwise(-col("x")))
-            .as("d"))
-    }.drop(1)
-    levels.zipWithIndex.map { case (lv, i) =>
-      lv.agg(count(lit(1)).as("n_nodes"),
+    // SINGLE-PASS pyramid: by linearity, detail d(k, m) = Σ_t x_t ·
+    // sign(bit k−1 of t) over t ∈ [m·2^k, (m+1)·2^k) — so each input row
+    // contributes ±x to EXACTLY ONE node per level, and the whole pyramid
+    // is one explode (12 (level, node, ±x) terms per row) + one groupBy,
+    // not a 12-stage groupBy chain. A node exists iff some t in its span
+    // exists, identical to the recursive form's support; the sums are the
+    // same integers, order-free. One scan + two exchanges at ANY scale —
+    // the chained form replayed its prefix per level-energy branch (12
+    // chains × 12 shuffles, and 24 orders scans before l0 was cached).
+    val terms = (1 to HaarLevels).map { k =>
+      struct(lit(k.toLong).as("level"),
+        expr(s"t DIV ${1L << k}").as("node"),
+        expr(s"CASE WHEN (t DIV ${1L << (k - 1)}) % 2 = 0 THEN x ELSE -x END")
+          .as("v"))
+    }
+    l0.select(explode(array(terms: _*)).as("e"))
+      .groupBy(col("e.level").as("level"), col("e.node").as("node"))
+      .agg(sum(col("e.v")).as("d"))
+      .groupBy(col("level"))
+      .agg(count(lit(1)).as("n_nodes"),
         sum(col("d") * col("d")).as("energy"))
-        .select(lit(i + 1L).as("level"), col("n_nodes"), col("energy"))
-    }.reduce(_.unionByName(_))
   }
 
   /** The identical pyramid as a generated DuckDB CTE chain; `l0` must
@@ -145,11 +155,17 @@ object Entries61 {
     // previous level.
     Q("q346_haar_energy",
       (s, d) => {
-        val mn = daily(s, d).agg(min(col("day")).as("d0"))
+        // persisted: the day-grain reduce feeds the min scalar, and every
+        // one of the 12 per-level energy aggregates replays the pyramid
+        // chain from l0 — without the cache each replay re-scans orders
+        // (24 scans in the formatted plan; with it, one)
+        val dd = daily(s, d)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val mn = dd.agg(min(col("day")).as("d0"))
         // kilodollar grain: top-level Haar sums approach the corpus total
         // and their SQUARES must stay under 2^63 (overflowed in dollars
         // at sf0.1)
-        val l0 = daily(s, d).crossJoin(broadcast(mn))
+        val l0 = dd.crossJoin(broadcast(mn))
           .select((col("day") - col("d0")).as("t"),
             expr("x DIV 1000").as("x"))
         haarEnergies(l0)
@@ -225,11 +241,15 @@ object Entries61 {
             .select(col("c_custkey"), col("c_mktsegment"))),
             col("o_custkey") === col("c_custkey"))
           .select(col("c_mktsegment").as("r"), col("o_orderpriority").as("c"))
+        // persisted contingency cells (≤ 25 rows); n/nrows/ncols derive
+        // from the cells, not a second fact pass — every (r, c) value in
+        // jo appears in some cell, so the distinct counts are identical
         val cells = jo.groupBy(col("r"), col("c"))
           .agg(count(lit(1)).as("o"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val rm = cells.groupBy(col("r")).agg(sum(col("o")).as("nr"))
         val cm = cells.groupBy(col("c")).agg(sum(col("o")).as("nc"))
-        val t = jo.agg(count(lit(1)).as("n"),
+        val t = cells.agg(sum(col("o")).as("n"),
           countDistinct(col("r")).as("nrows"),
           countDistinct(col("c")).as("ncols"))
         val terms = cells.join(broadcast(rm), Seq("r"))

@@ -324,9 +324,12 @@ object Entries64 {
     // consume to fix correlated-predicate misestimates.
     Q("q368_grid_histogram",
       (s, d) => {
+        // persisted: two quartile locators (value reduce + count each),
+        // the driver count and the final binning pass all read fact
         val fact = Tables.lineitem(s, d)
           .select(round(col("l_extendedprice") * 100).cast("long").as("x"),
             round(col("l_quantity") * 100).cast("long").as("y"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         def quartiles(c: String) = {
           val dom = fact.groupBy(col(c).as("v"))
             .agg(count(lit(1)).as("cnt"))

@@ -84,12 +84,15 @@ object Entries66 {
     // matter jointly — the thing one-way η² (q345) cannot see.
     Q("q376_twoway_anova",
       (s, d) => {
+        // persisted: f feeds the cell reduce AND the total-moment pass;
+        // cells (35 rows) then fan out to ma/mb/ssab
         val f = Tables.orders(s, d)
           .select(col("o_orderpriority").as("a"),
             (datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
               .cast("long") % 7).as("b"),
             expr("CAST(round(o_totalprice * 100) AS LONG) DIV 1000")
               .as("v"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val cells = f.groupBy(col("a"), col("b"))
           .agg(count(lit(1)).as("n_ab"), sum(col("v")).as("s_ab"))
         val ma = cells.groupBy(col("a"))
@@ -196,9 +199,13 @@ object Entries66 {
     // to. Exact reduced-domain quantiles, integer exceedance counts.
     Q("q377_tail_dependence",
       (s, d) => {
+        // persisted: f feeds four quantile locators (each needing a value
+        // reduce + a count) plus the final exceedance pass — nine fact
+        // scans without the cache, one with it
         val f = Tables.lineitem(s, d)
           .select(round(col("l_extendedprice") * 100).cast("long").as("x"),
             round(col("l_quantity") * 100).cast("long").as("y"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         def quant(c: String, num: Int, den: Int, name: String) = {
           val dom = f.groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt"))
           val w = Window.orderBy(col("v"))

@@ -43,9 +43,13 @@ object Entries69 {
     Q("q393_corpus_divergence",
       (s, d) => {
         val docs = Tables.documents(s, d)
+        // persisted: the (lang, tok) reduce feeds the corpus marginal, the
+        // language totals AND the present-cell join — without the cache
+        // each consumer replays the tokenize-explode over documents
         val tl = Entries57.tokenCounts(docs)
           .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
           .groupBy(col("lang"), col("tok")).agg(sum(col("cnt")).as("a"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val corpus = tl.groupBy(col("tok")).agg(sum(col("a")).as("c"))
         val langTot = tl.groupBy(col("lang")).agg(sum(col("a")).as("la"))
         val ctot = corpus.agg(sum(col("c")).as("lc"))
@@ -99,9 +103,12 @@ object Entries69 {
     Q("q394_source_marginal",
       (s, d) => {
         val docs = Tables.documents(s, d)
+        // persisted: the (source, tok) reduce feeds the spread marginal
+        // AND the final census — each would replay the tokenize-explode
         val st = Entries57.tokenCounts(docs)
           .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
           .groupBy(col("source"), col("tok")).agg(sum(col("cnt")).as("occ"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val spread = st.groupBy(col("tok"))
           .agg(count(lit(1)).as("n_sources"))
         val nd = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
@@ -328,16 +335,23 @@ object Entries69 {
     Q("q398_mixture_reweight",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val perSrc = Entries57.tokenCounts(docs)
+        // ONE tokenize-explode: the per-source moment table (20 rows,
+        // persisted) is the only pass over the corpus; the global moments
+        // are ITS sums — each doc has exactly one source, so Σ n_docs and
+        // Σ occ over sources equal the global distinct-doc and token
+        // totals exactly. The first draft ran the explode twice (per-src,
+        // global) and re-ran it twice more through the scored fan-out.
+        val moments = Entries57.tokenCounts(docs)
           .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
           .groupBy(col("source")).agg(
             sum(col("cnt")).as("occ"),
             countDistinct(col("doc_id")).as("n_docs"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val perSrc = moments
           .selectExpr("source", "n_docs",
             "(occ * 1000) DIV n_docs AS mean_len_milli")
-        val glob = Entries57.tokenCounts(docs)
-          .agg(sum(col("cnt")).as("occ_g"),
-            countDistinct(col("doc_id")).as("docs_g"))
+        val glob = moments
+          .agg(sum(col("occ")).as("occ_g"), sum(col("n_docs")).as("docs_g"))
           .selectExpr("(occ_g * 1000) DIV docs_g AS glob_milli")
         val scored = perSrc.crossJoin(broadcast(glob))
           .selectExpr("source", "n_docs", "mean_len_milli",

@@ -266,6 +266,9 @@ object Entries71 {
           .groupBy(col("o_custkey")).agg(count(lit(1)).as("n97"))
           .filter(col("n97") >= 2L)
           .select(col("o_custkey"), lit(1L).as("pos"))
+        // persisted: the stacked pipeline projects base once per feature
+        // (three consumers), each of which would replay the label
+        // aggregation over orders and the dimension joins
         val base = Tables.customer(s, d)
           .join(broadcast(Tables.nation(s, d)),
             col("c_nationkey") === col("n_nationkey"))
@@ -274,6 +277,7 @@ object Entries71 {
           .join(label, col("c_custkey") === col("o_custkey"), "left")
           .select(col("c_mktsegment"), col("n_name"), col("r_name"),
             coalesce(col("pos"), lit(0L)).as("y"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val stacked = base.selectExpr(
             "'mktsegment' AS feature", "c_mktsegment AS level", "y")
           .unionByName(base.selectExpr("'nation' AS feature",

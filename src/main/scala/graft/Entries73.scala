@@ -122,6 +122,9 @@ object Entries73 {
             when(col("l_orderkey").isNull,
               round(col("o_totalprice") * 100).cast("long"))
               .otherwise(0L).as("r_cents"))
+          // persisted: the propensity table and the weighted pass both
+          // read rew — each would replay the lineitem distinct + join
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val prop = rew.groupBy(col("seg"), col("act"))
           .agg(count(lit(1)).as("n_seg_a"))
         val segTot = prop.groupBy(col("seg")).agg(sum(col("n_seg_a")).as("n_seg"))
