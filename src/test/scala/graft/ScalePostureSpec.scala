@@ -887,4 +887,38 @@ class ScalePostureSpec extends SparkSpec {
     }
     assert(projects.nonEmpty, "expected the unrolled Project chain")
   }
+
+  test("scan-dedup sweep pins: shared intermediates materialize once — " +
+    "bounded parquet scans and a single tokenize-explode per plan") {
+    // The round-7 formatted-plan audit found shared subtrees replayed once
+    // per downstream consumer (tokenize-explodes three times, fact
+    // self-joins twice, day-grain reduces per branch). The fix — persist
+    // the shared relation, derive marginals from the cached cells — is a
+    // plan property: the parquet scan count and Generate (explode) count
+    // are now scale-invariant constants. Pin them so a refactor that drops
+    // a persist() or re-derives a marginal from the fact table fails here,
+    // not in a 100 TB bill. Bounds are the audited post-sweep values.
+    val pins: Seq[(String, Int, Int)] = Seq(
+      // (query, max parquet scans, exact Generate count)
+      ("q346_haar_energy", 1, 1),       // single-pass pyramid: one explode
+      ("q393_corpus_divergence", 2, 1), // tokenize-explode plans ONCE
+      ("q394_source_marginal", 3, 1),   // explode once; +1 skinny nd scan
+      ("q398_mixture_reweight", 2, 1),  // explode once; global = Σ per-src
+      ("q343_theil_sen", 1, 0),         // pair self-join rides the cache
+      ("q318_mutual_info", 2, 0),       // marginals from cached cells
+      ("q309_equi_depth_hist", 1, 0))   // reduced domain cached, reused
+    for ((name, maxScans, generates) <- pins) {
+      val plan = planOf(SparkEntry.queries(name)(spark, sf))
+      val scans = plan.linesIterator
+        .count(_.matches("""\(\d+\) Scan parquet.*"""))
+      assert(scans <= maxScans,
+        s"$name: shared subtree re-planned — $scans parquet scans " +
+          s"(audited bound $maxScans)")
+      val gens = plan.linesIterator
+        .count(_.matches("""\(\d+\) Generate.*"""))
+      assert(gens == generates,
+        s"$name: expected $generates Generate nodes (one per explode " +
+          s"pass), got $gens")
+    }
+  }
 }
