@@ -35,7 +35,7 @@ object Entries68 {
     * cells c{arm}{cls}, row totals ra/rb, class totals t0/t1/t2, grand n.
     * Margin-zero cells contribute 0 by convention (guarded on the exact
     * integer product, not the double). */
-  private val chi2Str: String = {
+  private[graft] val chi2Str: String = {
     val terms = for {
       (arm, rtot) <- Seq("a" -> "ra", "b" -> "rb")
       (cls, ctot) <- Seq("0" -> "t0", "1" -> "t1", "2" -> "t2")

@@ -1,0 +1,272 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Knife-edge audit for every floored-transcendental term that reaches an
+  * oracle-checked output.
+  *
+  * Policy background (PLANS.md "Transcendental policy hardened", escape
+  * hatch 3): a `floor(ln(x) * grain)` column is cross-engine safe only
+  * because a 1-ulp JVM-vs-glibc `ln` disagreement (relative ~2^-52) flips
+  * the floor only when the true value sits within ~|v|*2^-52 of a grid
+  * boundary. That argument is probabilistic — and q395 LOST the r6 lottery
+  * (one operand landed on a boundary on the driver box). This spec converts
+  * the claim into a measured guarantee for the 8 remaining floored-ln sites:
+  * it recomputes each query's pre-floor scaled term over the sf0.01 gate
+  * fixture and asserts every term sits at least 1e-12 * max(|v|, 1) from the
+  * nearest integer — ~4,000x the worst 1-ulp libm error, so ANY
+  * faithfully-rounded libm pair agrees on every floor. If a fixture
+  * regeneration ever drops a term onto a boundary, this trips locally before
+  * the driver's DuckDB compare does.
+  *
+  * ln(1) = 0 exactly in every libm (and the engines' CASE guards make the
+  * multiplier exactly 0 in the same rows), so arg == 1 rows are boundary
+  * hits BOTH engines resolve identically — excluded from the distance scan.
+  *
+  * Each probe duplicates its query's pipeline prefix by design (the
+  * registered query must stay byte-stable); the duplicated block cites the
+  * Entries file:line it mirrors — keep them in sync.
+  */
+class KnifeEdgeSpec extends SparkSpec {
+
+  /** The driver's correctness-gate scale factor (override to audit another
+    * SF, e.g. GRAFT_KNIFE_SF=/root/testdata/sf0.1 for the round-close
+    * sweep). */
+  private val gate =
+    sys.env.getOrElse("GRAFT_KNIFE_SF", "/root/testdata/sf0.01")
+
+  /** Assert every pre-floor scaled term `v` is far from an integer
+    * boundary. Tolerance 1e-12 relative (floor 1e-12 absolute) vs a 1-ulp
+    * libm error of ~2.2e-16 relative. */
+  private def assertFloorSafe(name: String, vs: DataFrame): Unit = {
+    val agg = vs.selectExpr("CAST(v AS DOUBLE) AS v")
+      .selectExpr("v - floor(v) AS frac", "greatest(abs(v) * 1e-12, 1e-12) AS tol")
+      .selectExpr("least(frac, 1.0 - frac) AS dist", "tol")
+      .agg(min(expr("dist / tol")).as("ratio"), count(lit(1)).as("n"),
+        min(col("dist")).as("dist"))
+      .head()
+    val (ratio, n, dist) = (agg.getDouble(0), agg.getLong(1), agg.getDouble(2))
+    info(f"$name: $n%d terms, min boundary distance $dist%.3e = $ratio%.0fx tolerance")
+    assert(n > 0L, s"$name: probe produced no terms — pipeline drift vs the query?")
+    assert(ratio > 1.0,
+      f"$name: a floored term sits $dist%.3e from a grid boundary — within the " +
+        "cross-libm knife edge. Re-express this term exactly (q395 precedent).")
+  }
+
+  /** Assert a double comparison whose right side contains ln() has margin:
+    * |lhs - rhs| must exceed 1e-12 * max(|lhs|, 1). */
+  private def assertCompareSafe(name: String, margins: DataFrame): Unit = {
+    val agg = margins.selectExpr("CAST(margin AS DOUBLE) AS m", "CAST(scale AS DOUBLE) AS s")
+      .selectExpr("abs(m) AS dist", "greatest(abs(s) * 1e-12, 1e-12) AS tol")
+      .agg(min(expr("dist / tol")).as("ratio"), count(lit(1)).as("n"),
+        min(col("dist")).as("dist"))
+      .head()
+    val (ratio, n, dist) = (agg.getDouble(0), agg.getLong(1), agg.getDouble(2))
+    info(f"$name: $n%d comparisons, min margin $dist%.3e = $ratio%.0fx tolerance")
+    assert(n > 0L)
+    assert(ratio > 1.0, f"$name: a ln-dependent comparison has margin $dist%.3e")
+  }
+
+  // ---- q298 Zipf slope (Entries51.scala:294-307): x/y = floor(ln(k)*1e4)
+
+  test("q298: ln(rank) and ln(cnt) terms clear the 1e-4 grid boundaries") {
+    val toks = Tables.documents(spark, gate)
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .where(length(col("tok")) > 0)
+      .groupBy(col("lang"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+    val ranked = toks.withColumn("rank",
+      row_number().over(Window.partitionBy("lang")
+        .orderBy(col("cnt").desc, col("tok").asc)))
+      .where(col("rank") <= 100)
+    val vs = ranked.where(col("rank") > 1)
+      .select((log(col("rank").cast("double")) * 1e4).as("v"))
+      .union(ranked.where(col("cnt") > 1)
+        .select((log(col("cnt").cast("double")) * 1e4).as("v")))
+    assertFloorSafe("q298", vs)
+  }
+
+  // ---- q300 bigram NLL (Entries52.scala:104-129): floor(ln((c2+1)/(c1+V))*1e4)
+
+  test("q300: smoothed bigram log-prob terms clear the 1e-4 grid boundaries") {
+    val docs = Tables.documents(spark, gate)
+    val sp = ext.TrainPrep.hashSplit(docs, "doc_id")
+    val bigrams = sp
+      .withColumn("w", split(col("text"), " "))
+      .select(col("doc_id"), col("source"), col("split"),
+        explode(expr(
+          "transform(sequence(1, size(w) - 1), " +
+            "i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2))"))
+          .as("bg"))
+      .select(col("split"), col("bg.w1"), col("bg.w2"))
+    val trBg = bigrams.filter(col("split") === "train")
+    val c2 = trBg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val v = sp.filter(col("split") === "train")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .agg(countDistinct(col("w"))).head().getLong(0)
+    val vs = bigrams.filter(col("split") === "test")
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .select(((coalesce(col("c2"), lit(0L)) + 1L).cast("double") /
+        (coalesce(col("c1"), lit(0L)) + v).cast("double")).as("arg"))
+      .where(col("arg") =!= 1.0)
+      .select((log(col("arg")) * 1e4).as("v"))
+    assertFloorSafe("q300", vs)
+  }
+
+  // ---- q303 PSI drift (Entries52.scala:315-334): floor((p-q)*ln(p/q)*1e8)
+
+  test("q303: PSI terms clear the 1e-8 grid boundaries") {
+    val o = Tables.orders(spark, gate)
+      .select((graft.ops.Relational.epochUs(col("o_orderdate"))
+        / 86400000000L).cast("long").as("day"),
+        floor(col("o_totalprice") / 50000.0).cast("long").as("band"))
+    val mid = o.agg(((min(col("day")) + max(col("day"))) / lit(2L))
+      .cast("long")).head().getLong(0)
+    val counts = o.groupBy(col("band"))
+      .agg(sum(when(col("day") < mid, 1L).otherwise(0L)).as("na"),
+        sum(when(col("day") >= mid, 1L).otherwise(0L)).as("nb"))
+    val tots = counts.agg(sum(col("na")), sum(col("nb")), count(lit(1))).head()
+    val (ta, tb, nb2) = (tots.getLong(0), tots.getLong(1), tots.getLong(2))
+    val vs = counts
+      .withColumn("arg",
+        ((col("na") + 1L).cast("double") * lit(tb + nb2).cast("double")) /
+          ((col("nb") + 1L).cast("double") * lit(ta + nb2).cast("double")))
+      .where(col("arg") =!= 1.0)
+      .select(((((col("na") + 1L).cast("double") / lit(ta + nb2).cast("double")) -
+        ((col("nb") + 1L).cast("double") / lit(tb + nb2).cast("double"))) *
+        log(col("arg")) * 1e8).as("v"))
+    assertFloorSafe("q303", vs)
+  }
+
+  // ---- q308 word PMI (Entries53.scala:195-217): floor(ln(c_ab*N/(c_a*c_b))*1e4)
+
+  test("q308: PMI terms clear the 1e-4 grid boundaries") {
+    val dw = Tables.documents(spark, gate)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) > 0)
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = Tables.documents(spark, gate).count()
+    val cw = dw.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val pairs = dw.as("a")
+      .join(dw.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.w") < col("b.w"))
+      .groupBy(col("a.w").as("w1"), col("b.w").as("w2"))
+      .agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= 5)
+    val vs = pairs
+      .join(cw.select(col("w").as("w1"), col("c").as("c_a")), Seq("w1"))
+      .join(cw.select(col("w").as("w2"), col("c").as("c_b")), Seq("w2"))
+      .select(((col("c_ab") * lit(n)).cast("double") /
+        (col("c_a") * col("c_b")).cast("double")).as("arg"))
+      .where(col("arg") =!= 1.0)
+      .select((log(col("arg")) * 1e4).as("v"))
+    try assertFloorSafe("q308", vs)
+    finally dw.unpersist()
+  }
+
+  // ---- q314 weighted reservoir (Entries55.scala:53-58): floor(ln((h+1)/2^48)*1e6)
+
+  test("q314: reservoir ln(u) keys clear the 1e-6 grid boundaries") {
+    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 12),
+      16, 10).cast("long")
+    val vs = Tables.documents(spark, gate)
+      .filter(col("n_chars") >= 1L)
+      .select(((h + 1L).cast("double") / lit(281474976710656.0)).as("arg"))
+      .where(col("arg") =!= 1.0)
+      .select((log(col("arg")) * 1e6).as("v"))
+    assertFloorSafe("q314", vs)
+  }
+
+  // ---- q318 mutual information (Entries56.scala:73-94):
+  //      floor((n_xy/N)*ln(n_xy*N/(n_x*n_y))*1e8)
+
+  test("q318: MI terms clear the 1e-8 grid boundaries") {
+    val jo = Tables.orders(spark, gate)
+      .join(broadcast(Tables.customer(spark, gate)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+    val cells = jo.groupBy(col("c_mktsegment"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_xy"))
+    val mx = cells.groupBy(col("c_mktsegment")).agg(sum(col("n_xy")).as("n_x"))
+    val my = cells.groupBy(col("o_orderpriority")).agg(sum(col("n_xy")).as("n_y"))
+    val n = cells.agg(sum(col("n_xy"))).head().getLong(0)
+    val vs = cells.join(broadcast(mx), Seq("c_mktsegment"))
+      .join(broadcast(my), Seq("o_orderpriority"))
+      .select(col("n_xy"),
+        ((col("n_xy") * lit(n)).cast("double") /
+          (col("n_x") * col("n_y")).cast("double")).as("arg"))
+      .where(col("arg") =!= 1.0)
+      .select(((col("n_xy").cast("double") / lit(n.toDouble)) *
+        log(col("arg")) * 1e8).as("v"))
+    assertFloorSafe("q318", vs)
+  }
+
+  // ---- q388 BH-FDR (Entries68.scala:145-180): the step-up compare
+  //      chi2 >= -2*ln(rk*0.1/m) is the only ln-dependent decision; chi2
+  //      itself is an identical IEEE chain (same chi2Str in both engines).
+
+  test("q388: BH step-up comparisons have margin at every rank") {
+    val cells = Tables.orders(spark, gate)
+      .join(broadcast(Tables.customer(spark, gate)
+        .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_nationkey").cast("long").as("nation"),
+        (conv(substring(md5(col("o_orderkey").cast("string")), 1, 12),
+          16, 10).cast("long") % 2L).as("arm"),
+        when(substring(col("o_orderpriority"), 1, 1).isin("1", "2"), 0)
+          .when(substring(col("o_orderpriority"), 1, 1) === "3", 1)
+          .otherwise(2).as("cls"))
+    val tab = cells.groupBy(col("nation")).agg(
+      sum(when(col("arm") === 0L && col("cls") === 0, 1L).otherwise(0L)).as("ca0"),
+      sum(when(col("arm") === 0L && col("cls") === 1, 1L).otherwise(0L)).as("ca1"),
+      sum(when(col("arm") === 0L && col("cls") === 2, 1L).otherwise(0L)).as("ca2"),
+      sum(when(col("arm") === 1L && col("cls") === 0, 1L).otherwise(0L)).as("cb0"),
+      sum(when(col("arm") === 1L && col("cls") === 1, 1L).otherwise(0L)).as("cb1"),
+      sum(when(col("arm") === 1L && col("cls") === 2, 1L).otherwise(0L)).as("cb2"))
+    val chi = tab.selectExpr("nation", "ca0", "ca1", "ca2", "cb0", "cb1", "cb2",
+        "ca0 + ca1 + ca2 AS ra", "cb0 + cb1 + cb2 AS rb",
+        "ca0 + cb0 AS t0", "ca1 + cb1 AS t1", "ca2 + cb2 AS t2")
+      .selectExpr("nation",
+        "CAST(ra + rb AS DOUBLE) AS nn0", "ra", "rb", "t0", "t1", "t2",
+        "ca0", "ca1", "ca2", "cb0", "cb1", "cb2")
+      .withColumnRenamed("nn0", "nn")
+      .selectExpr("nation", s"${Entries68.chi2Str} AS chi2")
+    val margins = chi.selectExpr("chi2",
+        "row_number() OVER (ORDER BY chi2 DESC, nation ASC) AS rk",
+        "CAST(count(*) OVER () AS BIGINT) AS m")
+      .selectExpr(
+        "chi2 - (-2.0 * ln((CAST(rk AS DOUBLE) * 0.1) / m)) AS margin",
+        "chi2 AS scale")
+    assertCompareSafe("q388", margins)
+  }
+
+  // ---- q391 DP histogram (Entries68.scala:369-386): floor(±ln(1∓2z)*1000)
+
+  test("q391: Laplace inverse-CDF noise terms clear the milli grid") {
+    val geo = Tables.customer(spark, gate)
+      .join(broadcast(Tables.nation(spark, gate)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, gate)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("r_name"))
+    val vs = Tables.orders(spark, gate)
+      .join(broadcast(geo), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("r_name").as("region"),
+        col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("cnt"))
+      .selectExpr("region", "priority",
+        "CAST(conv(substring(md5(concat(region, '|', priority)), 1, 12), 16, 10) AS BIGINT) AS h")
+      .selectExpr("CAST(h AS DOUBLE) / 281474976710656.0 - 0.5 AS z")
+      .selectExpr("CASE WHEN z >= 0.0 THEN 1.0 - 2.0*z ELSE 1.0 + 2.0*z END AS arg",
+        "z")
+      .where(col("arg") =!= 1.0)
+      .selectExpr(
+        "(CASE WHEN z >= 0.0 THEN -ln(arg) ELSE ln(arg) END) * 1000 AS v")
+    assertFloorSafe("q391", vs)
+  }
+}

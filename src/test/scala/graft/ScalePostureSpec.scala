@@ -898,6 +898,16 @@ class ScalePostureSpec extends SparkSpec {
     // are now scale-invariant constants. Pin them so a refactor that drops
     // a persist() or re-derives a marginal from the fact table fails here,
     // not in a 100 TB bill. Bounds are the audited post-sweep values.
+    //
+    // The counts are only deterministic against an EMPTY cache: suites
+    // share one session, and a cached subtree left by an earlier suite
+    // substitutes into these plans as an extra InMemoryRelation (whose
+    // definition carries its own Generate), shifting the counts with suite
+    // order. Clear the cache so the pin measures the audited fresh-session
+    // shape; suites run sequentially in the forked test JVM, and every
+    // persist() in this repo is a performance hint, never a correctness
+    // dependency, so later suites just recompute.
+    spark.sharedState.cacheManager.clearCache()
     val pins: Seq[(String, Int, Int)] = Seq(
       // (query, max parquet scans, exact Generate count)
       ("q346_haar_energy", 1, 1),       // single-pass pyramid: one explode
