@@ -916,7 +916,11 @@ class ScalePostureSpec extends SparkSpec {
       ("q398_mixture_reweight", 2, 1),  // explode once; global = Σ per-src
       ("q343_theil_sen", 1, 0),         // pair self-join rides the cache
       ("q318_mutual_info", 2, 0),       // marginals from cached cells
-      ("q309_equi_depth_hist", 1, 0))   // reduced domain cached, reused
+      ("q309_equi_depth_hist", 1, 0),   // reduced domain cached, reused
+      ("q333_backtest_mae", 2, 0),      // day-grain reduce cached per branch
+      ("q348_cramers_v", 2, 0),         // contingency totals = cell sums
+      ("q371_ljung_box", 2, 0),         // daily residual series cached
+      ("q407_fairness_census", 4, 0))   // label pipeline cached per feature
     for ((name, maxScans, generates) <- pins) {
       val plan = planOf(SparkEntry.queries(name)(spark, sf))
       val scans = plan.linesIterator
