@@ -69,6 +69,18 @@ class KnifeEdgeSpec extends SparkSpec {
     assert(ratio > 1.0, f"$name: a ln-dependent comparison has margin $dist%.3e")
   }
 
+  /** Tie a probe's duplicated pipeline prefix to the REGISTERED query: the
+    * probe measures knife-edge distance on recomputed terms, so a probe
+    * that silently drifts from the query would audit the wrong pipeline.
+    * Each pin equates a probe-side row count with one derived from the
+    * query's own output at the same SF. (q314 has no pin: its output is
+    * the top-20 window per source, which exposes no prefix cardinality.) */
+  private def assertNoDrift(name: String, probeCount: Long, queryCount: Long): Unit =
+    assert(probeCount == queryCount,
+      s"$name: probe pipeline drifted from the registered query " +
+        s"(probe=$probeCount, query=$queryCount) — re-sync KnifeEdgeSpec " +
+        "with the Entries implementation")
+
   // ---- q298 Zipf slope (Entries51.scala:294-307): x/y = floor(ln(k)*1e4)
 
   test("q298: ln(rank) and ln(cnt) terms clear the 1e-4 grid boundaries") {
@@ -81,6 +93,9 @@ class KnifeEdgeSpec extends SparkSpec {
       row_number().over(Window.partitionBy("lang")
         .orderBy(col("cnt").desc, col("tok").asc)))
       .where(col("rank") <= 100)
+    val sumNpts = SparkEntry.queries("q298_zipf_slope")(spark, gate)
+      .agg(sum(col("n_pts")).cast("long")).head().getLong(0)
+    assertNoDrift("q298", ranked.count(), sumNpts)
     val vs = ranked.where(col("rank") > 1)
       .select((log(col("rank").cast("double")) * 1e4).as("v"))
       .union(ranked.where(col("cnt") > 1)
@@ -107,12 +122,15 @@ class KnifeEdgeSpec extends SparkSpec {
     val v = sp.filter(col("split") === "train")
       .select(explode(split(col("text"), " ")).as("w"))
       .agg(countDistinct(col("w"))).head().getLong(0)
-    val vs = bigrams.filter(col("split") === "test")
+    val scoredArgs = bigrams.filter(col("split") === "test")
       .join(c2, Seq("w1", "w2"), "left")
       .join(c1, Seq("w1"), "left")
       .select(((coalesce(col("c2"), lit(0L)) + 1L).cast("double") /
         (coalesce(col("c1"), lit(0L)) + v).cast("double")).as("arg"))
-      .where(col("arg") =!= 1.0)
+    val outBigrams = SparkEntry.queries("q300_bigram_nll")(spark, gate)
+      .agg(sum(col("n_bigrams")).cast("long")).head().getLong(0)
+    assertNoDrift("q300", scoredArgs.count(), outBigrams)
+    val vs = scoredArgs.where(col("arg") =!= 1.0)
       .select((log(col("arg")) * 1e4).as("v"))
     assertFloorSafe("q300", vs)
   }
@@ -131,6 +149,8 @@ class KnifeEdgeSpec extends SparkSpec {
         sum(when(col("day") >= mid, 1L).otherwise(0L)).as("nb"))
     val tots = counts.agg(sum(col("na")), sum(col("nb")), count(lit(1))).head()
     val (ta, tb, nb2) = (tots.getLong(0), tots.getLong(1), tots.getLong(2))
+    assertNoDrift("q303", counts.count(),
+      SparkEntry.queries("q303_psi_drift")(spark, gate).count())
     val vs = counts
       .withColumn("arg",
         ((col("na") + 1L).cast("double") * lit(tb + nb2).cast("double")) /
@@ -158,15 +178,18 @@ class KnifeEdgeSpec extends SparkSpec {
       .groupBy(col("a.w").as("w1"), col("b.w").as("w2"))
       .agg(count(lit(1)).as("c_ab"))
       .filter(col("c_ab") >= 5)
-    val vs = pairs
+    val joined = pairs
       .join(cw.select(col("w").as("w1"), col("c").as("c_a")), Seq("w1"))
       .join(cw.select(col("w").as("w2"), col("c").as("c_b")), Seq("w2"))
       .select(((col("c_ab") * lit(n)).cast("double") /
         (col("c_a") * col("c_b")).cast("double")).as("arg"))
-      .where(col("arg") =!= 1.0)
+    val vs = joined.where(col("arg") =!= 1.0)
       .select((log(col("arg")) * 1e4).as("v"))
-    try assertFloorSafe("q308", vs)
-    finally dw.unpersist()
+    try {
+      assertNoDrift("q308", joined.count(),
+        SparkEntry.queries("q308_word_pmi")(spark, gate).count())
+      assertFloorSafe("q308", vs)
+    } finally dw.unpersist()
   }
 
   // ---- q314 weighted reservoir (Entries55.scala:53-58): floor(ln((h+1)/2^48)*1e6)
@@ -195,12 +218,14 @@ class KnifeEdgeSpec extends SparkSpec {
     val mx = cells.groupBy(col("c_mktsegment")).agg(sum(col("n_xy")).as("n_x"))
     val my = cells.groupBy(col("o_orderpriority")).agg(sum(col("n_xy")).as("n_y"))
     val n = cells.agg(sum(col("n_xy"))).head().getLong(0)
-    val vs = cells.join(broadcast(mx), Seq("c_mktsegment"))
+    val joined = cells.join(broadcast(mx), Seq("c_mktsegment"))
       .join(broadcast(my), Seq("o_orderpriority"))
       .select(col("n_xy"),
         ((col("n_xy") * lit(n)).cast("double") /
           (col("n_x") * col("n_y")).cast("double")).as("arg"))
-      .where(col("arg") =!= 1.0)
+    assertNoDrift("q318", joined.count(),
+      SparkEntry.queries("q318_mutual_info")(spark, gate).count())
+    val vs = joined.where(col("arg") =!= 1.0)
       .select(((col("n_xy").cast("double") / lit(n.toDouble)) *
         log(col("arg")) * 1e8).as("v"))
     assertFloorSafe("q318", vs)
@@ -242,6 +267,8 @@ class KnifeEdgeSpec extends SparkSpec {
       .selectExpr(
         "chi2 - (-2.0 * ln((CAST(rk AS DOUBLE) * 0.1) / m)) AS margin",
         "chi2 AS scale")
+    assertNoDrift("q388", chi.count(),
+      SparkEntry.queries("q388_bh_fdr")(spark, gate).count())
     assertCompareSafe("q388", margins)
   }
 
@@ -254,7 +281,7 @@ class KnifeEdgeSpec extends SparkSpec {
       .join(broadcast(Tables.region(spark, gate)),
         col("n_regionkey") === col("r_regionkey"))
       .select(col("c_custkey"), col("r_name"))
-    val vs = Tables.orders(spark, gate)
+    val zdf = Tables.orders(spark, gate)
       .join(broadcast(geo), col("o_custkey") === col("c_custkey"))
       .groupBy(col("r_name").as("region"),
         col("o_orderpriority").as("priority"))
@@ -264,7 +291,9 @@ class KnifeEdgeSpec extends SparkSpec {
       .selectExpr("CAST(h AS DOUBLE) / 281474976710656.0 - 0.5 AS z")
       .selectExpr("CASE WHEN z >= 0.0 THEN 1.0 - 2.0*z ELSE 1.0 + 2.0*z END AS arg",
         "z")
-      .where(col("arg") =!= 1.0)
+    assertNoDrift("q391", zdf.count(),
+      SparkEntry.queries("q391_dp_histogram")(spark, gate).count())
+    val vs = zdf.where(col("arg") =!= 1.0)
       .selectExpr(
         "(CASE WHEN z >= 0.0 THEN -ln(arg) ELSE ln(arg) END) * 1000 AS v")
     assertFloorSafe("q391", vs)
