@@ -16,6 +16,35 @@ class ScalePostureSpec extends SparkSpec {
   private def countExchanges(plan: String): Int =
     plan.linesIterator.count(_.matches("""\(\d+\) Exchange.*"""))
 
+  test("salting measurably balances a 95%-hot key at 2M rows") {
+    // The Skew scaladoc claims "no single reducer ever holds a hot key's
+    // full distinct set" — measure it, don't assume it, at a skew larger
+    // than any fixture: 2M rows, 95% of them on one key, all values
+    // distinct. The balance property IS the (key, salt) grouping: the hot
+    // key must spread evenly over all 16 salts, and the salted aggregate
+    // must still equal the plain one.
+    val salts = 16
+    val df = spark.range(2000000L).select(
+      when(col("id") % 20 =!= 0L, lit(0L)).otherwise(col("id")).as("k"),
+      col("id").as("v"))
+    val hotGroups = df.filter(col("k") === 0L)
+      .withColumn("__salt", pmod(hash(col("v")), lit(salts)))
+      .groupBy(col("__salt")).count()
+      .collect().map(_.getAs[Long]("count"))
+    assert(hotGroups.length === salts,
+      s"hot key spread over ${hotGroups.length} salts, expected $salts")
+    val (mx, mn) = (hotGroups.max, hotGroups.min)
+    assert(mx.toDouble / mn < 1.1,
+      s"salt imbalance on the hot key: max=$mx min=$mn (uniform hash " +
+        "should land within 10% at this size)")
+    // and the two-phase result is the exact distinct count
+    val salted = graft.ops.Skew.saltedDistinctCount(df, "k", "v", salts)
+      .filter(col("k") === 0L).head().getAs[Long]("distinct_cnt")
+    val plain = df.filter(col("k") === 0L)
+      .agg(countDistinct(col("v"))).head().getLong(0)
+    assert(salted === plain)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val spark0 = spark
     import spark0.implicits._
