@@ -13,6 +13,25 @@ object Entries55 {
   private val Delays: Seq[Long] = Seq(
     60000000L, 600000000L, 3600000000L, 21600000000L, 86400000000L)
 
+  /** q314's quantized reservoir key floor(1e6·ln((h+1)/2^48)), h = 48-bit
+    * md5 prefix of doc_id — shared with KnifeEdgeSpec so the knife-edge
+    * probe audits the EXACT expression the query ships (Entries68.chi2Str
+    * precedent): a grain or formula edit here changes both sides at once. */
+  private[graft] def q314LnuQ: org.apache.spark.sql.Column = {
+    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 12),
+      16, 10).cast("long")
+    floor(log((h + 1L).cast("double") / lit(281474976710656.0)) * 1e6)
+      .cast("long")
+  }
+
+  /** The pre-floor scaled term of [[q314LnuQ]], for the knife-edge
+    * boundary-distance scan. Keep in lockstep with q314LnuQ. */
+  private[graft] def q314PreFloorTerm: org.apache.spark.sql.Column = {
+    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 12),
+      16, 10).cast("long")
+    log((h + 1L).cast("double") / lit(281474976710656.0)) * 1e6
+  }
+
   val all: Seq[Q] = Seq(
 
     // CHARACTER 4-GRAM counts through the `char_grams` Catalyst Generator
@@ -52,12 +71,8 @@ object Entries55 {
       (s, d) => {
         val docs = Tables.documents(s, d)
           .filter(col("n_chars") >= 1L)
-        val h = conv(substring(md5(col("doc_id").cast("string")), 1, 12),
-          16, 10).cast("long")
-        val lnuQ = floor(log((h + 1L).cast("double") /
-          lit(281474976710656.0)) * 1e6).cast("long")
         val keyed = docs.select(col("source"), col("doc_id"),
-          col("n_chars").as("w"), lnuQ.as("lnu_q"))
+          col("n_chars").as("w"), q314LnuQ.as("lnu_q"))
           .withColumn("key", col("lnu_q").cast("double") / col("w"))
         keyed.withColumn("rn", row_number().over(
           Window.partitionBy(col("source"))

@@ -212,9 +212,9 @@ object Entries69 {
              |n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM spells),
              |cum AS (
              |  SELECT t, d_t, c_t,
-             |    n.n_total - coalesce(sum(d_t + c_t) OVER (ORDER BY t ASC
+             |    CAST(n.n_total - coalesce(sum(d_t + c_t) OVER (ORDER BY t ASC
              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-             |      AS n_at_risk
+             |      AS BIGINT) AS n_at_risk
              |  FROM byt CROSS JOIN n)
              |SELECT t, d_t, c_t, n_at_risk
              |FROM cum WHERE d_t > 0""".stripMargin)),

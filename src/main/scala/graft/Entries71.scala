@@ -216,8 +216,10 @@ object Entries71 {
         tab.crossJoin(broadcast(pooled))
           .selectExpr("stratum", "a", "b", "c", "d",
             "a*d - b*c AS ad_minus_bc",
-            "sign(a*d - b*c) AS stratum_sign",
-            "sign(pa*pd - pb*pc) AS pooled_sign")
+            // sign() is DOUBLE in Spark, TINYINT in DuckDB — cast both to
+            // BIGINT so the written value representations agree (1 vs 1.0)
+            "CAST(sign(a*d - b*c) AS BIGINT) AS stratum_sign",
+            "CAST(sign(pa*pd - pb*pc) AS BIGINT) AS pooled_sign")
           .selectExpr("stratum", "ad_minus_bc", "stratum_sign",
             "pooled_sign",
             "stratum_sign <> 0 AND pooled_sign <> 0 AND " +
@@ -246,8 +248,8 @@ object Entries71 {
              |    CAST(sum(d) AS BIGINT) AS pd
              |  FROM tab)
              |SELECT stratum, a*d - b*c AS ad_minus_bc,
-             |  sign(a*d - b*c) AS stratum_sign,
-             |  sign(pa*pd - pb*pc) AS pooled_sign,
+             |  CAST(sign(a*d - b*c) AS BIGINT) AS stratum_sign,
+             |  CAST(sign(pa*pd - pb*pc) AS BIGINT) AS pooled_sign,
              |  sign(a*d - b*c) <> 0 AND sign(pa*pd - pb*pc) <> 0
              |    AND sign(a*d - b*c) <> sign(pa*pd - pb*pc) AS reversed
              |FROM tab CROSS JOIN pooled""".stripMargin)),

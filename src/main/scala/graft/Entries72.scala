@@ -236,7 +236,8 @@ object Entries72 {
              |      AS gain_micro
              |  FROM scans WHERE nl < n),
              |best AS (
-             |  SELECT feature, split_at, gain_micro, nl, n - nl AS nr,
+             |  SELECT feature, split_at, gain_micro,
+             |    CAST(nl AS BIGINT) AS nl, CAST(n - nl AS BIGINT) AS nr,
              |    row_number() OVER (PARTITION BY feature
              |      ORDER BY gain_micro DESC, split_at ASC) AS rk
              |  FROM gains)

@@ -50,4 +50,45 @@ class ContractSpec extends SparkSpec {
       "new transcendental in an oracle — add a KnifeEdgeSpec probe and " +
         s"vet it, or re-express exactly: ${offenders.toSeq.sorted.mkString(", ")}")
   }
+
+  test("no main SOURCE ships an unvetted ln/exp call site") {
+    // Companion to the oracle-side closure above: that pin scans only
+    // oracleSql strings, so a new ln/exp introduced only in Scala code (a
+    // Catalyst log() column, an expr("ln(...)") string, a build-time
+    // math.log literal) would escape it. This side scans the comment-
+    // stripped main sources and pins the per-file count of ln/exp-family
+    // call sites to the vetted inventory. sqrt/pow/IEEE-exact chains are
+    // NOT counted — the policy only restricts the libm-divergent family.
+    val vetted = Map( // file -> call-site count (engine + oracle + literals)
+      "Entries51.scala" -> 4, // q298 Zipf: log()x2 + oracle ln()x2
+      "Entries52.scala" -> 4, // q300 NLL + q303 PSI: log()+ln() each
+      "Entries53.scala" -> 2, // q308 PMI: log() + oracle ln()
+      "Entries55.scala" -> 3, // q314 reservoir: shared exprs x2 + oracle ln()
+      "Entries56.scala" -> 2, // q318 MI: log() + oracle ln()
+      "Entries68.scala" -> 6, // q388 BH + q391 Laplace: oracle/selectExpr ln()
+      "Entries70.scala" -> 3, // build-time math.log on literal constants
+      "Entries71.scala" -> 5) // build-time math.log on literal constants
+    val root = new java.io.File("src/main/scala/graft")
+    assert(root.isDirectory, s"source root not found from ${new java.io.File(".").getAbsolutePath}")
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+      else if (f.getName.endsWith(".scala")) Seq(f) else Nil
+    val pat = """\b(ln|log|log1p|log10|exp|expm1)\s*\(""".r
+    val found = walk(root).flatMap { f =>
+      val raw = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      val stripped = raw
+        .replaceAll("(?s)/\\*.*?\\*/", "")
+        .replaceAll("//.*", "")
+      val n = pat.findAllIn(stripped).size
+      if (n > 0) Some(f.getName -> n) else None
+    }.toMap
+    val drift = (found.keySet ++ vetted.keySet).toSeq.sorted.flatMap { k =>
+      val (g, w) = (found.getOrElse(k, 0), vetted.getOrElse(k, 0))
+      if (g != w) Some(s"$k: found $g vetted $w") else None
+    }
+    assert(drift.isEmpty,
+      "ln/exp call-site inventory drifted — a new transcendental needs a " +
+        "KnifeEdgeSpec probe (or exact re-expression) plus this pin updated: " +
+        drift.mkString("; "))
+  }
 }

@@ -41,6 +41,14 @@ class KnifeEdgeSpec extends SparkSpec {
     * boundary. Tolerance 1e-12 relative (floor 1e-12 absolute) vs a 1-ulp
     * libm error of ~2.2e-16 relative. */
   private def assertFloorSafe(name: String, vs: DataFrame): Unit = {
+    // A ±Inf/NaN/NULL term (e.g. ln(0) from a degenerate operand) would be
+    // SKIPPED by the min() below — the audit would pass while the real
+    // query output diverges cross-engine. Fail loudly on any non-finite.
+    val nonFinite = vs.selectExpr("CAST(v AS DOUBLE) AS v")
+      .where("v IS NULL OR isnan(v) OR abs(v) = double('Infinity')").count()
+    assert(nonFinite == 0L,
+      s"$name: $nonFinite non-finite pre-floor terms — a degenerate operand " +
+        "reached the transcendental; guard it in the query, not the probe")
     val agg = vs.selectExpr("CAST(v AS DOUBLE) AS v")
       .selectExpr("v - floor(v) AS frac", "greatest(abs(v) * 1e-12, 1e-12) AS tol")
       .selectExpr("least(frac, 1.0 - frac) AS dist", "tol")
@@ -58,6 +66,13 @@ class KnifeEdgeSpec extends SparkSpec {
   /** Assert a double comparison whose right side contains ln() has margin:
     * |lhs - rhs| must exceed 1e-12 * max(|lhs|, 1). */
   private def assertCompareSafe(name: String, margins: DataFrame): Unit = {
+    val nonFinite = margins
+      .selectExpr("CAST(margin AS DOUBLE) AS m", "CAST(scale AS DOUBLE) AS s")
+      .where("m IS NULL OR isnan(m) OR abs(m) = double('Infinity') OR " +
+        "s IS NULL OR isnan(s) OR abs(s) = double('Infinity')").count()
+    assert(nonFinite == 0L,
+      s"$name: $nonFinite non-finite comparison margins — min() would skip " +
+        "them and the audit would vacuously pass")
     val agg = margins.selectExpr("CAST(margin AS DOUBLE) AS m", "CAST(scale AS DOUBLE) AS s")
       .selectExpr("abs(m) AS dist", "greatest(abs(s) * 1e-12, 1e-12) AS tol")
       .agg(min(expr("dist / tol")).as("ratio"), count(lit(1)).as("n"),
@@ -195,14 +210,18 @@ class KnifeEdgeSpec extends SparkSpec {
   // ---- q314 weighted reservoir (Entries55.scala:53-58): floor(ln((h+1)/2^48)*1e6)
 
   test("q314: reservoir ln(u) keys clear the 1e-6 grid boundaries") {
-    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 12),
-      16, 10).cast("long")
-    val vs = Tables.documents(spark, gate)
-      .filter(col("n_chars") >= 1L)
-      .select(((h + 1L).cast("double") / lit(281474976710656.0)).as("arg"))
-      .where(col("arg") =!= 1.0)
-      .select((log(col("arg")) * 1e6).as("v"))
-    assertFloorSafe("q314", vs)
+    // Term expression is SHARED with the query (Entries55.q314PreFloorTerm /
+    // q314LnuQ) — drift is impossible by construction; the lockstep of the
+    // pre-floor term with the shipped floored key is asserted below.
+    val docs = Tables.documents(spark, gate).filter(col("n_chars") >= 1L)
+    val vs = docs
+      .select(Entries55.q314PreFloorTerm.as("v"), Entries55.q314LnuQ.as("q"))
+    // (h+1)/2^48 = 1 ⇒ ln = 0 exactly in every libm; such rows are
+    // engine-identical boundary hits, excluded from the distance scan —
+    // but they must still satisfy the floor-lockstep pin first.
+    assert(vs.where("CAST(floor(v) AS BIGINT) <> q").isEmpty,
+      "q314: pre-floor probe term out of lockstep with the shipped key")
+    assertFloorSafe("q314", vs.where(col("v") =!= 0.0).select(col("v")))
   }
 
   // ---- q318 mutual information (Entries56.scala:73-94):

@@ -64,6 +64,21 @@ def main(sf_dir: str, out_dir: str) -> int:
             except AssertionError as e:
                 ok_vals = False
                 err = str(e).split("\n")[:12]
+        # Driver parity: its value hash is representation-sensitive — an
+        # int64 581 vs a float64 581.0 (e.g. DuckDB HUGEINT→pandas float)
+        # hash-differ even though assert_frame_equal(check_dtype=False)
+        # accepts them. Enforce dtype-KIND agreement per column (i/u fold
+        # together; width differences print identically).
+        if ok_schema and ok_rows and ok_vals:
+            kind = lambda d: 'i' if d.kind in 'iu' else d.kind
+            bad_kinds = [(c, got[c].dtype, want[c].dtype)
+                         for c in got.columns
+                         if kind(got[c].dtype) != kind(want[c].dtype)]
+            if bad_kinds:
+                ok_vals = False
+                err = [f"dtype-kind drift (driver hash would differ): "
+                       f"{c}: spark={g} oracle={w}"
+                       for c, g, w in bad_kinds]
         if ok_schema and ok_rows and ok_vals:
             print(f"{name}: PASS rows={len(got)}")
             n_pass += 1
