@@ -189,11 +189,16 @@ object Curation {
       .join(cnt.withColumnRenamed("n", "na"), Seq("doc_id"))
       .join(cnt.withColumnRenamed("n", "nb")
         .withColumnRenamed("doc_id", "doc_id2"), Seq("doc_id2"))
-    inter.select(col("doc_id").as("src_doc"), col("doc_id2").as("host_doc"),
-        (col("ix").cast("double") / col("na")).as("containment"))
-      .unionByName(inter.select(col("doc_id2").as("src_doc"),
-        col("doc_id").as("host_doc"),
-        (col("ix").cast("double") / col("nb")).as("containment")))
+    // both directions fan out ROW-LOCALLY from the one pair row (explode,
+    // not union): a union would make `inter` a two-consumer subtree and
+    // replay the self-join + aggregate once per direction
+    inter.select(explode(array(
+        struct(col("doc_id").as("src_doc"), col("doc_id2").as("host_doc"),
+          (col("ix").cast("double") / col("na")).as("containment")),
+        struct(col("doc_id2").as("src_doc"), col("doc_id").as("host_doc"),
+          (col("ix").cast("double") / col("nb")).as("containment"))))
+        .as("r"))
+      .select(col("r.src_doc"), col("r.host_doc"), col("r.containment"))
       .filter(col("containment") >= threshold)
   }
 
@@ -316,13 +321,19 @@ object Curation {
     * edge list is invariant across iterations (cache it); masses are the
     * only moving table. */
   def pageRank(edges: DataFrame, iters: Int = 3): DataFrame = {
+    // the symmetrized edge list feeds THREE consumers before the loop even
+    // starts (outdeg, the withDeg join's probe side, and the initial mass
+    // via outdeg) — uncached, the build join + union + distinct replays
+    // once per consumer from the scans
     val undirected = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
+      .distinct().cache()
     val outdeg = undirected.groupBy(col("src"))
       .agg(count(lit(1)).as("outdeg"))
     // the edge list is the loop invariant: cache it or every iteration
-    // replays the build-join + distinct + degree aggregation from the scan
+    // replays the degree join; its src-hash outputPartitioning survives
+    // the cache, so each round's mass join reshuffles only the small
+    // node-level mass side, never the edges
     val withDeg = undirected.join(outdeg, Seq("src")).cache()
     var mass = outdeg.select(col("src").as("node"),
       lit(1000000L).as("mass"))

@@ -53,15 +53,24 @@ object Incremental {
     */
   def ivmJoinRevenue(orders: DataFrame, lineitem: DataFrame,
                      splitDay: Long): DataFrame = {
+    // each side feeds TWO of the four delta terms, and all four join on
+    // the same key: repartition once on that key and persist, so the
+    // old/new filters (partitioning-preserving) and every term's join
+    // reuse ONE exchange per side instead of shuffling each term's inputs
+    // independently (8 exchange legs -> 2)
     val o = orders.select(col("o_orderkey"), col("o_orderpriority"),
       (Relational.epochUs(col("o_orderdate")) / 86400000000L).cast("long")
         .as("od"))
+      .repartition(col("o_orderkey"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = lineitem.select(col("l_orderkey"),
       (round(col("l_extendedprice") * 100).cast("long") *
         (lit(100L) - round(col("l_discount") * 100).cast("long")))
         .as("rev_c100"),
       (Relational.epochUs(col("l_shipdate")) / 86400000000L).cast("long")
         .as("ld"))
+      .repartition(col("l_orderkey"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val oOld = o.filter(col("od") < splitDay)
     val oNew = o.filter(col("od") >= splitDay)
     val lOld = l.filter(col("ld") < splitDay)

@@ -55,13 +55,16 @@ class Batch71Spec extends SparkSpec {
   test("q408: reversal flags require nonzero opposing signs") {
     val out = q("q408_simpson_reversal").collect()
     assert(out.length === 5)
-    val pooledSigns = out.map(_.getAs[Double]("pooled_sign")).distinct
+    // signs are BIGINT on both engines since the r8 dtype-parity fix
+    // (Spark sign() is DOUBLE; the driver's hash is representation-
+    // sensitive, so the query casts)
+    val pooledSigns = out.map(_.getAs[Long]("pooled_sign")).distinct
     assert(pooledSigns.length === 1)
     out.foreach { r =>
-      val s = r.getAs[Double]("stratum_sign")
-      val p = r.getAs[Double]("pooled_sign")
-      assert(r.getAs[Boolean]("reversed") === (s != 0 && p != 0 && s != p))
-      assert(math.signum(r.getAs[Long]("ad_minus_bc").toDouble) === s)
+      val s = r.getAs[Long]("stratum_sign")
+      val p = r.getAs[Long]("pooled_sign")
+      assert(r.getAs[Boolean]("reversed") === (s != 0L && p != 0L && s != p))
+      assert(math.signum(r.getAs[Long]("ad_minus_bc").toDouble).toLong === s)
     }
   }
 
