@@ -144,8 +144,12 @@ object Entries6 {
         Tables.documents(s, d)
           .withColumn("w", split(col("text"), " "))
           .filter(size(col("w")) >= 2)
-          .select(explode(transform(sequence(lit(1), size(col("w")) - 1),
-            i => concat_ws(" ", slice(col("w"), i, lit(2))))).as("bg")),
+          // position explode + codegen'd slice/concat_ws, not an
+          // interpreted transform lambda — this input is scanned TWICE by
+          // the two-pass pigeonhole, doubling any per-row lambda cost
+          .select(col("w"),
+            explode(sequence(lit(1), size(col("w")) - 1)).as("i"))
+          .select(concat_ws(" ", slice(col("w"), col("i"), lit(2))).as("bg")),
         "bg", 40L),
       Some("""WITH grams AS (
              |  SELECT array_to_string(w[i:i+1], ' ') AS bg

@@ -143,9 +143,15 @@ object Curation {
     documents
       .withColumn("w", split(col("text"), " "))
       .filter(size(col("w")) >= k)
+      // explode the POSITION sequence and slice per row instead of
+      // explode(transform(...)): a transform lambda is CodegenFallback
+      // (interpreted, one materialized gram array per row), while
+      // sequence/explode/slice/concat_ws all stay in whole-stage codegen
+      // (same pattern as chunkDocuments/langId)
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(1), size(col("w")) - (k - 1))).as("i"))
       .select(col("doc_id"),
-        explode(transform(sequence(lit(1), size(col("w")) - (k - 1)),
-          i => concat_ws(" ", slice(col("w"), i, lit(k))))).as("gram"))
+        concat_ws(" ", slice(col("w"), col("i"), lit(k))).as("gram"))
       .groupBy(col("gram"))
       .agg(count(lit(1)).as("n_occurrences"),
         count_distinct(col("doc_id")).as("n_docs"))
@@ -288,8 +294,11 @@ object Curation {
     documents
       .withColumn("w", split(col("text"), " "))
       .filter(size(col("w")) >= 2)
-      .select(explode(transform(sequence(lit(1), size(col("w")) - 1),
-        i => sort_array(slice(col("w"), i, lit(2))))).as("p"))
+      // position explode + per-row slice (codegen'd) instead of an
+      // interpreted transform lambda materializing the pair array per row
+      .select(col("w"),
+        explode(sequence(lit(1), size(col("w")) - 1)).as("i"))
+      .select(sort_array(slice(col("w"), col("i"), lit(2))).as("p"))
       .filter(element_at(col("p"), 1) =!= element_at(col("p"), 2))
       .select(element_at(col("p"), 1).as("wa"), element_at(col("p"), 2).as("wb"))
       .groupBy(col("wa"), col("wb")).agg(count(lit(1)).as("n"))
