@@ -166,15 +166,28 @@ class KnifeEdgeSpec extends SparkSpec {
     val (ta, tb, nb2) = (tots.getLong(0), tots.getLong(1), tots.getLong(2))
     assertNoDrift("q303", counts.count(),
       SparkEntry.queries("q303_psi_drift")(spark, gate).count())
-    val vs = counts
+    val terms = counts
       .withColumn("arg",
         ((col("na") + 1L).cast("double") * lit(tb + nb2).cast("double")) /
           ((col("nb") + 1L).cast("double") * lit(ta + nb2).cast("double")))
-      .where(col("arg") =!= 1.0)
-      .select(((((col("na") + 1L).cast("double") / lit(ta + nb2).cast("double")) -
-        ((col("nb") + 1L).cast("double") / lit(tb + nb2).cast("double"))) *
-        log(col("arg")) * 1e8).as("v"))
-    assertFloorSafe("q303", vs)
+      .withColumn("v",
+        (((col("na") + 1L).cast("double") / lit(ta + nb2).cast("double")) -
+          ((col("nb") + 1L).cast("double") / lit(tb + nb2).cast("double"))) *
+          log(col("arg")) * 1e8)
+    // VALUE-level anti-drift pin (ADVICE r7): flooring the probe's own
+    // pre-floor term must reproduce the query's shipped psi_term_q for
+    // every band — a grid-grain or formula edit that survives the row-
+    // count pin above fails here. arg==1 rows floor to 0 on both sides.
+    val mismatched = terms
+      .select(col("band"), floor(col("v")).cast("long").as("probe_q"))
+      .join(SparkEntry.queries("q303_psi_drift")(spark, gate)
+        .select(col("band"), col("psi_term_q")), Seq("band"))
+      .where(col("probe_q") =!= col("psi_term_q"))
+    assert(mismatched.isEmpty,
+      "q303: probe term no longer reproduces the query's psi_term_q — " +
+        "the probe audits a different formula/grain than the query ships")
+    assertFloorSafe("q303",
+      terms.where(col("arg") =!= 1.0).select(col("v")))
   }
 
   // ---- q308 word PMI (Entries53.scala:195-217): floor(ln(c_ab*N/(c_a*c_b))*1e4)
@@ -196,13 +209,24 @@ class KnifeEdgeSpec extends SparkSpec {
     val joined = pairs
       .join(cw.select(col("w").as("w1"), col("c").as("c_a")), Seq("w1"))
       .join(cw.select(col("w").as("w2"), col("c").as("c_b")), Seq("w2"))
-      .select(((col("c_ab") * lit(n)).cast("double") /
-        (col("c_a") * col("c_b")).cast("double")).as("arg"))
+      .select(col("w1"), col("w2"),
+        ((col("c_ab") * lit(n)).cast("double") /
+          (col("c_a") * col("c_b")).cast("double")).as("arg"))
     val vs = joined.where(col("arg") =!= 1.0)
       .select((log(col("arg")) * 1e4).as("v"))
     try {
       assertNoDrift("q308", joined.count(),
         SparkEntry.queries("q308_word_pmi")(spark, gate).count())
+      // VALUE-level anti-drift pin (ADVICE r7): the probe's floored term
+      // must equal the query's shipped pmi_q for every pair
+      val mismatched = joined
+        .select(col("w1"), col("w2"),
+          floor(log(col("arg")) * 1e4).cast("long").as("probe_q"))
+        .join(SparkEntry.queries("q308_word_pmi")(spark, gate)
+          .select(col("w1"), col("w2"), col("pmi_q")), Seq("w1", "w2"))
+        .where(col("probe_q") =!= col("pmi_q"))
+      assert(mismatched.isEmpty,
+        "q308: probe term no longer reproduces the query's pmi_q")
       assertFloorSafe("q308", vs)
     } finally dw.unpersist()
   }
@@ -239,11 +263,25 @@ class KnifeEdgeSpec extends SparkSpec {
     val n = cells.agg(sum(col("n_xy"))).head().getLong(0)
     val joined = cells.join(broadcast(mx), Seq("c_mktsegment"))
       .join(broadcast(my), Seq("o_orderpriority"))
-      .select(col("n_xy"),
+      .select(col("c_mktsegment"), col("o_orderpriority"), col("n_xy"),
         ((col("n_xy") * lit(n)).cast("double") /
           (col("n_x") * col("n_y")).cast("double")).as("arg"))
     assertNoDrift("q318", joined.count(),
       SparkEntry.queries("q318_mutual_info")(spark, gate).count())
+    // VALUE-level anti-drift pin (ADVICE r7): flooring the probe's term
+    // must reproduce the query's mi_term_q for every cell (arg==1 rows
+    // floor to 0 on both sides)
+    val mismatched = joined
+      .select(col("c_mktsegment"), col("o_orderpriority"),
+        floor((col("n_xy").cast("double") / lit(n.toDouble)) *
+          log(col("arg")) * 1e8).cast("long").as("probe_q"))
+      .join(SparkEntry.queries("q318_mutual_info")(spark, gate)
+        .select(col("c_mktsegment"), col("o_orderpriority"),
+          col("mi_term_q")),
+        Seq("c_mktsegment", "o_orderpriority"))
+      .where(col("probe_q") =!= col("mi_term_q"))
+    assert(mismatched.isEmpty,
+      "q318: probe term no longer reproduces the query's mi_term_q")
     val vs = joined.where(col("arg") =!= 1.0)
       .select(((col("n_xy").cast("double") / lit(n.toDouble)) *
         log(col("arg")) * 1e8).as("v"))
