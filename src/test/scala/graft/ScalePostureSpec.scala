@@ -294,6 +294,45 @@ class ScalePostureSpec extends SparkSpec {
     }
   }
 
+  test("AQE skew-split fires on the NATURAL detection path at a 90%-hot " +
+    "4M-row skew (no force flag, megabyte-scale thresholds)") {
+    // The forced-threshold test above proves the plan rewrite exists; this
+    // one proves DETECTION works at a skew magnitude representative of a
+    // real hot key: 4M rows, 90% on one key (~55 MB in one reducer
+    // partition vs ~KB medians), thresholds at realistic megabyte scale
+    // and NO forceOptimizeSkewedJoin. If AQE's size accounting or the
+    // factor/threshold interplay regressed, this fails while the forced
+    // variant stays green.
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8MB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4MB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val left = spark.range(4000000L).repartition(8)
+        .select(when(col("id") % 10 =!= 0L, lit(0L)).otherwise(col("id"))
+          .as("k"), col("id").as("v"))
+      val right = spark.range(1000L).select(col("id").as("k"))
+      val joined = left.join(right, "k")
+      // execute THIS df's physical plan (a .count() would plan a separate
+      // aggregate query and leave `joined`'s adaptive plan unfinalized);
+      // k=0 carries 3.6M (id%10!=0) + 1 (id=0) rows; ids {10,...,990} add 99
+      assert(joined.queryExecution.toRdd.count() === 3600100L)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        "natural-path skew detection did not fire at 90%/4M skew:\n" +
+          plan.linesIterator.filter(_.contains("Join")).mkString("\n"))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("runtime bloom filter prunes the probe side of a selective join") {
     // InjectRuntimeFilter: a selective filter on the build side becomes a
     // bloom-filter semi-filter pushed into the probe-side scan — row-level
