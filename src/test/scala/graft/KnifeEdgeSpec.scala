@@ -343,13 +343,28 @@ class KnifeEdgeSpec extends SparkSpec {
       .groupBy(col("r_name").as("region"),
         col("o_orderpriority").as("priority"))
       .agg(count(lit(1)).as("cnt"))
-      .selectExpr("region", "priority",
+      .selectExpr("region", "priority", "cnt",
         "CAST(conv(substring(md5(concat(region, '|', priority)), 1, 12), 16, 10) AS BIGINT) AS h")
-      .selectExpr("CAST(h AS DOUBLE) / 281474976710656.0 - 0.5 AS z")
-      .selectExpr("CASE WHEN z >= 0.0 THEN 1.0 - 2.0*z ELSE 1.0 + 2.0*z END AS arg",
+      .selectExpr("region", "priority", "cnt",
+        "CAST(h AS DOUBLE) / 281474976710656.0 - 0.5 AS z")
+      .selectExpr("region", "priority", "cnt",
+        "CASE WHEN z >= 0.0 THEN 1.0 - 2.0*z ELSE 1.0 + 2.0*z END AS arg",
         "z")
     assertNoDrift("q391", zdf.count(),
       SparkEntry.queries("q391_dp_histogram")(spark, gate).count())
+    // VALUE-level anti-drift pin (ADVICE r7): rebuilding the release from
+    // the probe's own count + floored noise must reproduce the query's
+    // shipped noisy_milli for every cell
+    val mismatched = zdf
+      .selectExpr("region", "priority",
+        "cnt * 1000 + CAST(floor((CASE WHEN z >= 0.0 THEN -ln(arg) " +
+          "ELSE ln(arg) END) * 1000) AS BIGINT) AS probe_milli")
+      .join(SparkEntry.queries("q391_dp_histogram")(spark, gate)
+        .select(col("region"), col("priority"), col("noisy_milli")),
+        Seq("region", "priority"))
+      .where(col("probe_milli") =!= col("noisy_milli"))
+    assert(mismatched.isEmpty,
+      "q391: probe noise no longer reproduces the query's noisy_milli")
     val vs = zdf.where(col("arg") =!= 1.0)
       .selectExpr(
         "(CASE WHEN z >= 0.0 THEN -ln(arg) ELSE ln(arg) END) * 1000 AS v")
