@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Partition-count invariance: the 1000-executor determinism check.
+  *
+  * On a real cluster the engine never controls how many reducers a stage
+  * gets (`spark.sql.shuffle.partitions`, AQE coalescing, executor loss all
+  * move it), so any query whose RESULT depends on the partition count is
+  * broken at scale even if every fixture run happens to agree. The
+  * dangerous surface is order-sensitive semantics: mode/top-k tie-breaks,
+  * latest-per-key, list aggregations, connected-component label election,
+  * sampling keyed on hashes. Each of those is designed here to pin ties on
+  * a total order (key asc, doc_id asc, ...) precisely so the answer is a
+  * pure function of the DATA — this spec executes that claim instead of
+  * assuming it, running each query at 3 and then 17 shuffle partitions
+  * (the suite default is 4 — three distinct layouts in total) and
+  * asserting bit-identical row sets.
+  *
+  * AQE stays ON (production posture); what varies is the initial shuffle
+  * layout, which is exactly what varies in the wild.
+  */
+class ParallelismInvarianceSpec extends SparkSpec {
+
+  /** Queries with order-sensitive semantics (tie-breaks, per-group top-k,
+    * label election, hash sampling, list agg) — the ones a partition-count
+    * dependence would corrupt first. */
+  private val Pinned = Seq(
+    "q05_topk_nations",        // top-K by frequency, count ties
+    "q06_mode_segment",        // deterministic mode tie-break
+    "q13_latest_per_key",      // latest-per-key
+    "q48_neardup_clusters",    // connected-components min-id election
+    "q107_pagerank",           // iterative integer masses (sum order-free)
+    "q129_weighted_sample",    // per-group weighted top-k
+    "q158_topk_list",          // ordered list aggregation
+    "q314_weighted_reservoir") // hash-keyed reservoir with pinned ties
+
+  private def runAt(name: String, partitions: Int): Seq[String] = {
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)
+    try {
+      val df: DataFrame = SparkEntry.queries(name)(spark, sf)
+      // canonical row text: sort columns by name, then rows; string repr
+      // is enough for equality (all outputs are ints/strings/doubles with
+      // engine-exact values by construction)
+      val cols = df.columns.sorted.toSeq
+      df.selectExpr(cols: _*).collect()
+        .map(_.toSeq.map(String.valueOf).mkString(""))
+        .sorted.toSeq
+    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+  }
+
+  for (name <- Pinned)
+    test(s"$name: identical results at 3, 4(default) and 17 shuffle partitions") {
+      val base = runAt(name, 3)
+      assert(base.nonEmpty, s"$name returned no rows at the spec fixture")
+      val wide = runAt(name, 17)
+      assert(base === wide,
+        s"$name: result depends on the shuffle partition count — a " +
+          "tie-break or label election is not pinned to a total order")
+    }
+}

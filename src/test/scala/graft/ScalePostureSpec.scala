@@ -1057,6 +1057,20 @@ class ScalePostureSpec extends SparkSpec {
     assert(p109.linesIterator.count(_.matches("""\(\d+\) Generate.*""")) == 2,
       "q109: expected exactly two Generates (cached shingle explode + " +
         "the single two-direction fan-out)")
+    // r8 interpreted-lambda sweep regression guard: the n-gram generators
+    // (q106 bigram counts, q114 collocation pairs, q128 bigram input)
+    // explode a POSITION sequence and slice per row — whole-stage codegen.
+    // A reintroduced explode(transform(...)) shows up in the plan as a
+    // lambdafunction inside the Generate and drops the pass to the
+    // interpreter (one materialized gram array per row at corpus scale).
+    for (name <- Seq("q106_ngram_counts", "q114_triangle_count",
+        "q128_heavy_hitters")) {
+      spark.sharedState.cacheManager.clearCache()
+      val p = planOf(SparkEntry.queries(name)(spark, sf))
+      assert(!p.contains("lambdafunction"),
+        s"$name: a higher-order lambda re-entered the plan — the n-gram " +
+          "explode left whole-stage codegen")
+    }
     assert(!p109.contains(") Union"),
       "q109: a Union re-appeared — the pair subtree is being replayed " +
         "once per containment direction")
