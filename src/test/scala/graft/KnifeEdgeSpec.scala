@@ -111,6 +111,29 @@ class KnifeEdgeSpec extends SparkSpec {
     val sumNpts = SparkEntry.queries("q298_zipf_slope")(spark, gate)
       .agg(sum(col("n_pts")).cast("long")).head().getLong(0)
     assertNoDrift("q298", ranked.count(), sumNpts)
+    // VALUE-level anti-drift pin (ADVICE r7): re-aggregate the probe's own
+    // floored terms through the query's exact-integer moment algebra and
+    // assert the shipped (n_pts, zipf_slope) reproduce per language — the
+    // final division is the same exact-integer pair in the same JVM, so
+    // equality is bitwise, not approximate.
+    val probeSlope = ranked
+      .withColumn("x", floor(log(col("rank").cast("double")) * 1e4).cast("long"))
+      .withColumn("y", floor(log(col("cnt").cast("double")) * 1e4).cast("long"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("pn"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("lang"), col("pn"),
+        ((col("pn") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("pn") * col("sxx") - col("sx") * col("sx")).cast("double"))
+          .as("probe_slope"))
+    val mismatched = probeSlope
+      .join(SparkEntry.queries("q298_zipf_slope")(spark, gate), Seq("lang"))
+      .where(col("pn") =!= col("n_pts") ||
+        col("probe_slope") =!= col("zipf_slope"))
+    assert(mismatched.isEmpty,
+      "q298: probe moments no longer reproduce the query's zipf_slope")
     val vs = ranked.where(col("rank") > 1)
       .select((log(col("rank").cast("double")) * 1e4).as("v"))
       .union(ranked.where(col("cnt") > 1)
@@ -130,7 +153,7 @@ class KnifeEdgeSpec extends SparkSpec {
           "transform(sequence(1, size(w) - 1), " +
             "i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2))"))
           .as("bg"))
-      .select(col("split"), col("bg.w1"), col("bg.w2"))
+      .select(col("source"), col("split"), col("bg.w1"), col("bg.w2"))
     val trBg = bigrams.filter(col("split") === "train")
     val c2 = trBg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
     val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
@@ -140,11 +163,29 @@ class KnifeEdgeSpec extends SparkSpec {
     val scoredArgs = bigrams.filter(col("split") === "test")
       .join(c2, Seq("w1", "w2"), "left")
       .join(c1, Seq("w1"), "left")
-      .select(((coalesce(col("c2"), lit(0L)) + 1L).cast("double") /
-        (coalesce(col("c1"), lit(0L)) + v).cast("double")).as("arg"))
+      .select(col("source"),
+        ((coalesce(col("c2"), lit(0L)) + 1L).cast("double") /
+          (coalesce(col("c1"), lit(0L)) + v).cast("double")).as("arg"))
     val outBigrams = SparkEntry.queries("q300_bigram_nll")(spark, gate)
       .agg(sum(col("n_bigrams")).cast("long")).head().getLong(0)
     assertNoDrift("q300", scoredArgs.count(), outBigrams)
+    // VALUE-level anti-drift pin (ADVICE r7): re-aggregate the probe's own
+    // floored log-probs per source and assert the shipped
+    // (n_bigrams, avg_nll) reproduce — identical exact-integer division in
+    // the same JVM, so equality is bitwise.
+    val probeNll = scoredArgs
+      .select(col("source"),
+        floor(log(col("arg")) * 1e4).cast("long").as("lp_q"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("pn"), sum(col("lp_q")).as("slp"))
+      .select(col("source"), col("pn"),
+        (-col("slp").cast("double") / col("pn") / 1e4).as("probe_nll"))
+    val mismatched = probeNll
+      .join(SparkEntry.queries("q300_bigram_nll")(spark, gate), Seq("source"))
+      .where(col("pn") =!= col("n_bigrams") ||
+        col("probe_nll") =!= col("avg_nll"))
+    assert(mismatched.isEmpty,
+      "q300: probe log-probs no longer reproduce the query's avg_nll")
     val vs = scoredArgs.where(col("arg") =!= 1.0)
       .select((log(col("arg")) * 1e4).as("v"))
     assertFloorSafe("q300", vs)
