@@ -30,9 +30,14 @@ object Entries52 {
     Q("q299_holdout_leakage",
       (s, d) => {
         val docs = Tables.documents(s, d)
+        // persisted shared relations (plan census r8): sp feeds the
+        // train/test filters across four consumers and ids (the corpus-
+        // wide shingle explode + md5) feeds BOTH index sides — uncached,
+        // the explode replans once per consumer (3 Generates, 9 scans)
         val sp = TrainPrep.hashSplit(docs, "doc_id")
           .select(col("doc_id"), col("source"), col("split"),
             md5(col("text")).as("h"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val tr = sp.filter(col("split") === "train")
         val te = sp.filter(col("split") === "test")
         val exact = te.select(col("doc_id"), col("h"))
@@ -40,6 +45,7 @@ object Entries52 {
           .select(col("doc_id")).distinct()
           .withColumn("is_exact", lit(1L))
         val ids = Dedup.shingleIds(docs)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val tesh = ids.join(te.select(col("doc_id")), Seq("doc_id"))
         val trsh = ids.join(tr.select(col("doc_id")), Seq("doc_id"))
           .select(col("doc_id").as("rd"), col("sid"))

@@ -22,11 +22,17 @@ object Entries62 {
     // what makes shared boilerplate stop mattering at corpus scale.
     Q("q351_weighted_jaccard",
       (s, d) => {
+        // persisted: sh (the corpus-wide shingle explode) feeds the df
+        // census AND the weighted join; shw feeds totals and BOTH sides of
+        // the intersection self-join — uncached, the explode replans 8
+        // times (plan census r8)
         val sh = Dedup.shingleIds(Tables.documents(s, d), 3)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val nDocs = Tables.documents(s, d).count()
         val w = sh.groupBy(col("sid")).agg(count(lit(1)).as("df"))
           .select(col("sid"), expr(s"${nDocs}L DIV df").as("w"))
         val shw = sh.join(w, Seq("sid"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val tot = shw.groupBy(col("doc_id")).agg(sum(col("w")).as("tw"))
         val inter = shw.as("a")
           .join(shw.as("b"),

@@ -282,7 +282,11 @@ object Entries67 {
     // The measured companion to the analytic S-curve (q177).
     Q("q386_minhash_error",
       (s, d) => {
+        // persisted: sh feeds the size census and both self-join sides;
+        // sigs feeds both signature sides — uncached, the two corpus-wide
+        // explodes replan 8 times total (plan census r8)
         val sh = Dedup.shingleIds(Tables.documents(s, d), 3)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
         val pairs = sh.as("a").join(sh.as("b"),
             col("a.sid") === col("b.sid") &&
@@ -297,6 +301,7 @@ object Entries67 {
             expr("(ix * 1000000L) DIV (na + nb - ix)"))
           .filter(col("exact_ppm") >= 300000L)
         val sigs = Dedup.minhashLong(Tables.documents(s, d), 3)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val est = pairs
           .join(sigs.select(col("doc_id").as("d1"), col("j"),
             col("minh").as("ma")), Seq("d1"))

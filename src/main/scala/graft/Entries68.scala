@@ -236,7 +236,11 @@ object Entries68 {
           .join(broadcast(Tables.region(s, d)),
             col("n_regionkey") === col("r_regionkey"))
           .select(col("s_suppkey"), col("r_name"))
-        val tab = Tables.lineitem(s, d)
+        // persisted: the stratum table (5 rows) feeds BOTH the per-stratum
+        // branch and the pooled sum — uncached, the pooled side re-scans
+        // and re-aggregates lineitem (plan census r8; exchange reuse does
+        // not fire across the differing aggregate layers)
+        val base = Tables.lineitem(s, d)
           .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
           .select(col("r_name").as("stratum"),
             (round(col("l_discount") * 100).cast("long") >= 5L).as("e"),
@@ -249,10 +253,12 @@ object Entries68 {
           .selectExpr("stratum", "a", "b", "c", "d",
             "(a * d * 1000000) DIV (a + b + c + d) AS num_q",
             "(b * c * 1000000) DIV (a + b + c + d) AS den_q")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val tab = base
           .selectExpr("stratum", "a", "b", "c", "d", "num_q", "den_q",
             "CAST(floor(CAST(num_q AS DOUBLE) * 1000000 / " +
               "nullif(CAST(den_q AS DOUBLE), 0.0)) AS BIGINT) AS or_ppm")
-        val pooled = tab.groupBy().agg(
+        val pooled = base.groupBy().agg(
             lit("ALL").as("stratum"),
             sum(col("a")).as("a"), sum(col("b")).as("b"),
             sum(col("c")).as("c"), sum(col("d")).as("d"),

@@ -201,6 +201,9 @@ object Entries71 {
           .join(broadcast(Tables.region(s, d)),
             col("n_regionkey") === col("r_regionkey"))
           .select(col("s_suppkey"), col("r_name"))
+        // persisted: the contingency table (5 rows) feeds both the stratum
+        // branch and the pooled sums — uncached, the pooled side re-scans
+        // lineitem (plan census r8)
         val tab = Tables.lineitem(s, d)
           .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
           .select(col("r_name").as("stratum"),
@@ -211,6 +214,7 @@ object Entries71 {
             sum(when(col("e") && !col("r"), 1L).otherwise(0L)).as("b"),
             sum(when(!col("e") && col("r"), 1L).otherwise(0L)).as("c"),
             sum(when(!col("e") && !col("r"), 1L).otherwise(0L)).as("d"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val pooled = tab.agg(sum(col("a")).as("pa"), sum(col("b")).as("pb"),
           sum(col("c")).as("pc"), sum(col("d")).as("pd"))
         tab.crossJoin(broadcast(pooled))

@@ -1029,7 +1029,14 @@ class ScalePostureSpec extends SparkSpec {
       // (query, min InMemoryRelation refs, max printed scans, max Exchanges)
       ("q107_pagerank", 2, 4, Int.MaxValue),   // undirected AND withDeg cached
       ("q109_containment_pairs", 1, 2, Int.MaxValue), // shingle ids cached
-      ("q230_ivm_join", 2, 2, 9))              // both fact sides cached
+      ("q230_ivm_join", 2, 2, 9),              // both fact sides cached
+      // r8 plan-census additions (Explain --census): shared aggregates /
+      // corpus-wide explodes persisted instead of replanned per consumer
+      ("q299_holdout_leakage", 2, 3, Int.MaxValue), // split table + shingle index
+      ("q351_weighted_jaccard", 2, 2, Int.MaxValue), // sh (8 gens -> 1) + shw
+      ("q386_minhash_error", 2, 2, Int.MaxValue),   // sh + minhash sigs
+      ("q389_cmh_pooled", 1, 4, Int.MaxValue),      // 5-row stratum table
+      ("q408_simpson_reversal", 1, 4, Int.MaxValue))// 5-row contingency table
     for ((name, minImr, maxScans, maxExch) <- pins) {
       spark.sharedState.cacheManager.clearCache()
       val plan = planOf(SparkEntry.queries(name)(spark, sf))
