@@ -52,6 +52,10 @@ object Curation {
       .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
     val assignW = Window.partitionBy(col("vec_id"))
       .orderBy(col("c_cos").desc, col("c_id").asc)
+    // persisted: the centroid assignment (a |vectors|×|centroids| cosine
+    // pass + window) feeds three consumers (both sides of the in-cluster
+    // pair join and the final keep projection) — uncached it replans per
+    // consumer (plan census r8: 6 embedding scans -> 1)
     val assigned = embeddings
       .select(col("vec_id"), col("embedding"))
       .join(broadcast(cent), lit(true))
@@ -59,6 +63,7 @@ object Curation {
       .withColumn("arn", row_number().over(assignW))
       .filter(col("arn") === 1)
       .select(col("vec_id"), col("embedding"), col("c_id").as("cluster"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dupOf = assigned.as("x")
       .join(assigned.select(col("cluster"),
           col("vec_id").as("vec_id2"), col("embedding").as("emb2")),
