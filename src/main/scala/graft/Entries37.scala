@@ -162,10 +162,15 @@ object Entries37 {
     // aggregates (q245's expectations engine, specialized to joins).
     Q("q264_join_guard",
       (s, d) => {
+        // persisted: the dirtied dim feeds the dup census AND the join
+        // probe; fact feeds its own count and the join — uncached, the
+        // customer scan replans 4x, orders 2x (plan census r8)
         val dim = Tables.customer(s, d).select(col("c_custkey"))
         val dirtyDim = dim.unionByName(
           dim.filter(col("c_custkey") % 17 === 0))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val fact = Tables.orders(s, d).select(col("o_custkey"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val dupKeys = dirtyDim.groupBy(col("c_custkey"))
           .agg(count(lit(1)).as("n"))
           .filter(col("n") > 1)

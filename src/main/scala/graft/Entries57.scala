@@ -136,6 +136,10 @@ object Entries57 {
           .join(broadcast(Tables.nation(s, d)
             .select(col("n_nationkey"), col("n_name"))),
             col("s_nationkey") === col("n_nationkey"))
+          // persisted: per-supplier revenue (|suppliers| rows) feeds the
+          // nation totals AND the share join — uncached, the lineitem
+          // aggregation replans twice (plan census r8)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val tot = bySupp.groupBy(col("n_name"))
           .agg(sum(col("rev_c")).as("tot_c"))
         bySupp.join(broadcast(tot), Seq("n_name"))

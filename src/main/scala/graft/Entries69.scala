@@ -155,11 +155,15 @@ object Entries69 {
     // day domain — calendar-bounded, size-invariant at any SF.
     Q("q395_kaplan_meier",
       (s, d) => {
+        // persisted: the distinct (cust, day) grid feeds the per-customer
+        // ranking AND the corpus horizon — uncached, the orders scan +
+        // distinct replans per consumer (plan census r8: 4 scans -> 1)
         val od = Tables.orders(s, d)
           .select(col("o_custkey").as("cust"),
             (graft.ops.Relational.epochUs(col("o_orderdate"))
               / lit(86400000000L)).cast("long").as("day"))
           .distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val ranked = od.withColumn("rn",
           row_number().over(org.apache.spark.sql.expressions.Window
             .partitionBy(col("cust")).orderBy(col("day").asc)))
@@ -172,10 +176,14 @@ object Entries69 {
           .selectExpr("cust",
             "CASE WHEN d2 IS NOT NULL THEN d2 - d1 ELSE hz - d1 END AS t",
             "CASE WHEN d2 IS NOT NULL THEN 1 ELSE 0 END AS ev")
+        // byT is the reduced day-domain table (calendar-bounded); n_total
+        // is ITS cell sum, not a second pass over spells — persist it for
+        // the two consumers (cum + total)
         val byT = spells.groupBy(col("t")).agg(
           sum(col("ev")).as("d_t"),
           sum(lit(1L) - col("ev")).as("c_t"))
-        val n = spells.agg(count(lit(1)).as("n_total"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val n = byT.agg(sum(col("d_t") + col("c_t")).as("n_total"))
         val w = org.apache.spark.sql.expressions.Window.orderBy(col("t").asc)
           .rowsBetween(Long.MinValue, -1)
         val cum = byT.crossJoin(broadcast(n))
@@ -228,9 +236,14 @@ object Entries69 {
     // part-partitioned window — both scale linearly.
     Q("q396_catalog_coverage",
       (s, d) => {
+        // persisted: the distinct (order, part) relation feeds FOUR
+        // consumers (both pair sides, the popularity census, the line
+        // total) — uncached, the scan + distinct replans per consumer
+        // (plan census r8)
         val li = Tables.lineitem(s, d)
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
           .distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val pairs = li.alias("a")
           .join(li.alias("b"), col("a.ok") === col("b.ok") &&
             col("a.pk") =!= col("b.pk"))

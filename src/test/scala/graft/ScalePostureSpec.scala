@@ -1036,7 +1036,12 @@ class ScalePostureSpec extends SparkSpec {
       ("q351_weighted_jaccard", 2, 2, Int.MaxValue), // sh (8 gens -> 1) + shw
       ("q386_minhash_error", 2, 2, Int.MaxValue),   // sh + minhash sigs
       ("q389_cmh_pooled", 1, 4, Int.MaxValue),      // 5-row stratum table
-      ("q408_simpson_reversal", 1, 4, Int.MaxValue))// 5-row contingency table
+      ("q408_simpson_reversal", 1, 4, Int.MaxValue),// 5-row contingency table
+      ("q102_semantic_dedup", 1, 2, Int.MaxValue),  // centroid assignment
+      ("q264_join_guard", 2, 3, Int.MaxValue),      // dirty dim + fact keys
+      ("q322_hhi_concentration", 1, 3, Int.MaxValue), // per-supplier revenue
+      ("q395_kaplan_meier", 2, 1, Int.MaxValue),    // (cust,day) grid + byT
+      ("q396_catalog_coverage", 1, 2, Int.MaxValue))// distinct (order,part)
     for ((name, minImr, maxScans, maxExch) <- pins) {
       spark.sharedState.cacheManager.clearCache()
       val plan = planOf(SparkEntry.queries(name)(spark, sf))
