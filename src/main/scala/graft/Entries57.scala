@@ -331,7 +331,11 @@ object Entries57 {
       (s, d) => {
         val terms = Seq("spark", "join", "window", "table")
         val docs = Tables.documents(s, d)
+        // persisted: the (doc, token) count relation feeds the doc-length
+        // census and the term filter — uncached, the corpus tokenize-
+        // explode replans per consumer (plan census r8: 4 Generates -> 1)
         val tc = tokenCounts(docs)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val byDoc = tc.groupBy(col("doc_id"))
           .agg(sum(col("cnt")).as("dl"))
         val totals = byDoc.agg(sum(col("dl")).as("totw"),

@@ -355,12 +355,15 @@ object Entries59 {
             .otherwise(0L)).as("label"),
             sum(when(col("event_type").isin("view", "click"), 1L)
               .otherwise(0L)).as("score"))
+        // p_total is a CELL SUM of the persisted score-level table — one
+        // per-user rollup, not one per consumer (plan census r8)
         val byScore = users.groupBy(col("score"))
           .agg(sum(col("label")).as("npos"),
             sum(lit(1L) - col("label")).as("nneg"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val wDesc = Window.orderBy(col("score").desc)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val totals = users.agg(sum(col("label")).as("p_total"))
+        val totals = byScore.agg(sum(col("npos")).as("p_total"))
         byScore
           .withColumn("tp", sum(col("npos")).over(wDesc))
           .withColumn("fp", sum(col("nneg")).over(wDesc))

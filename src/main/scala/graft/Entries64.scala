@@ -127,6 +127,9 @@ object Entries64 {
           .as("mid_us"))
         val w = Window.partitionBy(col("user_id"))
           .orderBy(col("ts_us"), col("event_id"))
+        // persisted: the (cur, nxt) transition pairs feed the train count
+        // table AND the test scoring branch — uncached, the per-user lead
+        // window over events replans per split (plan census r8)
         val pairs = ev
           .select(col("user_id"), col("ts_us"), col("event_id"),
             col("event_type").as("cur"))
@@ -135,6 +138,7 @@ object Entries64 {
           .crossJoin(broadcast(mid))
           .withColumn("split",
             when(col("ts_us") < col("mid_us"), "train").otherwise("test"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val tr = pairs.filter(col("split") === "train")
           .groupBy(col("cur"), col("nxt")).agg(count(lit(1)).as("cnt"))
         val wm = Window.partitionBy(col("cur"))
@@ -199,7 +203,10 @@ object Entries64 {
     // inverted-index formulation, never recomputed per threshold).
     Q("q366_threshold_sweep",
       (s, d) => {
+        // persisted: the corpus-wide shingle explode feeds the size census
+        // and both self-join sides (plan census r8: 4 Generates -> 1)
         val sh = Dedup.shingleIds(Tables.documents(s, d), 3)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
         val pairs = sh.as("a").join(sh.as("b"),
             col("a.sid") === col("b.sid") &&

@@ -178,7 +178,11 @@ object Entries67 {
     // banding: a hot bucket is the LSH skew axis at 100 TB.
     Q("q384_lsh_occupancy",
       (s, d) => {
+        // persisted: the wide signature table feeds one union branch PER
+        // BAND — uncached, the corpus shingle explode + 64-hash min
+        // replans once per band (plan census r8: 4 scans -> 1)
         val wide = Dedup.minhashWide(Tables.documents(s, d), 3)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val bands = (0 until Dedup.NumHashes / Dedup.BandSize).map { b =>
           wide.select(lit(b.toLong).as("band"),
             concat_ws(",", (0 until Dedup.BandSize).map(r =>
@@ -218,10 +222,14 @@ object Entries67 {
     // The budgeted version of mixture sampling (q103).
     Q("q385_token_waterfill",
       (s, d) => {
+        // persisted: the per-source token totals (|sources| rows) feed the
+        // grand total, the ranked level search, and the final allocation —
+        // uncached, the corpus tokenize replans per consumer (census r8)
         val src = Tables.documents(s, d)
           .select(col("source"),
             size(split(trim(col("text")), "\\s+")).cast("long").as("nw"))
           .groupBy(col("source")).agg(sum(col("nw")).as("t"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val tot = src.agg(sum(col("t")).as("tt"),
           count(lit(1)).as("ns"))
         val w = Window.orderBy(col("t"), col("source"))

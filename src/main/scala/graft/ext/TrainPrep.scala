@@ -454,10 +454,15 @@ object TrainPrep {
     * formed from bigint sufficient statistics with a pinned operation order
     * (exact-operand doubles), so the oracle reproduces it bit-for-bit. */
   def chiSquareCells(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    // marginals and the grand total are CELL SUMS (identical by algebra):
+    // derive them from the persisted contingency cells so the input is
+    // scanned once, not once per margin (the q318 mutual-info pattern;
+    // plan census r8: 4 scans -> 1)
     val cells = df.groupBy(col(xCol), col(yCol)).agg(count(lit(1)).as("o"))
-    val rowTot = df.groupBy(col(xCol)).agg(count(lit(1)).as("row_n"))
-    val colTot = df.groupBy(col(yCol)).agg(count(lit(1)).as("col_n"))
-    val n = df.agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rowTot = cells.groupBy(col(xCol)).agg(sum(col("o")).as("row_n"))
+    val colTot = cells.groupBy(col(yCol)).agg(sum(col("o")).as("col_n"))
+    val n = cells.agg(sum(col("o")).as("n"))
     val e = col("row_n").cast("double") * col("col_n") / col("n")
     cells
       .join(broadcast(rowTot), Seq(xCol))

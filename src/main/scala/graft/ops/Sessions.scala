@@ -116,8 +116,12 @@ object Sessions {
       .select(col("user_id"), col("ts_us"), col("event_id"))
     val clicks = stageTs("click").withColumn("c_ts", col("ts_us"))
     val purchases = stageTs("purchase").withColumn("p_ts", col("ts_us"))
+    // persisted: the first funnel hop splits into the with-click and
+    // no-click branches — uncached, the as-of join (and its views/clicks
+    // scans) replans once per branch (plan census r8: 5 scans -> 3)
     val v1 = graft.ops.Snapshots.asOfJoinForward(
       views, clicks, "user_id", "ts_us", "c_ts", Seq("c_ts"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // second hop joins on the MATCHED click ts; rows with no click skip it
     val withC = v1.filter(col("c_ts").isNotNull)
       .withColumnRenamed("ts_us", "v_ts")
