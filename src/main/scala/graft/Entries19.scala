@@ -95,11 +95,15 @@ object Entries19 {
           .groupBy(col("user_id")).agg(min(col("ts_us")).as("v0"))
         val firstBuy = ev.filter(col("event_type") === "purchase")
           .groupBy(col("user_id")).agg(min(col("ts_us")).as("p0"))
+        // persisted: cohorts feeds the median branch AND the census —
+        // uncached, both first-event aggregations replan per consumer
+        // (plan census r8: 4 events scans -> 2)
         val cohorts = firstView
           .join(firstBuy, Seq("user_id"), "left")
           .withColumn("cohort_week", expr("v0 DIV 604800000000"))
           .withColumn("days", expr(
             "CASE WHEN p0 IS NOT NULL AND p0 >= v0 THEN (p0 - v0) DIV 86400000000 END"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val medW = Window.partitionBy(col("cohort_week"))
           .orderBy(col("days").asc, col("user_id").asc)
         val med = cohorts.filter(col("days").isNotNull)

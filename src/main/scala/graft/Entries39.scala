@@ -52,7 +52,13 @@ object Entries39 {
               lit(10L)))
           .withColumn("split",
             when(col("bucket") < 8, "train").otherwise("test"))
+          // persisted: tagged feeds the user census and the event pivot;
+          // users feeds the overlap join (both sides) and the user pivot
+          // — uncached, the events scan + md5 replans per consumer
+          // (plan census r8)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val users = tagged.select(col("user_id"), col("split")).distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val overlap = users.filter(col("split") === "train")
           .select(col("user_id"))
           .join(users.filter(col("split") === "test")

@@ -25,12 +25,18 @@ object Entries64 {
           .select(col("o_orderpriority").as("g"),
             expr("least(19L, CAST(round(o_totalprice * 100) AS LONG) DIV 2500000L)")
               .as("k"))
-        val tot = b.groupBy(col("g")).agg(count(lit(1)).as("n"))
-        val shares = b.groupBy(col("g"), col("k"))
+        // group totals are CELL SUMS of the persisted histogram; shares is
+        // persisted for the self-join — uncached, the orders scan replans
+        // once per consumer (plan census r8: 4 scans -> 1)
+        val cells = b.groupBy(col("g"), col("k"))
           .agg(count(lit(1)).as("cnt"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val tot = cells.groupBy(col("g")).agg(sum(col("cnt")).as("n"))
+        val shares = cells
           .join(broadcast(tot), Seq("g"))
           .select(col("g"), col("k"),
             expr("(cnt * 1000000L) DIV n").as("s_ppm"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         shares.as("a").join(shares.as("b"),
             col("a.k") === col("b.k") && col("a.g") < col("b.g"))
           .groupBy(col("a.g").as("g1"), col("b.g").as("g2"))

@@ -281,6 +281,8 @@ object Similarity {
     // ... and the embeddings leave the plan BEFORE the top-k window: the
     // shuffle+sort carries (q_id, n_id, cos) = 24 B/row, not two 256 B
     // float arrays
+    // persisted: BOTH sides of the mutuality join read this top-k list —
+    // uncached, the O(n²) scoring pass replans per side (plan census r8)
     val knn = c.join(broadcast(q), col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
         (dot(col("q_emb"), col("n_emb")) / (col("q_n") * col("n_n")))
@@ -288,6 +290,7 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("n_id"), col("rank"), col("cos"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // cos is exactly symmetric (per-index products commute, fold order
     // identical), so carrying it from the v1→v2 direction loses nothing
     knn.as("a").join(knn.as("b"),

@@ -223,11 +223,15 @@ object TrainPrep {
     */
   def htEstimate(df: DataFrame, strataCol: String, keyCol: String,
                  valCol: String, budget: Long): DataFrame = {
-    val sampled = proportionalAllocate(df, strataCol, keyCol, budget)
+    // persisted: the base feeds the quota allocation, the truth census,
+    // and the sample join — uncached, its scan replans per consumer
+    // (plan census r8)
+    val base = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sampled = proportionalAllocate(base, strataCol, keyCol, budget)
       .select(col(keyCol), col("quota"))
-    val truth = df.groupBy(col(strataCol))
+    val truth = base.groupBy(col(strataCol))
       .agg(count(lit(1)).as("n_s"), sum(col(valCol)).as("true_sum"))
-    val sample = df.join(sampled, Seq(keyCol))
+    val sample = base.join(sampled, Seq(keyCol))
       .groupBy(col(strataCol))
       .agg(sum(col(valCol)).as("sample_sum"), max(col("quota")).as("quota"))
     truth.join(sample, Seq(strataCol))
