@@ -30,5 +30,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: the bench/verify suites persist shared subtrees per the
+  // plan-census discipline and share one JVM across 417 queries — at 8g
+  // the accumulated storage blocks evict/GC-thrash in the suite tail
+  // (measured +30 s at sf0.1, r8); the container has 128 GiB
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

@@ -21,6 +21,9 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter(q => nameFilter(q._1)).foreach { case (name, fn) =>
+      // per-query cache hygiene: queries persist shared subtrees; without
+      // the clear, blocks accumulate across the whole suite in this one JVM
+      spark.sharedState.cacheManager.clearCache()
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
