@@ -33,7 +33,18 @@ class ParallelismInvarianceSpec extends SparkSpec {
     "q107_pagerank",           // iterative integer masses (sum order-free)
     "q129_weighted_sample",    // per-group weighted top-k
     "q158_topk_list",          // ordered list aggregation
-    "q314_weighted_reservoir") // hash-keyed reservoir with pinned ties
+    "q314_weighted_reservoir", // hash-keyed reservoir with pinned ties
+    // r8 census-persisted queries: a persist() must not freeze a
+    // layout-dependent result (it caches whatever the first action saw),
+    // so the queries that gained persists + repartitions this round get
+    // the same invariance check
+    "q196_time_to_convert",    // rank-median over persisted cohorts
+    "q230_ivm_join",           // repartition(key)+persist on both facts
+    "q299_holdout_leakage",    // persisted split + shingle index
+    "q351_weighted_jaccard",   // persisted shingle explode, self-join
+    "q363_hist_intersect",     // totals as cell sums of persisted hist
+    "q365_markov_eval",        // majority-vote tie-breaks over persists
+    "q384_lsh_occupancy")      // persisted wide minhash, per-band unions
 
   private def runAt(name: String, partitions: Int): Seq[String] = {
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
