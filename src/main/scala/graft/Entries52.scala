@@ -110,28 +110,41 @@ object Entries52 {
       (s, d) => {
         val docs = Tables.documents(s, d)
         val sp = TrainPrep.hashSplit(docs, "doc_id")
-        val bigrams = sp
+        // persisted TOKEN-POSITION relation (plan census r9): row i of a
+        // doc is (w[i], w[i+1]) and the FINAL token pairs with NULL, so
+        // (a) bigrams = rows with w2 non-null and (b) every token
+        // occurrence appears exactly once as w1 — the vocabulary V is
+        // countDistinct(w1) over the SAME persisted relation. Uncached,
+        // the corpus-wide explode replanned once per consumer (3 scans /
+        // 3 Generates in the r8 census, plus a 4th eager pass for V —
+        // the #1 structural entry in the r8 driver bench tail); now the
+        // corpus is read and exploded exactly once, and V rides the
+        // cache lazily via a 1-row cross join instead of a driver
+        // head() at plan-construction time.
+        val toks = sp
           .withColumn("w", split(col("text"), " "))
           .select(col("doc_id"), col("source"), col("split"),
             explode(expr(
-              "transform(sequence(1, size(w) - 1), " +
-                "i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2))"))
+              "transform(sequence(1, size(w)), " +
+                "i -> struct(element_at(w, i) AS w1, " +
+                "CASE WHEN i < size(w) THEN element_at(w, i + 1) END AS w2))"))
               .as("bg"))
           .select(col("doc_id"), col("source"), col("split"),
             col("bg.w1"), col("bg.w2"))
-        val trBg = bigrams.filter(col("split") === "train")
-        val c2 = trBg.groupBy(col("w1"), col("w2"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val trTok = toks.filter(col("split") === "train")
+        val c2 = trTok.filter(col("w2").isNotNull)
+          .groupBy(col("w1"), col("w2"))
           .agg(count(lit(1)).as("c2"))
         val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
-        val v = sp.filter(col("split") === "train")
-          .select(explode(split(col("text"), " ")).as("w"))
-          .agg(countDistinct(col("w"))).head().getLong(0)
-        bigrams.filter(col("split") === "test")
+        val vDf = trTok.agg(countDistinct(col("w1")).as("v"))
+        toks.filter(col("split") === "test" && col("w2").isNotNull)
           .join(c2, Seq("w1", "w2"), "left")
           .join(c1, Seq("w1"), "left")
+          .crossJoin(vDf)
           .select(col("source"),
             floor(log((coalesce(col("c2"), lit(0L)) + 1L).cast("double") /
-              (coalesce(col("c1"), lit(0L)) + v).cast("double")) * 1e4)
+              (coalesce(col("c1"), lit(0L)) + col("v")).cast("double")) * 1e4)
               .cast("long").as("lp_q"))
           .groupBy(col("source"))
           .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_q")).as("sum_lp_q"))

@@ -17,7 +17,8 @@ object Explain {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val census = args.headOption.contains("--census")
     val names =
-      if (args.nonEmpty && !census) args.toSeq
+      if (census && args.length > 1) args.drop(1).toSeq // census of a subset
+      else if (args.nonEmpty && !census) args.toSeq
       else SparkEntry.queries.keys.toSeq.sorted
     if (census) println("query\tscans\texchanges\tgenerates\timr\tlambda")
     for (n <- names) {

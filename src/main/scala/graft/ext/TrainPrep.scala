@@ -225,8 +225,12 @@ object TrainPrep {
                  valCol: String, budget: Long): DataFrame = {
     // persisted: the base feeds the quota allocation, the truth census,
     // and the sample join — uncached, its scan replans per consumer
-    // (plan census r8)
-    val base = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // (plan census r8). Persist a DERIVED projection, not the caller's
+    // df: persisting `df` itself would mutate the caller-visible storage
+    // level of a frame this function doesn't own, and the 3-column
+    // projection is the narrower cache anyway.
+    val base = df.select(col(keyCol), col(strataCol), col(valCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sampled = proportionalAllocate(base, strataCol, keyCol, budget)
       .select(col(keyCol), col("quota"))
     val truth = base.groupBy(col(strataCol))

@@ -49,6 +49,13 @@ class ParallelismInvarianceSpec extends SparkSpec {
   private def runAt(name: String, partitions: Int): Seq[String] = {
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)
+    // drop every cached relation first: otherwise the second runAt
+    // re-registers the identical canonicalized plan, reuses the
+    // InMemoryRelations the first run materialized, and the persisted
+    // (upstream) stages never re-execute at the new partition count — a
+    // layout-dependent result frozen inside a persist() would pass
+    // undetected
+    spark.sharedState.cacheManager.clearCache()
     try {
       val df: DataFrame = SparkEntry.queries(name)(spark, sf)
       // canonical row text: sort columns by name, then rows; string repr
@@ -58,7 +65,10 @@ class ParallelismInvarianceSpec extends SparkSpec {
       df.selectExpr(cols: _*).collect()
         .map(_.toSeq.map(String.valueOf).mkString(""))
         .sorted.toSeq
-    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", saved)
+      spark.sharedState.cacheManager.clearCache()
+    }
   }
 
   for (name <- Pinned)
