@@ -168,7 +168,11 @@ object Entries10 {
       (s, d) => {
         graft.functions.GraftFunctions.register(s)
         import graft.ext.{Eval, Similarity}
+        // persisted (plan census r9): the IVF path (centroids +
+        // assignment + probes) and the brute-force truth share one
+        // embeddings relation — 6 scans → 1
         val emb = Tables.embeddings(s, d)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         Eval.annRecall(Similarity.ivfTopK(emb, 20, 5, 100, 2),
           Similarity.bruteForceTopK(emb, 20, 5), 5)
       },
@@ -259,7 +263,10 @@ object Entries10 {
       (s, d) => {
         graft.functions.GraftFunctions.register(s)
         import graft.ext.{Eval, Similarity}
+        // persisted (plan census r9): full and truncated brute-force
+        // passes read the same vectors
         val emb = Tables.embeddings(s, d)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val trunc = emb.withColumn("embedding",
           slice(col("embedding"), 1, 16))
         Eval.annRecall(Similarity.bruteForceTopK(trunc, 20, 5),

@@ -161,7 +161,10 @@ object Entries12 {
     Q("q181_rrf_fusion",
       (s, d) => {
         graft.functions.GraftFunctions.register(s)
+        // persisted (plan census r9): both fused rankers read the same
+        // vectors
         val emb = Tables.embeddings(s, d)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val full = Similarity.bruteForceTopK(emb, 20, 10)
         val trunc = Similarity.bruteForceTopK(
           emb.withColumn("embedding", slice(col("embedding"), 1, 16)), 20, 10)

@@ -35,9 +35,12 @@ object Entries24 {
     Q("q217_rendezvous_shards",
       (s, d) => {
         val docs = Tables.documents(s, d).select(col("doc_id"))
+        // persisted (plan census r9): the two shard histograms and the
+        // mover census all re-evaluate the 16-way rendezvous hash
         val both = docs
           .withColumn("s8", rendezvousShard(8))
           .withColumn("s9", rendezvousShard(9))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val c8 = both.groupBy(col("s8").as("shard"))
           .agg(count(lit(1)).as("n_8"))
         val c9 = both.groupBy(col("s9").as("shard"))
@@ -78,9 +81,12 @@ object Entries24 {
     // Oracle: quadratic neighbor graph + recursive-CTE reachability.
     Q("q218_dbscan",
       (s, d) => graft.ext.Density.dbscan(
+        // persisted (plan census r9): the grid self-join reads the
+        // points twice and the final role labeling a third time
         Tables.embeddings(s, d).select(col("vec_id"),
           expr("CAST(embedding[0] AS DOUBLE)").as("x"),
-          expr("CAST(embedding[1] AS DOUBLE)").as("y")),
+          expr("CAST(embedding[1] AS DOUBLE)").as("y"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
         0.03125, 5L),
       Some(graft.ext.Density.dbscanSql(0.03125, 5L))))
 }

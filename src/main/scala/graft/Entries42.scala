@@ -25,12 +25,15 @@ object Entries42 {
     // pair count, matched units and unfilled demand — exact integers.
     Q("q272_fifo_matching",
       (s, d) => {
+        // persisted (plan census r9): the supply and demand cumulations
+        // and the unmatched remainder all read the same projection
         val li = Tables.lineitem(s, d)
           .select(col("l_partkey"),
             graft.ops.Relational.epochUs(col("l_shipdate")).as("ts"),
             col("l_orderkey"), col("l_linenumber"),
             round(col("l_quantity")).cast("long").as("qty"),
             (col("l_returnflag") === "R").as("is_supply"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         def cum(side: DataFrame) = {
           val w = Window.partitionBy(col("l_partkey"))
             .orderBy(col("ts").asc, col("l_orderkey").asc,

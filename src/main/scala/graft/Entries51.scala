@@ -58,6 +58,9 @@ object Entries51 {
             .orderBy(col("last_ts").desc, col("item").asc)))
           .where(col("rn") <= 10)
           .select(col("user_id"), col("item"))
+          // persisted (plan census r9): both legs of the co-occurrence
+          // self-join and the degree-weight rollup consume capped
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val wExpr = AaWeight.foldLeft(lit(null).cast("long")) {
           case (acc, (deg, wq)) => when(col("deg") === deg, wq).otherwise(acc)
         }

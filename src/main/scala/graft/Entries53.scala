@@ -30,7 +30,10 @@ object Entries53 {
     Q("q305_retrieval_eval",
       (s, d) => {
         graft.functions.GraftFunctions.register(s)
+        // persisted (plan census r9): truth and IVF paths share one
+        // embeddings relation — 6 scans → 1
         val emb = Tables.embeddings(s, d)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val truth = Similarity.bruteForceTopK(emb, 20, 5)
           .select(col("q_id"), col("n_id"))
         val ivf = Similarity.ivfTopK(emb, 20, 5, 100, 2)

@@ -54,10 +54,13 @@ object Entries57 {
     // only windows run over |distinct quantities| and |distinct prices|.
     Q("q321_spearman_corr",
       (s, d) => {
+        // persisted (plan census r9): both rank ladders and the pair
+        // domain read the same three columns
         val fact = Tables.lineitem(s, d).select(
           col("l_returnflag").as("g"),
           round(col("l_quantity") * 100).cast("long").as("x"),
           round(col("l_extendedprice") * 100).cast("long").as("y"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val rx = doubledRanks(fact, "g", "x", "rx2")
         val ry = doubledRanks(fact, "g", "y", "ry2")
         val dxy = fact.groupBy(col("g"), col("x"), col("y"))

@@ -29,7 +29,10 @@ object Entries58 {
     // one pass at any corpus size.
     Q("q327_sq8_recall",
       (s, d) => {
+        // persisted (plan census r9): the per-dim limits, the SQ8
+        // encoding and the exact re-rank all read the same vectors
         val emb = Tables.embeddings(s, d)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val lims = emb
           .select(posexplode(col("embedding")).as(Seq("pos", "v")))
           .groupBy(col("pos"))

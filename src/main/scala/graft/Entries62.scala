@@ -159,11 +159,15 @@ object Entries62 {
         def pos(h: org.apache.spark.sql.Column, i: Int) =
           (pmod(h, lit(1048576L)) + lit(i.toLong) *
             shiftright(h, 20).bitwiseOR(lit(1L))) % lit(1048576L)
+        // persisted (plan census r9): keys feed the bit set AND the key
+        // count; the bit set is probed by all three semi-join rounds
         val keys = Tables.customer(s, d)
           .select(h48(concat(lit("key:"), col("c_custkey"))).as("h"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val bits = keys
           .select(explode(array((0 until 3).map(i => pos(col("h"), i)): _*))
             .as("p")).distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val probes = s.range(100000)
           .select(h48(concat(lit("probe:"), col("id"))).as("h"))
         val hits = (0 until 3).foldLeft(
@@ -210,9 +214,12 @@ object Entries62 {
     // (q190) detectors.
     Q("q355_tukey_fences",
       (s, d) => {
+        // persisted (plan census r9): the value-domain rollup, the group
+        // totals and the fence count all read the same two columns
         val fact = Tables.lineitem(s, d)
           .select(col("l_returnflag").as("g"),
             round(col("l_extendedprice") * 100).cast("long").as("v"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val dom = fact.groupBy(col("g"), col("v"))
           .agg(count(lit(1)).as("cnt"))
         val wg = Window.partitionBy(col("g")).orderBy(col("v"))

@@ -297,12 +297,15 @@ object Entries63 {
     // MASE is the only double, a ratio of two integer MAE sums.
     Q("q361_forecast_scorecard",
       (s, d) => {
+        // persisted (plan census r9): the scorecard self-joins the
+        // monthly aggregate three ways (actual, lag-12, lag-1)
         val monthly = Tables.orders(s, d)
           .groupBy(col("o_orderpriority"),
             (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
               .cast("long").as("m"))
           .agg(sum(round(col("o_totalprice") * 100).cast("long"))
             .as("rev_c"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         monthly.as("a")
           .join(monthly.as("s12"),
             col("a.o_orderpriority") === col("s12.o_orderpriority") &&

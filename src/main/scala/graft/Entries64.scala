@@ -268,10 +268,13 @@ object Entries64 {
     // the lateness/skew censuses don't give.
     Q("q367_burst_windows",
       (s, d) => {
+        // persisted (plan census r9): the p95 domain rollup, the totals
+        // and the burst islands all consume the hourly counts
         val mc = Tables.events(s, d)
           .groupBy(col("event_type"),
             expr("ts_us DIV 3600000000L").as("hour"))
           .agg(count(lit(1)).as("cnt"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val dom = mc.groupBy(col("event_type"), col("cnt"))
           .agg(count(lit(1)).as("m"))
         val wc = Window.partitionBy(col("event_type")).orderBy(col("cnt"))

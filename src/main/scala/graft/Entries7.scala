@@ -165,7 +165,11 @@ object Entries7 {
     Q("q142_pq_codes",
       (s, d) => {
         graft.functions.GraftFunctions.register(s)
-        Similarity.pqCodes(Tables.embeddings(s, d), 4, 16, 64, 2)
+        // persisted (plan census r9): codebook training and encoding
+        // read the same vectors
+        val emb = Tables.embeddings(s, d)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        Similarity.pqCodes(emb, 4, 16, 64, 2)
       },
       Some(s"""WITH $pqCtes
               |SELECT vec_id, s, cluster AS code FROM a1""".stripMargin)),
@@ -175,7 +179,11 @@ object Entries7 {
     Q("q145_pq_adc",
       (s, d) => {
         graft.functions.GraftFunctions.register(s)
-        Similarity.pqAdcTopK(Tables.embeddings(s, d), 4, 16, 64, 2, 3, 5)
+        // persisted (plan census r9): codebooks, codes and query
+        // distance tables all derive from the one embeddings relation
+        val emb = Tables.embeddings(s, d)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        Similarity.pqAdcTopK(emb, 4, 16, 64, 2, 3, 5)
       },
       Some(s"""WITH $pqCtes,
               |qd AS (

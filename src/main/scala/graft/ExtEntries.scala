@@ -240,7 +240,11 @@ object ExtEntries {
     Q("q28_ann_ivf",
       (s, d) => {
         graft.functions.GraftFunctions.register(s)
-        Similarity.ivfTopK(Tables.embeddings(s, d), 20, 5, 100, 2)
+        // persisted (plan census r9): centroids, assignment corpus and
+        // probe queries all derive from the one embeddings relation
+        val emb = Tables.embeddings(s, d)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        Similarity.ivfTopK(emb, 20, 5, 100, 2)
       },
       Some(s"""WITH cent AS (SELECT vec_id AS c_id, embedding AS c_emb
               |             FROM embeddings WHERE vec_id % 100 = 0),
@@ -328,7 +332,11 @@ object ExtEntries {
     Q("q53_kmeans",
       (s, d) => {
         graft.functions.GraftFunctions.register(s)
-        Similarity.kmeans(Tables.embeddings(s, d), 100, 2)
+        // persisted (plan census r9): every assignment round and the
+        // final labeling re-read the same vectors
+        val emb = Tables.embeddings(s, d)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        Similarity.kmeans(emb, 100, 2)
       },
       Some {
         def assignSql(cent: String, out: String) =
@@ -487,7 +495,11 @@ object ExtEntries {
     // distinct aggregates and measured 6 s vs ~1.5 s at sf0.1.
     Q("q43_approx_distinct",
       (s, d) => {
+        // persisted (plan census r9): the approx pass and both exact
+        // distinct passes read the same 3 columns
         val li = Tables.lineitem(s, d)
+          .select(col("l_returnflag"), col("l_partkey"), col("l_orderkey"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val ap = li.groupBy(col("l_returnflag"))
           .agg(approx_count_distinct(col("l_partkey"), 0.02).as("ap"),
             approx_count_distinct(col("l_orderkey"), 0.02).as("ao"))

@@ -252,8 +252,12 @@ object Curation {
     * 16-byte hash, never the text. */
   def crossCorpusDedup(documents: DataFrame,
                        isNew: Column): DataFrame = {
+    // persisted (plan census r9): the content hashes feed the base-side
+    // distinct, the new-side census AND the anti-join probe — one pass
+    // over the corpus text instead of three
     val hashed = documents.select(col("doc_id"), col("source"),
       md5(col("text")).as("h"), isNew.as("is_new"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val baseHashes = hashed.filter(!col("is_new")).select(col("h")).distinct()
     val newBySource = hashed.filter(col("is_new"))
       .groupBy(col("source")).agg(count(lit(1)).as("n_new"))
@@ -316,7 +320,11 @@ object Curation {
     * (cuts the join fan-out of hub nodes); here the near-dup graphs are
     * degree-bounded by construction. */
   def triangles(pairs: DataFrame): DataFrame = {
+    // persisted (plan census r9): the 3-way self-join otherwise replans
+    // the caller's edge derivation (a corpus-wide collocation explode in
+    // q114) once per join leg; derived projection, not the caller's frame
     val e = pairs.select(col("d1").as("a"), col("d2").as("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     e.join(e.select(col("a").as("b"), col("b").as("c")), Seq("b"))
       .join(e.select(col("a"), col("b").as("c")), Seq("a", "c"))
       .select(col("a"), col("b"), col("c"))

@@ -185,7 +185,11 @@ object TextAnalysis {
     * equi-joined on (doc, pos+1) — never a full index self-join.
     */
   def phraseSearch(documents: DataFrame): DataFrame = {
+    // persisted (plan census r9): the positional explode feeds the
+    // phrase-frequency rollup AND both sides of the positional self-join
+    // — uncached it replans the corpus tokenization 3×
     val toks = termPositions(documents)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val phrase = toks
       .withColumn("nxt",
         lead(col("term"), 1).over(

@@ -326,10 +326,17 @@ object TrainPrep {
   def tfidf(documents: DataFrame): DataFrame = {
     val words = documents
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    // persisted (plan census r9): tf feeds the df rollup, the doc count
+    // AND the final join — uncached, the corpus-wide tokenize explode
+    // replans once per consumer (3 documents scans)
     val tf = words.groupBy(col("doc_id"), col("w"))
       .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
-    val n = documents.agg(count(lit(1)).as("n_docs"))
+    // split() never yields an empty array (split("", " ") = [""]), so
+    // every doc owns >=1 tf row and the distinct doc count over the
+    // persisted tf IS count(*) over documents — no second corpus pass
+    val n = tf.agg(countDistinct(col("doc_id")).as("n_docs"))
     tf.join(df, Seq("w")).crossJoin(broadcast(n))
       .select(col("doc_id"), col("w"), col("tf"), col("df"),
         (col("tf").cast("double") *

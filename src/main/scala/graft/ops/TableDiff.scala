@@ -40,8 +40,13 @@ object TableDiff {
       col(keyCol),
       pmod(col(keyCol), lit(nBuckets.toLong)).as("bucket"),
       rowHash(col(keyCol) +: valCols.map(col)).as("rh"))
+    // persisted (plan census r9): each side's row hashes feed its bucket
+    // digest AND the divergent-bucket drill — hash every row exactly
+    // once, which is the whole point of a Merkle diff at 100 TB
     val p1 = prep(v1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val p2 = prep(v2)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def digest(p: DataFrame): DataFrame = p.groupBy(col("bucket"))
       .agg(sum(col("rh")).as("dsum"), count(lit(1)).as("dcnt"))
     val divergent = digest(p1).as("a")
