@@ -15,13 +15,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * The committed snapshot lives at `tools/census_baseline.tsv`;
   * PlanCensusSpec regenerates every row at sf0.001 in CI and fails if any
-  * query's scan count exceeds the committed value, so a shared-subtree
-  * replan (the r8 q300 escape) can't land silently. Refresh after an
-  * adjudicated plan change with:
+  * query's scan or generate count exceeds the committed value, so a
+  * shared-subtree replan (the r8 q300 escape) can't land silently. Refresh
+  * after an adjudicated plan change with:
   * {{{
   * sbt -batch "runMain graft.Explain --census" 2>/dev/null \
-  *   | grep -P "^q|^query" > tools/census_baseline.tsv
+  *   | grep -P "^q|^query" | grep -v $'\tERR\t' > tools/census_baseline.tsv
   * }}}
+  * (the `grep -v` drops error rows, which also start with the query name —
+  * PlanCensusSpec rejects a malformed row by name rather than crashing,
+  * but an ERR row in the baseline means that query was never adjudicated).
   */
 object Explain {
 

@@ -335,7 +335,14 @@ object TrainPrep {
     val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
     // split() never yields an empty array (split("", " ") = [""]), so
     // every doc owns >=1 tf row and the distinct doc count over the
-    // persisted tf IS count(*) over documents — no second corpus pass
+    // persisted tf IS count(*) over documents — no second corpus pass.
+    // Two further assumptions make that identity (and the q59 oracle's
+    // count(*) FROM documents) hold: text IS NOT NULL (explode(split(NULL))
+    // yields zero rows, silently dropping the doc from n_docs while the
+    // oracle still counts it) and doc_id is unique (a duplicate id would
+    // collapse two oracle rows into one distinct). Both are fixture schema
+    // contracts pinned by FixtureSchemaSpec; if a generator ever relaxes
+    // them, coalesce text to '' upstream and count a keyed projection
     val n = tf.agg(countDistinct(col("doc_id")).as("n_docs"))
     tf.join(df, Seq("w")).crossJoin(broadcast(n))
       .select(col("doc_id"), col("w"), col("tf"), col("df"),

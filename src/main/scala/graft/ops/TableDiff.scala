@@ -22,6 +22,25 @@ import org.apache.spark.sql.functions._
   * pass semi-joins each side on the (tiny, broadcast) divergent-bucket
   * list BEFORE the row-level full-outer diff — rows in agreeing buckets
   * never cross the wire in the drill.
+  *
+  * PERSIST-VS-RESCAN ADJUDICATION (r8 held one position, r9 silently held
+  * the other; pinned here and in PLANS.md "q162 Merkle persist"): each
+  * side's (key, bucket, rowhash) projection IS persisted, so every row is
+  * hashed exactly once and the drill reads the skinny cached relation.
+  * The alternative — no persist, re-scan + re-hash on drill — reads the
+  * key+valCols columns a second time, which at 100 TB with a wide valCols
+  * list is a second full corpus pass; the ~24 B/row skinny materialization
+  * (MEMORY_AND_DISK, spills, never OOMs) is the cheaper side of that trade
+  * whenever valCols carry more bytes than the hash. The re-scan form wins
+  * only when the inputs are PHYSICALLY bucketed/partitioned by `keyCol` so
+  * the drill scan prunes to divergent buckets' files (the textbook
+  * anti-entropy setup) — callers with bucketed gold tables should diff the
+  * pruned buckets directly instead.
+  *
+  * Cache lifecycle: the persists live until the session drops them — the
+  * caller owns unpersist (or cacheManager.clearCache()) after the terminal
+  * action, the contract for every persisting library helper here (see
+  * PLANS.md "library persists").
   */
 object TableDiff {
 

@@ -286,10 +286,20 @@ object StreamingFeatures {
     * Contrast with streamOnlineMaterialize, which re-reads the touched
     * users' history per batch: a mergeable state needs no history re-read
     * at all — O(batch) work per batch, the incremental ideal.
+    *
+    * RESTART RECOVERY: pass `checkpointDir` in production — file-source
+    * offsets live there, so a restarted query resumes at the first
+    * unprocessed file. A LOST checkpoint is also safe (unlike the KV
+    * materialization, which needs offsets for its exactly-once story):
+    * reprocessing any suffix of the backlog only ORs already-absorbed
+    * user ids back into the stored bitmaps — the store converges to the
+    * same sketches. StreamingSpec exercises both paths across real
+    * restarts.
     */
   def streamSketchUpsert(spark: SparkSession, eventsDir: String,
                          storePath: String,
-                         maxFilesPerTrigger: Int = 0): StreamingQuery = {
+                         maxFilesPerTrigger: Int = 0,
+                         checkpointDir: Option[String] = None): StreamingQuery = {
     graft.functions.GraftFunctions.register(spark)
     import graft.functions.GraftFunctions.{bitmapMerge, bitmapSketch}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -298,15 +308,24 @@ object StreamingFeatures {
     val raw = (if (maxFilesPerTrigger > 0)
       reader.option("maxFilesPerTrigger", maxFilesPerTrigger) else reader)
       .parquet(eventsDir)
-    raw.writeStream
+    val writer = raw.writeStream
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
+    checkpointDir.foreach(writer.option("checkpointLocation", _))
+    writer
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val part = batch
           .withColumn("ts_us", tsUsExpr(schema))
           .withColumn("week", expr("ts_us DIV 604800000000"))
           .groupBy(col("week"))
           .agg(bitmapSketch(col("user_id")).as("sk"))
+          // materialize the per-week partials ONCE (a handful of rows):
+          // they feed BOTH the touched-weeks semi-join and the union —
+          // un-checkpointed, each consumer re-plans the aggregation and
+          // the batch's source file is scanned twice per micro-batch
+          // (surfaced by the restart test's exact numInputRows pin; at
+          // 100 TB it means every arriving file is read twice)
+          .localCheckpoint()
         val hPath = new org.apache.hadoop.fs.Path(storePath)
         val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
         val merged = (if (fs.exists(hPath)) {

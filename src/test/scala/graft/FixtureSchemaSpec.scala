@@ -76,6 +76,23 @@ class FixtureSchemaSpec extends SparkSpec {
     }, s"embedding: ${e("embedding")}")
   }
 
+  test("documents content contract: doc_id unique, text non-null") {
+    // several cross-engine identities lean on these (e.g. tfidf derives
+    // n_docs as countDistinct(doc_id) over the exploded tf relation, which
+    // equals the oracle's count(*) FROM documents ONLY if no doc has NULL
+    // text and no doc_id repeats — see ext/TrainPrep.tfidf). Pin them so a
+    // generator change breaks HERE, by name, not as a silent hash mismatch
+    import org.apache.spark.sql.functions.{col, count, countDistinct, lit, sum, when}
+    val d = Tables.documents(spark, sf)
+    val stats = d.agg(
+      count(lit(1)).as("n"),
+      countDistinct(col("doc_id")).as("nd"),
+      sum(when(col("text").isNull, 1L).otherwise(0L)).as("nulls"))
+      .head()
+    assert(stats.getLong(0) == stats.getLong(1), "doc_id must be unique")
+    assert(stats.getLong(2) == 0L, "text must be non-null")
+  }
+
   test("raw events.ts is one of the vintages the loader handles") {
     val raw = spark.read.parquet(s"$sf/events.parquet")
     val t = raw.schema("ts").dataType

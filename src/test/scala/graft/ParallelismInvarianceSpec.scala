@@ -44,7 +44,22 @@ class ParallelismInvarianceSpec extends SparkSpec {
     "q351_weighted_jaccard",   // persisted shingle explode, self-join
     "q363_hist_intersect",     // totals as cell sums of persisted hist
     "q365_markov_eval",        // majority-vote tie-breaks over persists
-    "q384_lsh_occupancy")      // persisted wide minhash, per-band unions
+    "q384_lsh_occupancy",      // persisted wide minhash, per-band unions
+    // sketch-merge families: the partition count dictates HOW MANY partial
+    // sketches exist and in WHAT ORDER they merge. Bitmap OR and CMS
+    // counter addition are commutative-monoid merges (layout-free by
+    // algebra — executed here, not argued); KLL is the interesting one:
+    // its alternating-parity compaction is deterministic only per layout,
+    // so the RAW estimate may move across layouts — but the shipped query
+    // output is the ±2% rank GATE, and the sketch's ≲0.5% rank error keeps
+    // the verdict bit identical under any merge order. These rows execute
+    // exactly that contract at 3/4/17 partitions.
+    "q140_sketch_rollup",      // bitmap build → OR-merge rollup tree
+    "q166_sketch_overlap",     // bitmap AND/OR across stored sketches
+    "q176_cms_estimate",       // CMS counter sums, point estimates
+    "q213_bloom_member",       // Bloom bit-OR membership verdicts
+    "q295_kll_gate",           // KLL estimate vs exact-rank gate
+    "q320_kll_rollup")         // KLL blob store → merge-quantiles rollup
 
   private def runAt(name: String, partitions: Int): Seq[String] = {
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
@@ -60,10 +75,14 @@ class ParallelismInvarianceSpec extends SparkSpec {
       val df: DataFrame = SparkEntry.queries(name)(spark, sf)
       // canonical row text: sort columns by name, then rows; string repr
       // is enough for equality (all outputs are ints/strings/doubles with
-      // engine-exact values by construction)
+      // engine-exact values by construction). Delimiter is U+0001 — a
+      // no-delimiter join would let adjacent columns ("ab","c") and
+      // ("a","bc") collide and mask a real cross-layout diff; it was a
+      // LITERAL 0x01 byte through r9, which rendered invisibly as "" and
+      // got flagged twice as unfixed — now the visible escape
       val cols = df.columns.sorted.toSeq
       df.selectExpr(cols: _*).collect()
-        .map(_.toSeq.map(String.valueOf).mkString(""))
+        .map(_.toSeq.map(String.valueOf).mkString("\u0001"))
         .sorted.toSeq
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", saved)

@@ -281,6 +281,87 @@ class StreamingSpec extends SparkSpec {
     assert(got.count() > 0)
   }
 
+  test("sketch materialization restart: checkpoint resumes at the first " +
+    "unprocessed file; a lost checkpoint replays the backlog and the " +
+    "store still converges (OR idempotency exercised across restarts)") {
+    // crash/deploy simulation for streamSketchUpsert: run over half the
+    // backlog, stop (kill), append the second half, restart with the SAME
+    // checkpoint — offsets must skip chunk 1 and the final store must equal
+    // the uninterrupted run's. Then the at-least-once worst case: restart
+    // with a FRESH checkpoint (checkpoint lost), which reprocesses the
+    // whole backlog — the stored bitmaps must be unchanged, because OR
+    // absorbs the replayed user ids (the idempotency the scaladoc asserts,
+    // here exercised across a real restart instead of argued).
+    import java.nio.file.Files
+    import java.nio.file.attribute.FileTime
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    val chunked = raw.withColumn("c", ntile(2).over(
+      org.apache.spark.sql.expressions.Window.orderBy($"ts", $"event_id")))
+    val dir = Files.createTempDirectory("events_sketch_restart")
+    val chunkFiles = (1 to 2).map { k =>
+      val tmp = Files.createTempDirectory(s"srchunk_$k")
+      chunked.filter($"c" === k).drop("c")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      new java.io.File(tmp.toString).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .head.toPath
+    }
+    def stage(k: Int): Unit = {
+      val dst = dir.resolve(f"chunk-$k%03d.parquet")
+      Files.copy(chunkFiles(k - 1), dst)
+      Files.setLastModifiedTime(dst, FileTime.fromMillis(1000000L + k * 60000L))
+    }
+    val chunkRows = chunkFiles.map(p => spark.read.parquet(p.toString).count())
+    val ckpt = Files.createTempDirectory("sketch_ckpt").toString
+    val store = Files.createTempDirectory("sketch_store_restart").toString + "/weekly"
+
+    def storeCounts(): Map[Long, Long] =
+      spark.read.parquet(store)
+        .select($"week".cast("long").as("week"),
+          graft.functions.GraftFunctions.bitmapCount($"sk").as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    stage(1)
+    val run1 = StreamingFeatures.streamSketchUpsert(spark, dir.toString,
+      store, maxFilesPerTrigger = 1, checkpointDir = Some(ckpt))
+    run1.processAllAvailable(); run1.stop()
+    assert(run1.recentProgress.map(_.numInputRows).sum == chunkRows(0))
+
+    stage(2) // backlog grows while the query is down
+    val run2 = StreamingFeatures.streamSketchUpsert(spark, dir.toString,
+      store, maxFilesPerTrigger = 1, checkpointDir = Some(ckpt))
+    run2.processAllAvailable(); run2.stop()
+    // offset recovery: ONLY the new file is read after the restart
+    assert(run2.recentProgress.map(_.numInputRows).sum == chunkRows(1),
+      s"restart must resume after chunk 1: ${run2.recentProgress.map(_.numInputRows).toSeq}")
+
+    val expected = Tables.events(spark, sf)
+      .select(expr("ts_us DIV 604800000000").as("week"), $"user_id")
+      .groupBy($"week").agg(countDistinct($"user_id").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val afterRestart = storeCounts()
+    assert(afterRestart == expected,
+      "store after checkpointed restart must equal the uninterrupted run")
+
+    // checkpoint LOSS: a fresh checkpoint reprocesses the full backlog;
+    // the merged store must be bit-for-bit the same counts (OR idempotency)
+    val ckpt2 = Files.createTempDirectory("sketch_ckpt_lost").toString
+    val run3 = StreamingFeatures.streamSketchUpsert(spark, dir.toString,
+      store, maxFilesPerTrigger = 1, checkpointDir = Some(ckpt2))
+    run3.processAllAvailable(); run3.stop()
+    assert(run3.recentProgress.map(_.numInputRows).sum == chunkRows.sum,
+      "a lost checkpoint must replay the whole backlog")
+    assert(storeCounts() == expected,
+      "replayed backlog must be absorbed: bitmap OR is idempotent")
+
+    // idle restart with the surviving checkpoint: nothing new → zero rows
+    val run4 = StreamingFeatures.streamSketchUpsert(spark, dir.toString,
+      store, maxFilesPerTrigger = 1, checkpointDir = Some(ckpt))
+    run4.processAllAvailable(); run4.stop()
+    assert(run4.recentProgress.map(_.numInputRows).sum == 0)
+  }
+
   test("online materialization restart: checkpoint resumes at the first " +
     "unprocessed file and converges to the batch store") {
     // crash/deploy simulation for streamOnlineMaterialize: run over half
