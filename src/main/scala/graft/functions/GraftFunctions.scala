@@ -33,7 +33,10 @@ object GraftFunctions {
     "kll_quantiles" -> (exprs => KllQuantilesAgg(exprs.head)),
     "char_grams" -> (exprs => CharGrams(exprs(0), exprs(1))),
     "kll_sketch" -> (exprs => KllSketchAgg(exprs.head)),
-    "kll_merge_quantiles" -> (exprs => KllMergeQuantilesAgg(exprs.head)))
+    "kll_merge_quantiles" -> (exprs => KllMergeQuantilesAgg(exprs.head)),
+    "kll_merge" -> (exprs => KllMergeAgg(exprs.head)),
+    "kll_blob_quantiles" -> (exprs => KllBlobQuantiles(exprs.head)),
+    "kll_blob_n" -> (exprs => KllBlobN(exprs.head)))
 
   /** Second arg of graft_word_stats is a foldable array of string literals
     * (the stopword vocabulary) — evaluated once at resolution time. */
@@ -115,6 +118,19 @@ object GraftFunctions {
 
   def kllMergeQuantiles(c: Column): Column =
     org.apache.spark.sql.functions.call_function("kll_merge_quantiles", c)
+
+  /** Blob→blob KLL merge aggregate — see [[KllMergeAgg]] (NOT idempotent,
+    * unlike bitmapMerge: replays double the sketch's weight). */
+  def kllMerge(c: Column): Column =
+    org.apache.spark.sql.functions.call_function("kll_merge", c)
+
+  /** Scalar quantile read of a stored KLL blob (one row per rollup cell). */
+  def kllBlobQuantiles(c: Column): Column =
+    org.apache.spark.sql.functions.call_function("kll_blob_quantiles", c)
+
+  /** Scalar total-weight read of a stored KLL blob. */
+  def kllBlobN(c: Column): Column =
+    org.apache.spark.sql.functions.call_function("kll_blob_n", c)
 
   /** Point estimate from a [[CmsSketchAgg]] sketch — fully declarative
     * (md5-prefix double hashing + `element_at`, mirroring CmsCodec exactly),

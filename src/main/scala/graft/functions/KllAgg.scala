@@ -272,6 +272,118 @@ case class KllMergeQuantilesAgg(
   override def prettyName: String = "kll_merge_quantiles"
 }
 
+/** `kll_merge(sketch_col)` → BINARY: merges serialized [[KllSketchAgg]]
+  * blobs into ONE serialized blob — the blob→blob rung the algebra was
+  * missing next to `kll_merge_quantiles` (blob→estimates), mirroring
+  * `bitmap_merge` vs `bitmap_merge_count`. It is what an incremental
+  * materialization stores back: per-batch partials merge with the stored
+  * cell blob and the MERGED STATE persists, so the rollup tree never
+  * revisits fact rows.
+  *
+  * NOT idempotent, unlike bitmap OR: KLL items carry weight, so merging
+  * the same blob twice double-counts every item (n doubles). Any
+  * at-least-once delivery into a KLL store therefore needs exactly-once
+  * offsets (a streaming checkpoint) or upstream dedup — StreamingSpec
+  * pins BOTH behaviors on streamKllUpsert, including the double-count
+  * under a lost checkpoint as the documented failure mode. */
+case class KllMergeAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KllCodec.State]
+  with UnaryLike[Expression] {
+
+  require(child.dataType == BinaryType,
+    s"kll_merge takes a BINARY sketch, got ${child.dataType}")
+
+  override def createAggregationBuffer(): KllCodec.State = new KllCodec.State
+
+  override def update(b: KllCodec.State, input: InternalRow): KllCodec.State = {
+    val v = child.eval(input)
+    if (v != null)
+      b.mergeIn(KllCodec.deserialize(v.asInstanceOf[Array[Byte]]))
+    b
+  }
+
+  override def merge(b1: KllCodec.State, b2: KllCodec.State): KllCodec.State = {
+    b1.mergeIn(b2)
+    b1
+  }
+
+  override def eval(b: KllCodec.State): Any = KllCodec.serialize(b)
+
+  override def serialize(b: KllCodec.State): Array[Byte] = KllCodec.serialize(b)
+  override def deserialize(bytes: Array[Byte]): KllCodec.State =
+    KllCodec.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(offset: Int): KllMergeAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): KllMergeAgg =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildInternal(newChild: Expression): KllMergeAgg =
+    copy(child = newChild)
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "kll_merge"
+}
+
+/** `kll_blob_quantiles(sketch)` → ARRAY<DOUBLE>: SCALAR read of a stored
+  * [[KllSketchAgg]]/[[KllMergeAgg]] blob at [[KllCodec.Quantiles]] — lets a
+  * query over the sketch STORE evaluate each cell's quantiles row-by-row
+  * without a degenerate one-row groupBy per cell (the `bitmap_count`
+  * analogue). CodegenFallback is fine here: the store has one row per
+  * rollup cell, never per fact row. Also exposes the sketch's total
+  * weight n as [[KllBlobN]] for the non-idempotence pins. */
+case class KllBlobQuantiles(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(s"kll_blob_quantiles needs a serialized KLL sketch " +
+        s"(binary), got ${child.dataType}")
+
+  override def nullSafeEval(b: Any): Any =
+    new GenericArrayData(KllCodec.deserialize(b.asInstanceOf[Array[Byte]])
+      .quantiles(KllCodec.Quantiles))
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : KllBlobQuantiles = copy(child = newChild)
+  override def prettyName: String = "kll_blob_quantiles"
+}
+
+/** `kll_blob_n(sketch)` → BIGINT: the total ingested weight of a stored
+  * sketch blob. The observable that makes KLL's non-idempotence testable:
+  * a replayed merge doubles n even when the quantile estimates barely
+  * move. */
+case class KllBlobN(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(s"kll_blob_n needs a serialized KLL sketch " +
+        s"(binary), got ${child.dataType}")
+
+  override def nullSafeEval(b: Any): Any =
+    KllCodec.deserialize(b.asInstanceOf[Array[Byte]]).n
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : KllBlobN = copy(child = newChild)
+  override def prettyName: String = "kll_blob_n"
+}
+
 /** `kll_quantiles(value_col)` → ARRAY<DOUBLE> of the estimates at
   * [[KllCodec.Quantiles]] (0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99).
   * Null inputs are skipped; empty input yields NaNs. */

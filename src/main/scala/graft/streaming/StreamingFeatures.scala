@@ -347,6 +347,71 @@ object StreamingFeatures {
       .start()
   }
 
+  /** INCREMENTAL KLL MATERIALIZATION: maintain a parquet store of per-week
+    * KLL quantile sketches of the event `value` column across micro-batches
+    * — the order-statistics sibling of [[streamSketchUpsert]], completing
+    * the streaming face of the sketch algebra (bitmap = distincts, KLL =
+    * quantiles). Per batch: partial `kll_sketch` per touched week, blob-
+    * level `kll_merge` with the stored cells, rewrite only those week
+    * partitions. Fact rows are read once ever; any later rollup merges
+    * stored blobs ([[graft.functions.KllMergeAgg]]) without raw data.
+    *
+    * DELIVERY CONTRACT — the honest contrast with the bitmap path: KLL
+    * merge is NOT idempotent (items carry weight; a replayed blob doubles
+    * n), so this store is exact ONLY under exactly-once file offsets, i.e.
+    * ALWAYS pass `checkpointDir` in production. A lost checkpoint replays
+    * the backlog and the weights double — kll_blob_n makes that observable
+    * and StreamingSpec pins the failure mode alongside the happy path.
+    * (The bitmap store tolerates checkpoint loss; the KLL store does not.
+    * If at-least-once is all the source offers, dedup upstream or rebuild
+    * the affected cells from raw.)
+    */
+  def streamKllUpsert(spark: SparkSession, eventsDir: String,
+                      storePath: String,
+                      maxFilesPerTrigger: Int = 0,
+                      checkpointDir: Option[String] = None): StreamingQuery = {
+    graft.functions.GraftFunctions.register(spark)
+    import graft.functions.GraftFunctions.{kllMerge, kllSketch}
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(eventsDir).schema
+    val reader = spark.readStream.schema(schema)
+    val raw = (if (maxFilesPerTrigger > 0)
+      reader.option("maxFilesPerTrigger", maxFilesPerTrigger) else reader)
+      .parquet(eventsDir)
+    val writer = raw.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+    checkpointDir.foreach(writer.option("checkpointLocation", _))
+    writer
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val part = batch
+          .withColumn("ts_us", tsUsExpr(schema))
+          .withColumn("week", expr("ts_us DIV 604800000000"))
+          .groupBy(col("week"))
+          .agg(kllSketch(col("value").cast("double")).as("sk"))
+          // one materialization per batch: the partials feed both the
+          // touched-weeks semi-join and the union (same double-scan fix
+          // as streamSketchUpsert)
+          .localCheckpoint()
+        val hPath = new org.apache.hadoop.fs.Path(storePath)
+        val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+        val merged = (if (fs.exists(hPath)) {
+          val existing = spark.read.parquet(storePath)
+          existing.join(broadcast(part.select(col("week"))), Seq("week"))
+            .unionByName(part)
+            .groupBy(col("week")).agg(kllMerge(col("sk")).as("sk"))
+        } else part)
+          .localCheckpoint() // lineage break before the in-place overwrite
+        merged.sparkSession.conf
+          .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .partitionBy("week").parquet(storePath)
+        spark.catalog.refreshByPath(storePath)
+        ()
+      }
+      .start()
+  }
+
   /** Open-session state carried between micro-batches. */
   case class OpenSession(startUs: Long, endUs: Long, n: Long, cents: Long)
   /** A closed session — the streaming twin of one Sessions.sessionize row

@@ -82,6 +82,38 @@ class Batch51Spec extends SparkSpec {
     assert(math.abs(est(3) - 500.0) <= 20.0, s"p50 ${est(3)}")
   }
 
+  test("KLL blob algebra: kll_merge(blob)->blob agrees with " +
+    "kll_merge_quantiles, n is additive, and re-merging the same blob " +
+    "doubles n (non-idempotent by design)") {
+    GraftFunctions.register(spark)
+    val df = spark.range(0, 1200)
+      .select((col("id") % 3).as("g"), col("id").cast("double").as("v"))
+    val cells = df.groupBy(col("g"))
+      .agg(GraftFunctions.kllSketch(col("v")).as("sk"))
+      .localCheckpoint() // pin ONE materialization: both paths below must
+                         // consume the SAME per-cell blobs, or compaction
+                         // nondeterminism across replans clouds the compare
+    // blob->blob rollup then scalar read ...
+    val viaBlob = cells.agg(GraftFunctions.kllMerge(col("sk")).as("m"))
+      .select(GraftFunctions.kllBlobQuantiles(col("m")).as("e"),
+        GraftFunctions.kllBlobN(col("m")).as("n"))
+      .head()
+    // ... must equal the direct blob->estimates aggregate on the same cells
+    val viaAgg = cells
+      .agg(GraftFunctions.kllMergeQuantiles(col("sk")).as("e"))
+      .head().getSeq[Double](0)
+    assert(viaBlob.getSeq[Double](0) == viaAgg,
+      "kll_merge + kll_blob_quantiles must equal kll_merge_quantiles on " +
+        "identical input blobs (same mergeIn path)")
+    assert(viaBlob.getLong(1) === 1200L, "merged weight is additive")
+    // non-idempotence: the SAME cell blobs merged twice double the weight
+    val doubled = cells.unionByName(cells)
+      .agg(GraftFunctions.kllMerge(col("sk")).as("m"))
+      .select(GraftFunctions.kllBlobN(col("m")).as("n")).head().getLong(0)
+    assert(doubled === 2400L,
+      "re-merging a blob must double n — KLL cannot absorb replays")
+  }
+
   test("q295 gate: every verdict is TRUE at sf (self-judging oracle is honest)") {
     val out = SparkEntry.queries("q295_kll_gate")(spark, sf).collect()
     assert(out.length === 21) // 3 returnflags × 7 quantiles

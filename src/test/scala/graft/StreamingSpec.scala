@@ -362,6 +362,107 @@ class StreamingSpec extends SparkSpec {
     assert(run4.recentProgress.map(_.numInputRows).sum == 0)
   }
 
+  test("KLL materialization restart: checkpointed resume stays exact; a " +
+    "lost checkpoint DOUBLES the stored weights (non-idempotent merge, " +
+    "pinned as the documented failure mode)") {
+    // the order-statistics sibling of the bitmap restart test, with the
+    // OPPOSITE delivery contract: bitmap OR absorbs replays, KLL merge
+    // does not (items carry weight). Happy path: checkpointed restart
+    // reads only the new file and the store's per-week weights and
+    // quantiles are exact. Failure path: a lost checkpoint replays the
+    // backlog and every week's kll_blob_n doubles — exactly 2x, by
+    // design, observable, and asserted here so the contract is executed
+    // rather than argued in scaladoc.
+    import java.nio.file.Files
+    import java.nio.file.attribute.FileTime
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.functions.GraftFunctions.register(spark)
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    val chunked = raw.withColumn("c", ntile(2).over(
+      org.apache.spark.sql.expressions.Window.orderBy($"ts", $"event_id")))
+    val dir = Files.createTempDirectory("events_kll_restart")
+    val chunkFiles = (1 to 2).map { k =>
+      val tmp = Files.createTempDirectory(s"kllchunk_$k")
+      chunked.filter($"c" === k).drop("c")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      new java.io.File(tmp.toString).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .head.toPath
+    }
+    def stage(k: Int): Unit = {
+      val dst = dir.resolve(f"chunk-$k%03d.parquet")
+      Files.copy(chunkFiles(k - 1), dst)
+      Files.setLastModifiedTime(dst, FileTime.fromMillis(1000000L + k * 60000L))
+    }
+    val chunkRows = chunkFiles.map(p => spark.read.parquet(p.toString).count())
+    val ckpt = Files.createTempDirectory("kll_ckpt").toString
+    val store = Files.createTempDirectory("kll_store").toString + "/weekly"
+
+    def storeN(): Map[Long, Long] =
+      spark.read.parquet(store)
+        .select($"week".cast("long").as("week"),
+          graft.functions.GraftFunctions.kllBlobN($"sk").as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    stage(1)
+    val run1 = StreamingFeatures.streamKllUpsert(spark, dir.toString,
+      store, maxFilesPerTrigger = 1, checkpointDir = Some(ckpt))
+    run1.processAllAvailable(); run1.stop()
+    assert(run1.recentProgress.map(_.numInputRows).sum == chunkRows(0))
+
+    stage(2) // backlog grows while the query is down
+    val run2 = StreamingFeatures.streamKllUpsert(spark, dir.toString,
+      store, maxFilesPerTrigger = 1, checkpointDir = Some(ckpt))
+    run2.processAllAvailable(); run2.stop()
+    assert(run2.recentProgress.map(_.numInputRows).sum == chunkRows(1),
+      s"restart must resume after chunk 1: ${run2.recentProgress.map(_.numInputRows).toSeq}")
+
+    // weight conservation: per-week n equals the exact event count
+    val exactN = Tables.events(spark, sf)
+      .select(expr("ts_us DIV 604800000000").as("week"), $"value")
+      .groupBy($"week").agg(count($"value").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(storeN() == exactN,
+      "per-week sketch weight must equal the exact count after a " +
+        "checkpointed restart")
+
+    // quantile accuracy: the q295 rank gate per (week, quantile) — each
+    // estimate's feasible rank interval must intersect [q-2%, q+2%] of the
+    // week's exact ranks (per-week n is a few hundred at the spec fixture,
+    // barely past K=256, so at most one compaction fires and the true
+    // error is ~1/n — well inside the gate)
+    val qs = graft.functions.KllCodec.Quantiles
+    val got = spark.read.parquet(store)
+      .select($"week".cast("long").as("week"),
+        graft.functions.GraftFunctions.kllBlobQuantiles($"sk").as("est"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val byWeek = Tables.events(spark, sf)
+      .select(expr("ts_us DIV 604800000000").as("week"), $"value")
+      .collect().groupBy(_.getLong(0))
+      .map { case (w, rs) => w -> rs.map(_.getDouble(1)).sorted }
+    byWeek.foreach { case (w, vals) =>
+      val n = vals.length.toDouble
+      qs.zipWithIndex.foreach { case (q, i) =>
+        val e = got(w)(i)
+        val rankLt = vals.count(_ < e) / n
+        val rankLe = vals.count(_ <= e) / n
+        assert(rankLe >= q - 0.02 && rankLt <= q + 0.02,
+          s"week $w q=$q est=$e rank=[$rankLt,$rankLe]")
+      }
+    }
+
+    // checkpoint LOSS: replaying the backlog through a fresh checkpoint
+    // double-counts every item — n doubles exactly (the non-idempotence)
+    val ckpt2 = Files.createTempDirectory("kll_ckpt_lost").toString
+    val run3 = StreamingFeatures.streamKllUpsert(spark, dir.toString,
+      store, maxFilesPerTrigger = 1, checkpointDir = Some(ckpt2))
+    run3.processAllAvailable(); run3.stop()
+    assert(run3.recentProgress.map(_.numInputRows).sum == chunkRows.sum)
+    assert(storeN() == exactN.map { case (w, n) => w -> n * 2 },
+      "a replayed backlog must double every week's sketch weight — if " +
+        "this holds at 1x the merge silently deduped, which KLL cannot do")
+  }
+
   test("online materialization restart: checkpoint resumes at the first " +
     "unprocessed file and converges to the batch store") {
     // crash/deploy simulation for streamOnlineMaterialize: run over half
