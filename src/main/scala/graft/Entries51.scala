@@ -185,11 +185,17 @@ object Entries51 {
       (s, d) => {
         val o = Tables.orders(s, d)
         // ONE md5 per row; replicate b derives its uniform by the shared
-        // affine family (hashA/hashB mod P) — 1/32nd the digest cost
-        val b = o.select(col("o_orderpriority"), col("o_totalprice"),
+        // affine family (hashA/hashB mod P) — 1/32nd the digest cost.
+        // The hash MUST be a separate select below the explode: putting
+        // both in one select lets ExtractGenerator hoist every
+        // non-generator expression into the Project ABOVE the Generate,
+        // where the digest runs once per EXPLODED row (32x per order —
+        // measured 3.4s -> the fix at sf0.1; the r10 plan audit)
+        val hashed = o.select(col("o_orderpriority"), col("o_totalprice"),
           conv(substring(md5(col("o_orderkey").cast("string")), 1, 12),
-            16, 10).cast("long").as("h0"),
-          explode(sequence(lit(0), lit(BootB - 1))).as("b"))
+            16, 10).cast("long").as("h0"))
+        val b = hashed.select(col("o_orderpriority"), col("o_totalprice"),
+          col("h0"), explode(sequence(lit(0), lit(BootB - 1))).as("b"))
         val h = (col("h0") * (col("b") * 101L + 37L) +
           (col("b") * 577L + 89L)) % graft.ext.Dedup.P
         val w = when(h < PoissonCut(0), 0L)

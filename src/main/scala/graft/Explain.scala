@@ -36,15 +36,78 @@ object Explain {
     def tsv: String = s"$scans\t$exchanges\t$generates\t$imr\t$lambda"
   }
 
-  def censusRow(df: DataFrame): CensusRow = {
-    val p = df.queryExecution
+  /** FormattedMode physical plan — render once, feed [[censusRowOf]] and
+    * [[hoistViolations]] from the same string. */
+  def formatted(df: DataFrame): String =
+    df.queryExecution
       .explainString(org.apache.spark.sql.execution.FormattedMode)
+
+  def censusRow(df: DataFrame): CensusRow = censusRowOf(formatted(df))
+
+  def censusRowOf(p: String): CensusRow =
     CensusRow(
       p.linesIterator.count(_.matches("""\(\d+\) Scan parquet.*""")),
       p.linesIterator.count(_.matches("""\(\d+\) Exchange.*""")),
       p.linesIterator.count(_.matches("""\(\d+\) Generate.*""")),
       p.linesIterator.count(_.contains("InMemoryRelation")),
       p.contains("lambdafunction"))
+
+  /** Expensive per-row functions that must not be re-evaluated once per
+    * EXPLODED row unless they consume the generator's own output. */
+  private val HeavyFns = Seq("md5(", "sha2(", "conv(", "regexp_extract(",
+    "regexp_replace(", "jaro_winkler(", "sentences(", "levenshtein(")
+
+  /** THE q296 CLASS: `select(heavyExpr, explode(...))` lets Catalyst's
+    * ExtractGenerator hoist every non-generator expression into the Project
+    * ABOVE the Generate, where it re-evaluates once per exploded row — a
+    * 32-replicate bootstrap paid 32 md5s per order (3.4 s → 1.1 s at sf0.1
+    * when split into a select below the explode, r10). This screen flags a
+    * heavy function in a Project sitting DIRECTLY above a Generate whose
+    * argument references none of the generator's output attributes (if it
+    * does reference them — a shingle hash, say — per-exploded-row is the
+    * only correct place). Returns one description per violation; the r10
+    * sweep over all 417 plans returned none after the q296 fix, and
+    * PlanCensusSpec pins it at zero. */
+  def hoistViolations(p: String): Seq[String] = {
+    val nodes = """(?m)^\((\d+)\) (\w+)""".r.findAllMatchIn(p)
+      .map(m => m.group(1).toInt -> m.group(2)).toMap
+    def section(id: Int): String = {
+      val start = p.indexOf(s"\n($id) ")
+      if (start < 0) return ""
+      val body = p.substring(start + 1)
+      """\n\(\d+\) """.r.findFirstMatchIn(body)
+        .map(m => body.substring(0, m.start))
+        .getOrElse(body)
+    }
+    val attrRe = """\w+#\d+""".r
+    nodes.toSeq.sortBy(_._1).collect {
+      case (g, "Generate") if nodes.get(g + 1).contains("Project") =>
+        val genOut = """\[([\w#, ]+)\]""".r.findAllMatchIn(section(g))
+          .toSeq.lastOption.toSeq
+          .flatMap(m => attrRe.findAllIn(m.group(1)).toSeq)
+        val body = section(g + 1)
+        HeavyFns.flatMap { fn =>
+          Iterator.iterate(body.indexOf(fn))(i => body.indexOf(fn, i + 1))
+            .takeWhile(_ >= 0).toSeq.flatMap { i =>
+              // balanced-paren span of the call's arguments
+              var depth = 0; var j = i + fn.length - 1; var end = -1
+              while (j < body.length && end < 0) {
+                body(j) match {
+                  case '(' => depth += 1
+                  case ')' => depth -= 1; if (depth == 0) end = j
+                  case _ =>
+                }
+                j += 1
+              }
+              val span = body.substring(i, if (end < 0) body.length else end + 1)
+              if (genOut.exists(span.contains)) None
+              else Some(s"${fn.dropRight(1)} in Project(${g + 1}) above " +
+                s"Generate($g) ignores the generator output " +
+                s"${genOut.mkString(",")} — it re-runs once per exploded " +
+                "row; compute it in a select BELOW the explode")
+            }
+        }
+    }.flatten
   }
 
   /** Census one query by name against `dir`, clearing the shared cache

@@ -12,14 +12,18 @@ import scala.io.Source
   * EXCEEDS its committed adjudicated value (lower is fine — that's an
   * improvement; refresh the baseline as Explain's scaladoc describes).
   *
-  * Two columns are pinned:
+  * Three structural properties are pinned:
   *  - parquet SCANS — the 100 TB-relevant number (each extra scan of a fact
   *    table is a full corpus pass), stable across partition settings unlike
   *    exchange counts under AQE;
   *  - GENERATES (r10) — for the queries whose census fix was persisting an
   *    explode, a replanned Generate INSIDE a cached scan is the one replay
   *    shape the scan pin cannot see (the scan count stays 1 while the
-  *    corpus-wide explode runs once per consumer again).
+  *    corpus-wide explode runs once per consumer again);
+  *  - HOIST violations at zero (r10) — the q296 class: a heavy function
+  *    hoisted by ExtractGenerator into the Project above a Generate without
+  *    consuming the generator's output re-runs once per EXPLODED row
+  *    (q296 paid 32 md5s per order until split below the explode).
   */
 class PlanCensusSpec extends SparkSpec {
 
@@ -59,7 +63,9 @@ class PlanCensusSpec extends SparkSpec {
     // shared TestSpark session and poison later suites
     val regressions =
       try names.flatMap { n =>
-        val got = Explain.censusOf(spark, sf, n)
+        spark.sharedState.cacheManager.clearCache()
+        val p = Explain.formatted(SparkEntry.queries(n)(spark, sf))
+        val got = Explain.censusRowOf(p)
         val (wantScans, wantGen) = baseline(n)
         val scanRow =
           if (got.scans > wantScans)
@@ -68,12 +74,43 @@ class PlanCensusSpec extends SparkSpec {
           if (got.generates > wantGen)
             Some(s"$n: ${got.generates} generates > adjudicated $wantGen")
           else None
-        scanRow.toSeq ++ genRow.toSeq
+        // the q296 class, pinned at ZERO repo-wide: a heavy function in
+        // the Project directly above a Generate that ignores the
+        // generator's output re-runs once per exploded row
+        val hoistRows = Explain.hoistViolations(p).map(v => s"$n: $v")
+        scanRow.toSeq ++ genRow.toSeq ++ hoistRows
       }
       finally spark.sharedState.cacheManager.clearCache()
     assert(regressions.isEmpty,
       "plan-census regressions (a shared subtree is being replanned per " +
         "consumer — persist it or re-adjudicate the baseline):\n  " +
         regressions.mkString("\n  "))
+  }
+
+  test("the hoist detector fires on the q296 bug shape and stays quiet " +
+    "on the fixed shape") {
+    import org.apache.spark.sql.functions._
+    val base = spark.range(0, 10).select(col("id"))
+    // BUG shape: hash and explode in ONE select — ExtractGenerator hoists
+    // the md5 above the Generate, once per exploded row
+    val bad = base.select(
+      conv(substring(md5(col("id").cast("string")), 1, 12), 16, 10).as("h"),
+      explode(sequence(lit(0), lit(3))).as("b"))
+    assert(Explain.hoistViolations(Explain.formatted(bad)).nonEmpty,
+      "detector must flag a generator-independent heavy expr above Generate")
+    // FIXED shape: hash in a select below the explode
+    val good = base
+      .select(conv(substring(md5(col("id").cast("string")), 1, 12), 16, 10)
+        .as("h"))
+      .select(col("h"), explode(sequence(lit(0), lit(3))).as("b"))
+    assert(Explain.hoistViolations(Explain.formatted(good)).isEmpty,
+      "detector must accept the hash below the explode")
+    // LEGITIMATE per-exploded-row shape: the hash consumes the generator
+    // output (a shingle hash), so above-Generate is the only correct place
+    val legit = spark.createDataFrame(Seq(Tuple1("abcdef"))).toDF("text")
+      .select(explode(sequence(lit(0), lit(2))).as("p"), col("text"))
+      .select(md5(col("text").substr(col("p") + 1, lit(3))).as("g"))
+    assert(Explain.hoistViolations(Explain.formatted(legit)).isEmpty,
+      "detector must not flag a hash that consumes the generator output")
   }
 }
