@@ -69,8 +69,25 @@ object Explain {
     * sweep over all 417 plans returned none after the q296 fix, and
     * PlanCensusSpec pins it at zero. */
   def hoistViolations(p: String): Seq[String] = {
-    val nodes = """(?m)^\((\d+)\) (\w+)""".r.findAllMatchIn(p)
-      .map(m => m.group(1).toInt -> m.group(2)).toMap
+    // exact parenthood from the header tree's indentation (node ids are
+    // NOT parent = child + 1 in multi-branch plans — a join's second
+    // subtree renumbers): each header line is `indent NodeName (id)`;
+    // a node's parent is the nearest shallower line above it
+    val header = p.split("""\n\(1\) """).head
+    // prefix includes the whole-stage-codegen `* ` marker (present when the
+    // plan is not AQE-wrapped) and the branch connectors `+- : |`
+    val treeLine = """(?m)^([ :+|*-]*)([A-Za-z][\w ]*) \((\d+)\)\s*$""".r
+    val entries = treeLine.findAllMatchIn(header).map { m =>
+      (m.group(1).length, m.group(2).trim, m.group(3).toInt)
+    }.toSeq
+    // id -> (parent name, parent id)
+    val parentOf: Map[Int, (String, Int)] = entries.zipWithIndex.flatMap {
+      case ((depth, _, id), i) =>
+        entries.take(i).reverse.collectFirst {
+          case (d, pname, pid) if d < depth => id -> ((pname, pid))
+        }
+    }.toMap
+    val nameOf = entries.map { case (_, n, id) => id -> n }.toMap
     def section(id: Int): String = {
       val start = p.indexOf(s"\n($id) ")
       if (start < 0) return ""
@@ -80,12 +97,12 @@ object Explain {
         .getOrElse(body)
     }
     val attrRe = """\w+#\d+""".r
-    nodes.toSeq.sortBy(_._1).collect {
-      case (g, "Generate") if nodes.get(g + 1).contains("Project") =>
+    nameOf.toSeq.sortBy(_._1).collect {
+      case (g, "Generate") if parentOf.get(g).exists(_._1 == "Project") =>
         val genOut = """\[([\w#, ]+)\]""".r.findAllMatchIn(section(g))
           .toSeq.lastOption.toSeq
           .flatMap(m => attrRe.findAllIn(m.group(1)).toSeq)
-        val body = section(g + 1)
+        val body = section(parentOf(g)._2)
         HeavyFns.flatMap { fn =>
           Iterator.iterate(body.indexOf(fn))(i => body.indexOf(fn, i + 1))
             .takeWhile(_ >= 0).toSeq.flatMap { i =>
@@ -101,7 +118,7 @@ object Explain {
               }
               val span = body.substring(i, if (end < 0) body.length else end + 1)
               if (genOut.exists(span.contains)) None
-              else Some(s"${fn.dropRight(1)} in Project(${g + 1}) above " +
+              else Some(s"${fn.dropRight(1)} in Project(${parentOf(g)._2}) above " +
                 s"Generate($g) ignores the generator output " +
                 s"${genOut.mkString(",")} — it re-runs once per exploded " +
                 "row; compute it in a select BELOW the explode")
