@@ -248,5 +248,114 @@ object Entries73 {
              |      THEN 'intermittent'
              |    WHEN adi_milli < 1320 THEN 'erratic'
              |    ELSE 'lumpy' END AS demand_class
-             |FROM cv""".stripMargin)))
+             |FROM cv""".stripMargin)),
+
+    // MOORE–LEWIS CROSS-ENTROPY-DIFFERENCE SELECTION (Moore & Lewis, ACL
+    // 2010 "Intelligent selection of language model training data") — the
+    // classic targeted data-selection primitive the curation family was
+    // missing: train TWO add-one-smoothed bigram LMs on the train split
+    // (IN-domain = the lang='en' documents; OUT = the full pool), then
+    // score every test document by its summed per-bigram log-likelihood
+    // difference. score_q = Σ(lp_out − lp_in) on q300's 1e-4 integer grid
+    // (BIGINT sum, one floored ln per term — the proven cross-engine
+    // shape); a doc reading more in-domain than general scores negative,
+    // and selection is the integer rational threshold avg < −0.1 nat
+    // (score_q < −1000·n_bigrams) — no double sort, no double compare.
+    // Scale shape: the corpus is exploded ONCE into a persisted
+    // token-position relation feeding both LM builds and the test scoring
+    // (q300's census discipline); each LM is two count tables hash-joined
+    // against the test bigrams — no driver state, fully partial-aggregable.
+    Q("q418_moore_lewis",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val sp = graft.ext.TrainPrep.hashSplit(docs, "doc_id")
+        val toks = sp
+          .withColumn("w", split(col("text"), " "))
+          .select(col("doc_id"), col("lang"), col("split"),
+            explode(expr(
+              "transform(sequence(1, size(w)), " +
+                "i -> struct(element_at(w, i) AS w1, " +
+                "CASE WHEN i < size(w) THEN element_at(w, i + 1) END AS w2))"))
+              .as("bg"))
+          .select(col("doc_id"), col("lang"), col("split"),
+            col("bg.w1"), col("bg.w2"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val tr = toks.filter(col("split") === "train")
+        def lm(t: org.apache.spark.sql.DataFrame, tag: String) = {
+          val c2 = t.filter(col("w2").isNotNull)
+            .groupBy(col("w1"), col("w2"))
+            .agg(count(lit(1)).as(s"c2_$tag"))
+          val c1 = c2.groupBy(col("w1"))
+            .agg(sum(col(s"c2_$tag")).as(s"c1_$tag"))
+          val v = t.agg(countDistinct(col("w1")).as(s"v_$tag"))
+          (c2, c1, v)
+        }
+        val (c2i, c1i, vi) = lm(tr.filter(col("lang") === "en"), "in")
+        val (c2o, c1o, vo) = lm(tr, "out")
+        def lpq(c2: org.apache.spark.sql.Column,
+                c1: org.apache.spark.sql.Column,
+                v: org.apache.spark.sql.Column) =
+          floor(log((coalesce(c2, lit(0L)) + 1L).cast("double") /
+            (coalesce(c1, lit(0L)) + v).cast("double")) * 1e4).cast("long")
+        toks.filter(col("split") === "test" && col("w2").isNotNull)
+          .join(c2i, Seq("w1", "w2"), "left")
+          .join(c1i, Seq("w1"), "left")
+          .join(c2o, Seq("w1", "w2"), "left")
+          .join(c1o, Seq("w1"), "left")
+          .crossJoin(broadcast(vi)).crossJoin(broadcast(vo))
+          .select(col("doc_id"), col("lang"),
+            (lpq(col("c2_out"), col("c1_out"), col("v_out")) -
+              lpq(col("c2_in"), col("c1_in"), col("v_in"))).as("d_q"))
+          .groupBy(col("doc_id"), col("lang"))
+          .agg(count(lit(1)).as("n_bigrams"), sum(col("d_q")).as("score_q"))
+          .select(col("doc_id"), col("lang"), col("n_bigrams"),
+            col("score_q"),
+            (col("score_q") < col("n_bigrams") * lit(-1000L)).as("selected"))
+      },
+      Some("""WITH sp AS (
+             |  SELECT doc_id, lang, text,
+             |    CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val'
+             |         ELSE 'test' END AS split
+             |  FROM (SELECT *,
+             |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+             |      % 10 AS b FROM documents)),
+             |bg AS (
+             |  SELECT doc_id, lang, split, w[i] AS w1, w[i + 1] AS w2
+             |  FROM (SELECT doc_id, lang, split,
+             |          string_split(text, ' ') AS w FROM sp) d,
+             |       (SELECT unnest(range(1, 1000)) AS i) t
+             |  WHERE i <= len(w) - 1),
+             |c2i AS (SELECT w1, w2, count(*) AS c2_in FROM bg
+             |        WHERE split = 'train' AND lang = 'en' GROUP BY 1, 2),
+             |c1i AS (SELECT w1, CAST(sum(c2_in) AS BIGINT) AS c1_in
+             |        FROM c2i GROUP BY 1),
+             |vi AS (SELECT count(DISTINCT tok) AS v_in FROM (
+             |  SELECT unnest(string_split(text, ' ')) AS tok
+             |  FROM sp WHERE split = 'train' AND lang = 'en')),
+             |c2o AS (SELECT w1, w2, count(*) AS c2_out FROM bg
+             |        WHERE split = 'train' GROUP BY 1, 2),
+             |c1o AS (SELECT w1, CAST(sum(c2_out) AS BIGINT) AS c1_out
+             |        FROM c2o GROUP BY 1),
+             |vo AS (SELECT count(DISTINCT tok) AS v_out FROM (
+             |  SELECT unnest(string_split(text, ' ')) AS tok
+             |  FROM sp WHERE split = 'train')),
+             |scored AS (
+             |  SELECT bg.doc_id, bg.lang,
+             |    CAST(floor(ln(CAST(coalesce(c2o.c2_out, 0) + 1 AS DOUBLE) /
+             |        CAST(coalesce(c1o.c1_out, 0) + vo.v_out AS DOUBLE))
+             |        * 1e4) AS BIGINT)
+             |    - CAST(floor(ln(CAST(coalesce(c2i.c2_in, 0) + 1 AS DOUBLE) /
+             |        CAST(coalesce(c1i.c1_in, 0) + vi.v_in AS DOUBLE))
+             |        * 1e4) AS BIGINT) AS d_q
+             |  FROM bg CROSS JOIN vi CROSS JOIN vo
+             |  LEFT JOIN c2i ON bg.w1 = c2i.w1 AND bg.w2 = c2i.w2
+             |  LEFT JOIN c1i ON bg.w1 = c1i.w1
+             |  LEFT JOIN c2o ON bg.w1 = c2o.w1 AND bg.w2 = c2o.w2
+             |  LEFT JOIN c1o ON bg.w1 = c1o.w1
+             |  WHERE bg.split = 'test')
+             |SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_bigrams,
+             |  CAST(sum(d_q) AS BIGINT) AS score_q,
+             |  CAST(sum(d_q) AS BIGINT) < CAST(count(*) AS BIGINT) * -1000
+             |    AS selected
+             |FROM scored GROUP BY 1, 2""".stripMargin)))
 }

@@ -64,4 +64,35 @@ class Batch73Spec extends SparkSpec {
       assert(r.getAs[String]("demand_class") === want)
     }
   }
+
+  test("q418: selection flag is exactly the integer threshold rule and " +
+    "n_bigrams reconciles with an independent token count") {
+    val rows = q("q418_moore_lewis").collect()
+    assert(rows.nonEmpty)
+    // the flag must be a pure function of (score_q, n_bigrams) — the
+    // integer rational avg < -0.1 nat rule, no hidden double compare.
+    // (No direction-of-signal assertion on lang: the synthetic fixture's
+    // lang label does not partition the generated vocabulary the way real
+    // language data would, so en-vs-other score ordering is a property of
+    // the generator, not of the operator.)
+    rows.foreach { r =>
+      val want = r.getAs[Long]("score_q") < -1000L * r.getAs[Long]("n_bigrams")
+      assert(r.getAs[Boolean]("selected") === want, r.toString)
+    }
+    // structural reconciliation: a test doc with T whitespace tokens owns
+    // exactly T-1 scored bigrams — the explode/NULL-tail bookkeeping
+    val expected = graft.ext.TrainPrep.hashSplit(Tables.documents(spark, sf),
+        "doc_id")
+      .filter(col("split") === "test")
+      .select(col("doc_id"),
+        (size(split(col("text"), " ")) - 1).cast("long").as("want"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.length === expected.count(_._2 > 0))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_bigrams") === expected(r.getAs[Long]("doc_id")),
+        s"doc ${r.getAs[Long]("doc_id")}")
+    }
+    // the score is a real signal, not a constant artifact of smoothing
+    assert(rows.map(_.getAs[Long]("score_q")).distinct.length > 1)
+  }
 }

@@ -34,12 +34,12 @@ class ContractSpec extends SparkSpec {
   }
 
   test("no oracle ships a bare transcendental output the policy forbids") {
-    // The knife-edge audit covers the 8 vetted floored-ln sites; this pin
+    // The knife-edge audit covers the 9 vetted floored-ln sites; this pin
     // keeps the set CLOSED: any new oracle using ln/exp must either appear
     // in the vetted list (and get a KnifeEdgeSpec probe) or not exist.
     val vetted = Set("q298_zipf_slope", "q300_bigram_nll", "q303_psi_drift",
       "q308_word_pmi", "q314_weighted_reservoir", "q318_mutual_info",
-      "q388_bh_fdr", "q391_dp_histogram")
+      "q388_bh_fdr", "q391_dp_histogram", "q418_moore_lewis")
     val offenders = SparkEntry.oracleSql.collect {
       case (name, sql) if !vetted(name) &&
         ("""(?i)\b(ln|exp|pow|power|log|log2|log10|sin|cos|tan|asin|acos""" +
@@ -67,7 +67,8 @@ class ContractSpec extends SparkSpec {
       "Entries56.scala" -> 2, // q318 MI: log() + oracle ln()
       "Entries68.scala" -> 6, // q388 BH + q391 Laplace: oracle/selectExpr ln()
       "Entries70.scala" -> 3, // build-time math.log on literal constants
-      "Entries71.scala" -> 5) // build-time math.log on literal constants
+      "Entries71.scala" -> 5, // build-time math.log on literal constants
+      "Entries73.scala" -> 3) // q418 Moore–Lewis: log() + oracle ln()x2
     val root = new java.io.File("src/main/scala/graft")
     assert(root.isDirectory, s"source root not found from ${new java.io.File(".").getAbsolutePath}")
     def walk(f: java.io.File): Seq[java.io.File] =

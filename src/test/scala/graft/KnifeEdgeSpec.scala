@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   * the floor only when the true value sits within ~|v|*2^-52 of a grid
   * boundary. That argument is probabilistic — and q395 LOST the r6 lottery
   * (one operand landed on a boundary on the driver box). This spec converts
-  * the claim into a measured guarantee for the 8 remaining floored-ln sites:
+  * the claim into a measured guarantee for the 9 floored-ln sites:
   * it recomputes each query's pre-floor scaled term over the sf0.01 gate
   * fixture and asserts every term sits at least 1e-12 * max(|v|, 1) from the
   * nearest integer — ~4,000x the worst 1-ulp libm error, so ANY
@@ -410,5 +410,62 @@ class KnifeEdgeSpec extends SparkSpec {
       .selectExpr(
         "(CASE WHEN z >= 0.0 THEN -ln(arg) ELSE ln(arg) END) * 1000 AS v")
     assertFloorSafe("q391", vs)
+  }
+
+  // ---- q418 Moore–Lewis (Entries73.scala): floor(ln((c2+1)/(c1+V))*1e4),
+  //      TWO LMs per bigram (in-domain and full-pool)
+
+  test("q418: both LMs' smoothed log-prob terms clear the 1e-4 grid boundaries") {
+    val docs = Tables.documents(spark, gate)
+    val sp = ext.TrainPrep.hashSplit(docs, "doc_id")
+    val bigrams = sp
+      .withColumn("w", split(col("text"), " "))
+      .select(col("doc_id"), col("lang"), col("split"),
+        explode(expr(
+          "transform(sequence(1, size(w) - 1), " +
+            "i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2))"))
+          .as("bg"))
+      .select(col("doc_id"), col("lang"), col("split"),
+        col("bg.w1"), col("bg.w2"))
+    val tr = bigrams.filter(col("split") === "train")
+    val vIn = sp.filter(col("split") === "train" && col("lang") === "en")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .agg(countDistinct(col("w"))).head().getLong(0)
+    val vOut = sp.filter(col("split") === "train")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .agg(countDistinct(col("w"))).head().getLong(0)
+    val c2i = tr.filter(col("lang") === "en")
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2i"))
+    val c1i = c2i.groupBy(col("w1")).agg(sum(col("c2i")).as("c1i"))
+    val c2o = tr.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2o"))
+    val c1o = c2o.groupBy(col("w1")).agg(sum(col("c2o")).as("c1o"))
+    val scored = bigrams.filter(col("split") === "test")
+      .join(c2i, Seq("w1", "w2"), "left").join(c1i, Seq("w1"), "left")
+      .join(c2o, Seq("w1", "w2"), "left").join(c1o, Seq("w1"), "left")
+      .select(col("doc_id"),
+        ((coalesce(col("c2i"), lit(0L)) + 1L).cast("double") /
+          (coalesce(col("c1i"), lit(0L)) + vIn).cast("double")).as("arg_in"),
+        ((coalesce(col("c2o"), lit(0L)) + 1L).cast("double") /
+          (coalesce(col("c1o"), lit(0L)) + vOut).cast("double")).as("arg_out"))
+    val out = SparkEntry.queries("q418_moore_lewis")(spark, gate)
+    assertNoDrift("q418", scored.count(),
+      out.agg(sum(col("n_bigrams")).cast("long")).head().getLong(0))
+    // VALUE-level anti-drift pin: per-doc sums of the probe's own floored
+    // diffs must reproduce the shipped score_q bitwise (same JVM)
+    val probeScores = scored
+      .select(col("doc_id"),
+        (floor(log(col("arg_out")) * 1e4).cast("long") -
+          floor(log(col("arg_in")) * 1e4).cast("long")).as("d_q"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("pn"), sum(col("d_q")).as("ps"))
+    val mismatched = probeScores.join(out, Seq("doc_id"))
+      .where(col("pn") =!= col("n_bigrams") || col("ps") =!= col("score_q"))
+    assert(mismatched.isEmpty,
+      "q418: probe scores no longer reproduce the query's score_q")
+    val vs = scored.select(col("arg_in").as("arg"))
+      .union(scored.select(col("arg_out").as("arg")))
+      .where(col("arg") =!= 1.0)
+      .select((log(col("arg")) * 1e4).as("v"))
+    assertFloorSafe("q418", vs)
   }
 }
