@@ -358,20 +358,30 @@ object StreamingFeatures {
     *
     * DELIVERY CONTRACT — the honest contrast with the bitmap path: KLL
     * merge is NOT idempotent (items carry weight; a replayed blob doubles
-    * n), so this store is exact ONLY under exactly-once file offsets, i.e.
-    * ALWAYS pass `checkpointDir` in production. A lost checkpoint replays
-    * the backlog and the weights double — kll_blob_n makes that observable
-    * and StreamingSpec pins the failure mode alongside the happy path.
-    * (The bitmap store tolerates checkpoint loss; the KLL store does not.
-    * If at-least-once is all the source offers, dedup upstream or rebuild
-    * the affected cells from raw.)
+    * n), so the store carries a per-week `batch_id` high-water mark to make
+    * the SINK idempotent where the source cannot be. foreachBatch is
+    * at-least-once even with a checkpoint: a crash between the partition
+    * overwrite and the offset commit replays that batchId on restart. The
+    * guard: a batch's partial for week w is applied ONLY if the stored
+    * batch_id for w is < the current batchId (weeks are independently
+    * guarded, so a crash mid-overwrite that wrote some weeks but not others
+    * re-applies exactly the unwritten ones). ALWAYS pass `checkpointDir` in
+    * production — the guard assumes batchIds are monotone per store, which
+    * holds for one checkpoint lineage. REMAINING WINDOW, stated honestly:
+    * after a checkpoint LOSS batchIds restart at 0, so a replayed backlog is
+    * REFUSED (stored high-water marks dominate) rather than double-counted —
+    * the store stays exact for the old data, but genuinely NEW files that
+    * land in those low-numbered batches are dropped for already-stored
+    * weeks. Recovery from checkpoint loss is therefore: delete the store
+    * WITH the checkpoint and rebuild both. StreamingSpec pins both the
+    * same-batchId replay no-op and the refused-replay-after-loss behavior.
+    * (The bitmap store needs none of this: OR absorbs replays.)
     */
   def streamKllUpsert(spark: SparkSession, eventsDir: String,
                       storePath: String,
                       maxFilesPerTrigger: Int = 0,
                       checkpointDir: Option[String] = None): StreamingQuery = {
     graft.functions.GraftFunctions.register(spark)
-    import graft.functions.GraftFunctions.{kllMerge, kllSketch}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(eventsDir).schema
     val reader = spark.readStream.schema(schema)
@@ -383,33 +393,57 @@ object StreamingFeatures {
       .trigger(Trigger.AvailableNow())
     checkpointDir.foreach(writer.option("checkpointLocation", _))
     writer
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val part = batch
-          .withColumn("ts_us", tsUsExpr(schema))
-          .withColumn("week", expr("ts_us DIV 604800000000"))
-          .groupBy(col("week"))
-          .agg(kllSketch(col("value").cast("double")).as("sk"))
-          // one materialization per batch: the partials feed both the
-          // touched-weeks semi-join and the union (same double-scan fix
-          // as streamSketchUpsert)
-          .localCheckpoint()
-        val hPath = new org.apache.hadoop.fs.Path(storePath)
-        val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
-        val merged = (if (fs.exists(hPath)) {
-          val existing = spark.read.parquet(storePath)
-          existing.join(broadcast(part.select(col("week"))), Seq("week"))
-            .unionByName(part)
-            .groupBy(col("week")).agg(kllMerge(col("sk")).as("sk"))
-        } else part)
-          .localCheckpoint() // lineage break before the in-place overwrite
-        merged.sparkSession.conf
-          .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-          .partitionBy("week").parquet(storePath)
-        spark.catalog.refreshByPath(storePath)
-        ()
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        kllApplyBatch(spark, batch.toDF(), schema, storePath, batchId)
       }
       .start()
+  }
+
+  /** One micro-batch of [[streamKllUpsert]], extracted so the idempotence
+    * contract is unit-testable without staging a crash: applying the same
+    * (batch, batchId) twice must be a no-op the second time. Store rows are
+    * (week, sk, batch_id) where batch_id is the week's applied high-water
+    * mark; a week whose stored batch_id >= the incoming batchId is a replay
+    * and is left UNTOUCHED (excluded from the dynamic partition overwrite,
+    * so not even rewritten). */
+  private[graft] def kllApplyBatch(spark: SparkSession, batch: DataFrame,
+      schema: org.apache.spark.sql.types.StructType, storePath: String,
+      batchId: Long): Unit = {
+    import graft.functions.GraftFunctions.{kllMerge, kllSketch}
+    val part = batch
+      .withColumn("ts_us", tsUsExpr(schema))
+      .withColumn("week", expr("ts_us DIV 604800000000"))
+      .groupBy(col("week"))
+      .agg(kllSketch(col("value").cast("double")).as("sk"))
+      // one materialization per batch: the partials feed both the
+      // touched-weeks semi-join and the union (same double-scan fix
+      // as streamSketchUpsert)
+      .localCheckpoint()
+    val hPath = new org.apache.hadoop.fs.Path(storePath)
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val merged = (if (fs.exists(hPath)) {
+      // only the weeks touched by THIS batch are read (partition pruning
+      // via the broadcast week list); materialized once — the replay
+      // filter and the merge union are two consumers of a few rows
+      val touched = spark.read.parquet(storePath)
+        .join(broadcast(part.select(col("week"))), Seq("week"))
+        .localCheckpoint()
+      val replayedWeeks = touched
+        .filter(col("batch_id") >= batchId).select(col("week"))
+      val fresh = part.join(broadcast(replayedWeeks), Seq("week"), "left_anti")
+      touched.filter(col("batch_id") < batchId)
+        .select(col("week"), col("sk"))
+        .unionByName(fresh)
+        .groupBy(col("week")).agg(kllMerge(col("sk")).as("sk"))
+    } else part)
+      .withColumn("batch_id", lit(batchId))
+      .localCheckpoint() // lineage break before the in-place overwrite
+    merged.sparkSession.conf
+      .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("week").parquet(storePath)
+    spark.catalog.refreshByPath(storePath)
+    ()
   }
 
   /** Open-session state carried between micro-batches. */

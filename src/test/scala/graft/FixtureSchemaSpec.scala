@@ -82,15 +82,23 @@ class FixtureSchemaSpec extends SparkSpec {
     // equals the oracle's count(*) FROM documents ONLY if no doc has NULL
     // text and no doc_id repeats — see ext/TrainPrep.tfidf). Pin them so a
     // generator change breaks HERE, by name, not as a silent hash mismatch
-    import org.apache.spark.sql.functions.{col, count, countDistinct, lit, sum, when}
+    import org.apache.spark.sql.functions.{col, count, countDistinct, lit, max, size, split, sum, when}
     val d = Tables.documents(spark, sf)
     val stats = d.agg(
       count(lit(1)).as("n"),
       countDistinct(col("doc_id")).as("nd"),
-      sum(when(col("text").isNull, 1L).otherwise(0L)).as("nulls"))
+      sum(when(col("text").isNull, 1L).otherwise(0L)).as("nulls"),
+      max(size(split(col("text"), " "))).as("max_toks"))
       .head()
     assert(stats.getLong(0) == stats.getLong(1), "doc_id must be unique")
     assert(stats.getLong(2) == 0L, "text must be non-null")
+    // the DuckDB oracles enumerate token positions via unnest(range(1, 1000))
+    // (q106's grams, q418's bigrams, the shingle CTEs) while the Spark side
+    // is uncapped via sequence(1, size(w)); a document past 1000 tokens would
+    // silently diverge cross-engine, so a generator change must break HERE
+    assert(stats.getInt(3) < 1000,
+      s"documents.text has ${stats.getInt(3)} tokens somewhere — the " +
+        "oracles' unnest(range(1, 1000)) position bound no longer covers it")
   }
 
   test("raw events.ts is one of the vintages the loader handles") {

@@ -148,6 +148,11 @@ class KnifeEdgeSpec extends SparkSpec {
     val sp = ext.TrainPrep.hashSplit(docs, "doc_id")
     val bigrams = sp
       .withColumn("w", split(col("text"), " "))
+      // guard: a 1-token doc makes sequence(1, 0) = [1, 0] (Spark defaults
+      // the step to -1 when start > stop) and element_at(w, 0) throws; such
+      // docs contribute no bigrams anyway, so the filter is a no-op on the
+      // probe's term set
+      .where(size(col("w")) >= 2)
       .select(col("doc_id"), col("source"), col("split"),
         explode(expr(
           "transform(sequence(1, size(w) - 1), " +
@@ -420,6 +425,9 @@ class KnifeEdgeSpec extends SparkSpec {
     val sp = ext.TrainPrep.hashSplit(docs, "doc_id")
     val bigrams = sp
       .withColumn("w", split(col("text"), " "))
+      // same 1-token-doc guard as the q300 probe above: sequence(1, 0)
+      // descends and element_at(w, 0) throws; no bigrams are lost
+      .where(size(col("w")) >= 2)
       .select(col("doc_id"), col("lang"), col("split"),
         explode(expr(
           "transform(sequence(1, size(w) - 1), " +

@@ -38,7 +38,11 @@ class PlanCensusSpec extends SparkSpec {
     val baseline: Map[String, (Int, Int)] =
       try src.getLines().drop(1).filter(_.nonEmpty).map { l =>
         val f = l.split('\t')
-        require(f.length >= 4 && f(1).forall(_.isDigit) && f(3).forall(_.isDigit),
+        // nonEmpty first: forall on an empty string is vacuously true, so
+        // a blank field would otherwise slip through to toInt and crash
+        // with the NumberFormatException this check exists to replace
+        require(f.length >= 4 && f(1).nonEmpty && f(1).forall(_.isDigit) &&
+          f(3).nonEmpty && f(3).forall(_.isDigit),
           s"$baselinePath: malformed row for '${f.head}' — regenerate the " +
             "baseline and drop non-census (e.g. ERR) lines")
         f(0) -> ((f(1).toInt, f(3).toInt))

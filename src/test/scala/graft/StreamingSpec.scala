@@ -363,16 +363,20 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("KLL materialization restart: checkpointed resume stays exact; a " +
-    "lost checkpoint DOUBLES the stored weights (non-idempotent merge, " +
-    "pinned as the documented failure mode)") {
+    "lost checkpoint's replay is REFUSED by the per-week batch_id guard " +
+    "(store unchanged, pinned as the documented recovery contract)") {
     // the order-statistics sibling of the bitmap restart test, with the
     // OPPOSITE delivery contract: bitmap OR absorbs replays, KLL merge
-    // does not (items carry weight). Happy path: checkpointed restart
-    // reads only the new file and the store's per-week weights and
-    // quantiles are exact. Failure path: a lost checkpoint replays the
-    // backlog and every week's kll_blob_n doubles — exactly 2x, by
-    // design, observable, and asserted here so the contract is executed
-    // rather than argued in scaladoc.
+    // does not (items carry weight), so the sink carries a per-week
+    // batch_id high-water mark. Happy path: checkpointed restart reads
+    // only the new file and the store's per-week weights and quantiles
+    // are exact. Failure path: a lost checkpoint replays the backlog
+    // through batchIds 0..k which the stored high-water marks dominate —
+    // the replay is dropped week-by-week and the store stays EXACT (it
+    // used to double before r11's idempotence guard; recovery from
+    // checkpoint loss is now documented as delete-store-and-rebuild,
+    // because new files landing in those low batchIds would be refused
+    // too). Asserted here so the contract is executed, not argued.
     import java.nio.file.Files
     import java.nio.file.attribute.FileTime
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -451,16 +455,57 @@ class StreamingSpec extends SparkSpec {
       }
     }
 
-    // checkpoint LOSS: replaying the backlog through a fresh checkpoint
-    // double-counts every item — n doubles exactly (the non-idempotence)
+    // checkpoint LOSS: the fresh checkpoint replays the backlog through
+    // batchIds 0 and 1, but every touched week's stored batch_id is >= the
+    // replayed one — the guard refuses each partial and the store is
+    // bit-unchanged (before the r11 guard this doubled every weight)
     val ckpt2 = Files.createTempDirectory("kll_ckpt_lost").toString
     val run3 = StreamingFeatures.streamKllUpsert(spark, dir.toString,
       store, maxFilesPerTrigger = 1, checkpointDir = Some(ckpt2))
     run3.processAllAvailable(); run3.stop()
     assert(run3.recentProgress.map(_.numInputRows).sum == chunkRows.sum)
-    assert(storeN() == exactN.map { case (w, n) => w -> n * 2 },
-      "a replayed backlog must double every week's sketch weight — if " +
-        "this holds at 1x the merge silently deduped, which KLL cannot do")
+    assert(storeN() == exactN,
+      "a replayed backlog must be REFUSED by the per-week batch_id " +
+        "high-water mark — a doubled weight means the guard lost the race")
+  }
+
+  test("kllApplyBatch is idempotent per (week, batchId): the crash window " +
+    "between partition overwrite and offset commit replays harmlessly") {
+    // the exact at-least-once window the streaming harness can't stage:
+    // batch B is applied, the offset commit is lost, batch B replays with
+    // the SAME batchId. Drive the extracted per-batch body directly:
+    // apply(B) twice must leave the store bit-identical, and a later
+    // batch (B+1) must still merge normally.
+    import java.nio.file.Files
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.functions.GraftFunctions.register(spark)
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    val schema = raw.schema
+    val half = raw.filter($"event_id" % 2 === 0)
+    val rest = raw.filter($"event_id" % 2 === 1)
+    val store = Files.createTempDirectory("kll_apply").toString + "/weekly"
+    def snapshot(): Map[Long, (Long, Long)] =
+      spark.read.parquet(store)
+        .select($"week".cast("long"),
+          graft.functions.GraftFunctions.kllBlobN($"sk"),
+          $"batch_id".cast("long"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+    StreamingFeatures.kllApplyBatch(spark, half, schema, store, batchId = 0L)
+    val after0 = snapshot()
+    StreamingFeatures.kllApplyBatch(spark, half, schema, store, batchId = 0L)
+    assert(snapshot() == after0,
+      "replaying batchId 0 must be a per-week no-op (weights would double)")
+    StreamingFeatures.kllApplyBatch(spark, rest, schema, store, batchId = 1L)
+    val exactN = Tables.events(spark, sf)
+      .select(expr("ts_us DIV 604800000000").as("week"), $"value")
+      .groupBy($"week").agg(count($"value").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(snapshot().map { case (w, (n, _)) => w -> n } == exactN,
+      "batch 1 must merge on top of the deduped batch 0")
+    // and a replay of batch 1 after batch 1 is also refused
+    StreamingFeatures.kllApplyBatch(spark, rest, schema, store, batchId = 1L)
+    assert(snapshot().map { case (w, (n, _)) => w -> n } == exactN)
   }
 
   test("online materialization restart: checkpoint resumes at the first " +
