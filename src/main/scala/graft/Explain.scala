@@ -7,11 +7,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * `--census` mode prints one TSV row per query instead of full plans:
   * parquet-scan count, Exchange count, Generate count, InMemoryRelation
-  * refs, and whether any higher-order lambda survives in the physical plan
-  * — the structural-waste screen used for the bench-tail sweeps (a high
-  * scan count without a matching cache is a shared subtree replanned per
-  * consumer; a lambdafunction is an interpreted per-row allocation).
-  * `--census q1 q2 ...` censuses only the named queries.
+  * refs, whether any higher-order lambda survives in the physical plan,
+  * and the count of UNPARTITIONED Window/WindowGroupLimit operators (empty
+  * partitionSpec = all rows to one task — acceptable only on domain-bounded
+  * relations) — the structural-waste screen used for the bench-tail sweeps
+  * (a high scan count without a matching cache is a shared subtree
+  * replanned per consumer; a lambdafunction is an interpreted per-row
+  * allocation). `--census q1 q2 ...` censuses only the named queries.
   *
   * The committed snapshot lives at `tools/census_baseline.tsv`;
   * PlanCensusSpec regenerates every row at sf0.001 in CI and fails if any
@@ -29,11 +31,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Explain {
 
   /** One census row: (parquet scans, exchanges, generates, InMemoryRelation
-    * refs, any interpreted lambda). Counts the FormattedMode detail section,
-    * where each operator prints exactly once. */
+    * refs, any interpreted lambda, unpartitioned windows). Counts the
+    * FormattedMode detail section, where each operator prints exactly once —
+    * except `windows`, which is collected from the typed sparkPlan tree
+    * (partitionSpec emptiness is a node field, not reliably greppable). */
   case class CensusRow(scans: Int, exchanges: Int, generates: Int,
-                       imr: Int, lambda: Boolean) {
-    def tsv: String = s"$scans\t$exchanges\t$generates\t$imr\t$lambda"
+                       imr: Int, lambda: Boolean, windows: Int = 0) {
+    def tsv: String = s"$scans\t$exchanges\t$generates\t$imr\t$lambda\t$windows"
   }
 
   /** FormattedMode physical plan — render once, feed [[censusRowOf]] and
@@ -42,7 +46,8 @@ object Explain {
     df.queryExecution
       .explainString(org.apache.spark.sql.execution.FormattedMode)
 
-  def censusRow(df: DataFrame): CensusRow = censusRowOf(formatted(df))
+  def censusRow(df: DataFrame): CensusRow =
+    censusRowOf(formatted(df)).copy(windows = unpartitionedWindows(df))
 
   def censusRowOf(p: String): CensusRow =
     CensusRow(
@@ -51,6 +56,52 @@ object Explain {
       p.linesIterator.count(_.matches("""\(\d+\) Generate.*""")),
       p.linesIterator.count(_.contains("InMemoryRelation")),
       p.contains("lambdafunction"))
+
+  /** THE SCALE-KILLER SHAPE the text census can't see: a Window (or
+    * WindowGroupLimit) with an EMPTY partitionSpec sends every row to one
+    * task — fine on a domain-bounded relation (a calendar spine, a reduced
+    * distinct-value table), fatal on fact rows at 100 TB. Counted on the
+    * pre-AQE sparkPlan where the tree is fully materialized (the same
+    * traversal ScalePostureSpec's per-query pins use; AQE never edits a
+    * window's partitionSpec). PlanCensusSpec pins every query's count
+    * against the adjudicated baseline. */
+  def unpartitionedWindows(df: DataFrame): Int =
+    df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.isEmpty => 1
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
+        if w.partitionSpec.isEmpty => 1
+    }.sum
+
+  /** Adjudication aid for the census `windows` column (`--windows` mode):
+    * one line per unpartitioned window describing what bounds its input —
+    * the first aggregate / limit / local-relation met walking DOWN the
+    * child subtree (an aggregate below means the window runs over a
+    * REDUCED domain: distinct values, group keys, a calendar spine), or
+    * `RAW` if the subtree reaches a source scan with no reduction, which
+    * is the shape that cannot ship. */
+  def windowAudit(df: DataFrame): Seq[String] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    def bound(p: SparkPlan): String = p.collectFirst {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+        s"agg-below(${a.groupingExpressions.map(_.name).mkString(",")})"
+      case _: org.apache.spark.sql.execution.LocalLimitExec => "limit-below"
+      case _: org.apache.spark.sql.execution.GlobalLimitExec => "limit-below"
+      case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec =>
+        "topk-below"
+      case l: org.apache.spark.sql.execution.LocalTableScanExec =>
+        s"local-relation(${l.rows.length} rows)"
+      case _: org.apache.spark.sql.execution.RDDScanExec => "checkpointed-rdd"
+      case _: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        "cached-relation" // adjudicate by what BUILT the cache
+    }.getOrElse("RAW")
+    df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.isEmpty => s"Window -> ${bound(w.child)}"
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
+        if w.partitionSpec.isEmpty => s"WindowGroupLimit -> ${bound(w.child)}"
+    }
+  }
 
   /** Expensive per-row functions that must not be re-evaluated once per
     * EXPLODED row unless they consume the generator's own output. */
@@ -131,20 +182,29 @@ object Explain {
     * first so counts reflect the fresh-session plan shape. */
   def censusOf(spark: SparkSession, dir: String, name: String): CensusRow = {
     spark.sharedState.cacheManager.clearCache()
-    censusRow(SparkEntry.queries(name)(spark, dir))
+    val df = SparkEntry.queries(name)(spark, dir)
+    censusRow(df)
   }
 
   def main(args: Array[String]): Unit = {
     val spark = SparkEnv.session(cores = 4, appName = "graft-explain")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val census = args.headOption.contains("--census")
+    val winAudit = args.headOption.contains("--windows")
     val names =
-      if (census && args.length > 1) args.drop(1).toSeq // census of a subset
-      else if (args.nonEmpty && !census) args.toSeq
+      if ((census || winAudit) && args.length > 1) args.drop(1).toSeq
+      else if (args.nonEmpty && !census && !winAudit) args.toSeq
       else SparkEntry.queries.keys.toSeq.sorted
-    if (census) println("query\tscans\texchanges\tgenerates\timr\tlambda")
+    if (census)
+      println("query\tscans\texchanges\tgenerates\timr\tlambda\twindows")
     for (n <- names) {
-      if (census) {
+      if (winAudit) {
+        try {
+          spark.sharedState.cacheManager.clearCache()
+          val lines = windowAudit(SparkEntry.queries(n)(spark, dir))
+          lines.foreach(l => println(s"$n\t$l"))
+        } catch { case e: Throwable => println(s"$n\tERR\t$e") }
+      } else if (census) {
         try println(s"$n\t${censusOf(spark, dir, n).tsv}")
         catch { case e: Throwable => println(s"$n\tERR\t$e") }
       } else {

@@ -29,23 +29,25 @@ class PlanCensusSpec extends SparkSpec {
 
   private val baselinePath = "tools/census_baseline.tsv"
 
-  test("no query scans or generates more than its adjudicated census baseline") {
+  test("no query scans, generates, or globally-windows more than its " +
+    "adjudicated census baseline") {
     val src = Source.fromFile(baselinePath)
-    // row: query \t scans \t exchanges \t generates \t imr \t lambda.
+    // row: query \t scans \t exchanges \t generates \t imr \t lambda
+    //      \t windows.
     // Validate instead of bare toInt: the documented regen recipe greps
     // bench output, where an error line also starts with the query name —
     // such a row must fail BY NAME, not as a NumberFormatException
-    val baseline: Map[String, (Int, Int)] =
+    val baseline: Map[String, (Int, Int, Int)] =
       try src.getLines().drop(1).filter(_.nonEmpty).map { l =>
         val f = l.split('\t')
         // nonEmpty first: forall on an empty string is vacuously true, so
         // a blank field would otherwise slip through to toInt and crash
         // with the NumberFormatException this check exists to replace
-        require(f.length >= 4 && f(1).nonEmpty && f(1).forall(_.isDigit) &&
-          f(3).nonEmpty && f(3).forall(_.isDigit),
+        def num(i: Int) = f(i).nonEmpty && f(i).forall(_.isDigit)
+        require(f.length >= 7 && num(1) && num(3) && num(6),
           s"$baselinePath: malformed row for '${f.head}' — regenerate the " +
             "baseline and drop non-census (e.g. ERR) lines")
-        f(0) -> ((f(1).toInt, f(3).toInt))
+        f(0) -> ((f(1).toInt, f(3).toInt, f(6).toInt))
       }.toMap
       finally src.close()
 
@@ -68,9 +70,11 @@ class PlanCensusSpec extends SparkSpec {
     val regressions =
       try names.flatMap { n =>
         spark.sharedState.cacheManager.clearCache()
-        val p = Explain.formatted(SparkEntry.queries(n)(spark, sf))
+        val df = SparkEntry.queries(n)(spark, sf)
+        val p = Explain.formatted(df)
         val got = Explain.censusRowOf(p)
-        val (wantScans, wantGen) = baseline(n)
+          .copy(windows = Explain.unpartitionedWindows(df))
+        val (wantScans, wantGen, wantWin) = baseline(n)
         val scanRow =
           if (got.scans > wantScans)
             Some(s"$n: ${got.scans} scans > adjudicated $wantScans") else None
@@ -78,11 +82,21 @@ class PlanCensusSpec extends SparkSpec {
           if (got.generates > wantGen)
             Some(s"$n: ${got.generates} generates > adjudicated $wantGen")
           else None
+        // the r11 column: an UNPARTITIONED Window/WindowGroupLimit routes
+        // every row to one task — the adjudicated nonzero counts are all
+        // on domain-bounded relations (calendar spines, distinct-value
+        // reduces); anything fact-sized is pinned at zero
+        val winRow =
+          if (got.windows > wantWin)
+            Some(s"$n: ${got.windows} unpartitioned windows > adjudicated " +
+              s"$wantWin — if the new window's input is NOT domain-bounded, " +
+              "partition it; otherwise re-adjudicate the baseline")
+          else None
         // the q296 class, pinned at ZERO repo-wide: a heavy function in
         // the Project directly above a Generate that ignores the
         // generator's output re-runs once per exploded row
         val hoistRows = Explain.hoistViolations(p).map(v => s"$n: $v")
-        scanRow.toSeq ++ genRow.toSeq ++ hoistRows
+        scanRow.toSeq ++ genRow.toSeq ++ winRow.toSeq ++ hoistRows
       }
       finally spark.sharedState.cacheManager.clearCache()
     assert(regressions.isEmpty,
@@ -116,5 +130,35 @@ class PlanCensusSpec extends SparkSpec {
       .select(md5(col("text").substr(col("p") + 1, lit(3))).as("g"))
     assert(Explain.hoistViolations(Explain.formatted(legit)).isEmpty,
       "detector must not flag a hash that consumes the generator output")
+  }
+
+  test("the unpartitioned-window detector fires on a global window and " +
+    "stays quiet on partitioned and group-limit-optimized shapes") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val base = spark.range(0, 100)
+      .select(col("id"), (col("id") % 7).as("k"))
+    // BUG shape: Window.orderBy with no partitionBy — every row to one task
+    val global = base.withColumn("rn",
+      row_number().over(Window.orderBy(col("id"))))
+    assert(Explain.unpartitionedWindows(global) == 1,
+      "detector must count the empty-partitionSpec WindowExec")
+    // FIXED shape: the same rank partitioned by a key
+    val part = base.withColumn("rn",
+      row_number().over(Window.partitionBy(col("k")).orderBy(col("id"))))
+    assert(Explain.unpartitionedWindows(part) == 0,
+      "a partitioned window must not be counted")
+    // WindowGroupLimit shape: rank + filter collapses to a group-limit
+    // node, which carries the SAME partitionSpec field — a global top-k
+    // must still be seen even when the Window node is optimized away
+    val globalTopK = base.withColumn("rn",
+      row_number().over(Window.orderBy(col("id")))).filter(col("rn") <= 3)
+    assert(Explain.unpartitionedWindows(globalTopK) >= 1,
+      "a global top-k (WindowGroupLimit) must be counted")
+    val partTopK = base.withColumn("rn",
+      row_number().over(Window.partitionBy(col("k")).orderBy(col("id"))))
+      .filter(col("rn") <= 3)
+    assert(Explain.unpartitionedWindows(partTopK) == 0,
+      "a partitioned top-k must not be counted")
   }
 }
