@@ -65,12 +65,22 @@ object Bench {
     // as null (this killed rounds 1–3).
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    // only FULL runs refresh the committed snapshot — a dev-filtered run
-    // overwriting it with a 6-query file misstated a whole round's bench
-    if (args.isEmpty)
-      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+    // only FULL runs refresh a snapshot — a dev-filtered run overwriting
+    // one with a 6-query file misstated a whole round's bench. And only
+    // IDLE-box runs (SPARK_GRAFT_IDLE=1, set by hand after checking the
+    // box is quiet) refresh the COMMITTED snapshot BENCH_FULL.json:
+    // driver-invoked runs share the box with the build/verify pipeline and
+    // their tails are contention, not code — routing them to the
+    // uncommitted BENCH_DRIVER.json means a stray `git add -A` can no
+    // longer promote a contended run over the idle one (r10 "what's
+    // wrong" #1).
+    if (args.isEmpty) {
+      val out = if (sys.env.contains("SPARK_GRAFT_IDLE")) "BENCH_FULL.json"
+                else "BENCH_DRIVER.json"
+      java.nio.file.Files.write(java.nio.file.Paths.get(out),
         s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"queries":$fullQs,"sf":"$sfDir"}"""
           .getBytes("UTF-8"))
+    }
     // One-line summary: numeric-prefix keys ("q47_asof_join_native" → "q47",
     // prefixes are unique across the suite), 3-decimal values; if the suite
     // ever outgrows the budget, drop the FASTEST entries first so the line
