@@ -1,0 +1,246 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ExtEntries.Q
+import graft.ext.UnigramLm
+
+/** Round-11 batch 1 — the tokenizer-training and data-selection frontier
+  * from the round-10 build list: unigram-LM (SentencePiece-style) tokenizer
+  * training with its encode twin (the missing trainable family beside the
+  * q121/q138 BPE pair), and DSIR hashed-ngram importance resampling (the
+  * importance-weighting complement of q418's Moore–Lewis selection).
+  * Everything replays in DuckDB: integer counts, the q300 1e-4 integer-log
+  * grid (one floored ln per term), deterministic md5-derived uniforms.
+  */
+object Entries74 {
+
+  val all: Seq[Q] = Seq(
+
+    // UNIGRAM-LM TOKENIZER TRAINING (Kudo 2018, arXiv:1804.10959), hard-EM
+    // variant: substring seed vocab -> integer-log seed scores -> 2 rounds
+    // of (Viterbi E-step as a 12-round relational DP unroll, add-one
+    // M-step re-score). Output = the final vocabulary with freq-weighted
+    // usage counts and smoothed scores. The oracle replays the ENTIRE
+    // training loop (every DP round a materialized CTE) bit-for-bit.
+    Q("q419_unigram_lm",
+      (s, d) => UnigramLm.train(Tables.documents(s, d)),
+      Some(unigramTrainOracle(UnigramLm.Iters))),
+
+    // UNIGRAM ENCODE (apply twin, mirroring q138's BPE encode): segment
+    // the word types with the trained scores — one more Viterbi pass under
+    // the final lp. Encoding the training corpus with its own model is
+    // exactly what the oracle replays.
+    Q("q420_unigram_encode",
+      (s, d) => UnigramLm.encode(Tables.documents(s, d)),
+      Some(unigramEncodeOracle(UnigramLm.Iters))),
+
+    // DSIR — DATA SELECTION VIA IMPORTANCE RESAMPLING (Xie et al. 2023,
+    // arXiv:2302.03169): hashed-bigram features (md5 -> 256 buckets),
+    // target = the lang='en' train docs, raw/proposal = the full train
+    // pool, add-one-smoothed bucket models. Per test doc the log
+    // importance weight is the summed per-bigram lp_target − lp_raw on
+    // q418's 1e-4 integer grid; RESAMPLING is the deterministic-hash
+    // rejection form of the paper's weighted sampling (the q103
+    // discipline): doc accepted iff ln(u) < logw − logw_max with
+    // u = (2·(md5(doc_id) mod 1e6)+1)/2e6 — one floored ln per doc,
+    // acceptance probability proportional to the importance weight, no
+    // RNG state. Scale shape: ONE persisted hashed-bigram relation feeds
+    // both bucket models and the test scoring (q418's census discipline);
+    // the models are 256-row broadcasts.
+    Q("q421_dsir_resample",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val sp = graft.ext.TrainPrep.hashSplit(docs, "doc_id")
+        val toks = sp
+          .withColumn("w", split(col("text"), " "))
+          .where(size(col("w")) >= 2) // 1-token docs have no bigrams
+          .select(col("doc_id"), col("lang"), col("split"),
+            explode(expr(
+              "transform(sequence(1, size(w) - 1), " +
+                "i -> struct(element_at(w, i) AS w1, " +
+                "element_at(w, i + 1) AS w2))")).as("bg"))
+          .select(col("doc_id"), col("lang"), col("split"),
+            pmod(graft.ext.Dedup.contentId(
+              concat(col("bg.w1"), lit(" "), col("bg.w2"))), lit(256L))
+              .as("b"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val ct = toks.filter(col("split") === "train" && col("lang") === "en")
+          .groupBy(col("b")).agg(count(lit(1)).as("ctb"))
+        val cr = toks.filter(col("split") === "train")
+          .groupBy(col("b")).agg(count(lit(1)).as("crb"))
+        val tt = ct.agg(sum(col("ctb")).as("tt"))
+        val tr = cr.agg(sum(col("crb")).as("tr"))
+        def lpq(c: org.apache.spark.sql.Column,
+                t: org.apache.spark.sql.Column) =
+          floor(log((coalesce(c, lit(0L)) + lit(1L)).cast("double") /
+            (t + lit(256L)).cast("double")) * 1e4).cast("long")
+        val scored = toks.filter(col("split") === "test")
+          .join(broadcast(ct), Seq("b"), "left")
+          .join(broadcast(cr), Seq("b"), "left")
+          .crossJoin(broadcast(tt)).crossJoin(broadcast(tr))
+          .select(col("doc_id"), col("lang"),
+            (lpq(col("ctb"), col("tt")) - lpq(col("crb"), col("tr")))
+              .as("d_q"))
+          .groupBy(col("doc_id"), col("lang"))
+          .agg(count(lit(1)).as("n_bigrams"), sum(col("d_q")).as("logw_q"))
+        val mx = scored.agg(max(col("logw_q")).as("mx"))
+        scored.crossJoin(broadcast(mx))
+          .withColumn("lnu_q",
+            floor(log((pmod(graft.ext.Dedup.contentId(
+              col("doc_id").cast("string")), lit(1000000L)) * 2L + 1L)
+              .cast("double") / lit(2000000.0)) * 1e4).cast("long"))
+          .select(col("doc_id"), col("lang"), col("n_bigrams"),
+            col("logw_q"), col("lnu_q"),
+            (col("lnu_q") < col("logw_q") - col("mx")).as("selected"))
+      },
+      Some("""WITH sp AS (
+             |  SELECT doc_id, lang, text,
+             |    CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val'
+             |         ELSE 'test' END AS split
+             |  FROM (SELECT *,
+             |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+             |      % 10 AS b FROM documents)),
+             |hb AS (
+             |  SELECT doc_id, lang, split,
+             |    ('0x' || substr(md5(w[i] || ' ' || w[i + 1]), 1, 12))::BIGINT
+             |      % 256 AS b
+             |  FROM (SELECT doc_id, lang, split,
+             |          string_split(text, ' ') AS w FROM sp) d,
+             |       (SELECT unnest(range(1, 1000)) AS i) t
+             |  WHERE i <= len(w) - 1),
+             |ct AS (SELECT b, CAST(count(*) AS BIGINT) AS ctb FROM hb
+             |       WHERE split = 'train' AND lang = 'en' GROUP BY 1),
+             |cr AS (SELECT b, CAST(count(*) AS BIGINT) AS crb FROM hb
+             |       WHERE split = 'train' GROUP BY 1),
+             |tt AS (SELECT CAST(coalesce(sum(ctb), 0) AS BIGINT) AS tt FROM ct),
+             |tr AS (SELECT CAST(coalesce(sum(crb), 0) AS BIGINT) AS tr FROM cr),
+             |scored AS (
+             |  SELECT hb.doc_id, hb.lang,
+             |    CAST(floor(ln(CAST(coalesce(ct.ctb, 0) + 1 AS DOUBLE) /
+             |        CAST(tt.tt + 256 AS DOUBLE)) * 1e4) AS BIGINT)
+             |    - CAST(floor(ln(CAST(coalesce(cr.crb, 0) + 1 AS DOUBLE) /
+             |        CAST(tr.tr + 256 AS DOUBLE)) * 1e4) AS BIGINT) AS d_q
+             |  FROM hb CROSS JOIN tt CROSS JOIN tr
+             |  LEFT JOIN ct ON hb.b = ct.b
+             |  LEFT JOIN cr ON hb.b = cr.b
+             |  WHERE hb.split = 'test'),
+             |agg AS (
+             |  SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_bigrams,
+             |    CAST(sum(d_q) AS BIGINT) AS logw_q
+             |  FROM scored GROUP BY 1, 2),
+             |mx AS (SELECT max(logw_q) AS mx FROM agg)
+             |SELECT doc_id, lang, n_bigrams, logw_q,
+             |  CAST(floor(ln(CAST(
+             |      (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+             |        ::BIGINT % 1000000) * 2 + 1 AS DOUBLE)
+             |      / 2000000.0) * 1e4) AS BIGINT) AS lnu_q,
+             |  CAST(floor(ln(CAST(
+             |      (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+             |        ::BIGINT % 1000000) * 2 + 1 AS DOUBLE)
+             |      / 2000000.0) * 1e4) AS BIGINT) < logw_q - mx AS selected
+             |FROM agg CROSS JOIN mx""".stripMargin)))
+
+  // ------------------------------------------------- unigram oracle codegen
+
+  /** Shared header: word types, candidate pieces, seed vocabulary, and the
+    * round-0 scores from raw seed occurrence counts. Mirrors
+    * [[UnigramLm.wordTypes]] / [[UnigramLm.candidates]] exactly. */
+  private def unigramHeader: String =
+    s"""w0 AS MATERIALIZED (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS freq, len(w) AS len FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE regexp_matches(w, '^[a-z]+${"$"}')
+       |    AND len(w) <= ${UnigramLm.MaxLen}
+       |  GROUP BY w),
+       |cand AS MATERIALIZED (
+       |  SELECT w, freq, CAST(i AS INT) AS ci, CAST(k AS INT) AS ck,
+       |    substr(w, CAST(i AS INT), CAST(k AS INT)) AS piece
+       |  FROM w0,
+       |    (SELECT unnest(range(1, ${UnigramLm.MaxLen + 1})) AS i) ii,
+       |    (SELECT unnest(range(1, ${UnigramLm.MaxPiece + 1})) AS k) kk
+       |  WHERE i + k - 1 <= len),
+       |seedv AS MATERIALIZED (SELECT DISTINCT piece FROM cand),
+       |v0 AS (SELECT CAST(count(*) AS BIGINT) AS v0 FROM seedv),
+       |c0 AS MATERIALIZED (
+       |  SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt
+       |  FROM cand GROUP BY 1),
+       |t0 AS (SELECT CAST(sum(cnt) AS BIGINT) AS tt FROM c0),
+       |lp0 AS MATERIALIZED (
+       |  SELECT piece, cnt,
+       |    CAST(floor(ln(CAST(cnt AS DOUBLE) / CAST(tt AS DOUBLE)) * 1e4)
+       |      AS BIGINT) AS lp_q
+       |  FROM c0 CROSS JOIN t0)""".stripMargin
+
+  /** One Viterbi DP (the E-step lattice), [[UnigramLm.MaxLen]] unrolled
+    * rounds: b{tag}_i = best prefix ending exactly at position i (per-word
+    * top-1 with the (score DESC, path ASC) tie-break), f{tag}_i = all best
+    * prefixes so far. Every CTE MATERIALIZED — each state is referenced by
+    * multiple downstream CTEs (the BPE-oracle lesson). */
+  private def dpBlock(tag: String, lpName: String): String = {
+    val rounds = (1 to UnigramLm.MaxLen).map { i =>
+      s"""b${tag}_$i AS MATERIALIZED (
+         |  SELECT w, $i AS pos, score_q, path FROM (
+         |    SELECT f.w, f.score_q + s.lp_q AS score_q,
+         |      CASE WHEN f.pos = 0 THEN s.piece
+         |           ELSE f.path || '|' || s.piece END AS path,
+         |      row_number() OVER (PARTITION BY f.w
+         |        ORDER BY f.score_q + s.lp_q DESC,
+         |          CASE WHEN f.pos = 0 THEN s.piece
+         |               ELSE f.path || '|' || s.piece END ASC) AS rk
+         |    FROM f${tag}_${i - 1} f JOIN sc$tag s
+         |      ON s.w = f.w AND s.ci = f.pos + 1 AND s.ci + s.ck = ${i + 1})
+         |  WHERE rk = 1),
+         |f${tag}_$i AS MATERIALIZED (
+         |  SELECT * FROM f${tag}_${i - 1}
+         |  UNION ALL SELECT * FROM b${tag}_$i)""".stripMargin
+    }.mkString(",\n")
+    s"""sc$tag AS MATERIALIZED (
+       |  SELECT c.w, c.ci, c.ck, c.piece, l.lp_q
+       |  FROM cand c JOIN $lpName l ON c.piece = l.piece),
+       |f${tag}_0 AS MATERIALIZED (
+       |  SELECT w, 0 AS pos, CAST(0 AS BIGINT) AS score_q, '' AS path
+       |  FROM w0),
+       |$rounds""".stripMargin
+  }
+
+  /** One EM round r: E-step DP under lp{r-1}, segmentation extraction,
+    * freq-weighted recount, add-one re-score over the seed vocab. */
+  private def emBlock(r: Int): String =
+    s"""${dpBlock(r.toString, s"lp${r - 1}")},
+       |seg$r AS MATERIALIZED (
+       |  SELECT f.w, f.path FROM f${r}_${UnigramLm.MaxLen} f
+       |  JOIN w0 ON f.w = w0.w AND f.pos = w0.len),
+       |c$r AS MATERIALIZED (
+       |  SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+       |    SELECT w0.freq, unnest(string_split(s.path, '|')) AS piece
+       |    FROM seg$r s JOIN w0 ON s.w = w0.w)
+       |  GROUP BY 1),
+       |t$r AS (SELECT CAST(sum(cnt) AS BIGINT) AS tt FROM c$r),
+       |lp$r AS MATERIALIZED (
+       |  SELECT sv.piece, CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt,
+       |    CAST(floor(ln(CAST(coalesce(c.cnt, 0) + 1 AS DOUBLE) /
+       |      CAST(t.tt + v.v0 AS DOUBLE)) * 1e4) AS BIGINT) AS lp_q
+       |  FROM seedv sv LEFT JOIN c$r c ON sv.piece = c.piece
+       |  CROSS JOIN t$r t CROSS JOIN v0 v)""".stripMargin
+
+  private def unigramCtes(iters: Int): String =
+    "WITH " + unigramHeader + ",\n" +
+      (1 to iters).map(emBlock).mkString(",\n")
+
+  /** Train oracle: the full EM replay, answer = final vocab with counts. */
+  private[graft] def unigramTrainOracle(iters: Int): String =
+    unigramCtes(iters) +
+      s"""
+         |SELECT piece, cnt, lp_q FROM lp$iters WHERE cnt > 0""".stripMargin
+
+  /** Encode oracle: the full EM replay plus ONE more Viterbi pass under
+    * the final scores, answer = per-word segmentations. */
+  private[graft] def unigramEncodeOracle(iters: Int): String =
+    unigramCtes(iters) + ",\n" + dpBlock("e", s"lp$iters") +
+      s"""
+         |SELECT f.w, w0.freq,
+         |  CAST(len(string_split(f.path, '|')) AS BIGINT) AS n_pieces,
+         |  f.path AS encoding
+         |FROM fe_${UnigramLm.MaxLen} f
+         |JOIN w0 ON f.w = w0.w AND f.pos = w0.len""".stripMargin
+}

@@ -763,7 +763,8 @@ object SparkEntry {
       Entries70.all.map(q => q.name -> q.fn) ++
       Entries71.all.map(q => q.name -> q.fn) ++
       Entries72.all.map(q => q.name -> q.fn) ++
-      Entries73.all.map(q => q.name -> q.fn)).toMap
+      Entries73.all.map(q => q.name -> q.fn) ++
+      Entries74.all.map(q => q.name -> q.fn)).toMap
 
   def oracleSql: Map[String, String] =
     (all.flatMap(q => q.sql.map(q.name -> _)) ++
@@ -838,5 +839,6 @@ object SparkEntry {
       Entries70.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries71.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries72.all.flatMap(q => q.sql.map(q.name -> _)) ++
-      Entries73.all.flatMap(q => q.sql.map(q.name -> _))).toMap
+      Entries73.all.flatMap(q => q.sql.map(q.name -> _)) ++
+      Entries74.all.flatMap(q => q.sql.map(q.name -> _))).toMap
 }

@@ -1,0 +1,201 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed unigram-LM (SentencePiece-style) tokenizer training — the
+  * second trainable tokenizer family beside BPE ([[BpeTrainer]]): Kudo 2018
+  * (arXiv:1804.10959) trains a unigram language model over a substring seed
+  * vocabulary by EM, segmenting with the Viterbi lattice. This is the
+  * hard-EM (Viterbi-EM) variant, chosen because every step is exact integer
+  * or integer-log-grid arithmetic and therefore replayable bit-for-bit by a
+  * SQL oracle — the same determinism contract as the BPE trainer.
+  *
+  * Like classic subword training, the state lives on WORD TYPES with corpus
+  * frequencies (the type/token ratio does the compression: a 100 TB ascii
+  * corpus has a few million word types, so everything after the one
+  * corpus-wide tokenize+reduce runs on a domain-bounded relation).
+  *
+  *  - Seed vocabulary: ALL substrings of length 1..[[MaxPiece]] of the
+  *    training word types (single chars guarantee coverage), with
+  *    frequency-weighted occurrence counts — the suffix-substring seed of
+  *    the paper, exact rather than sampled.
+  *  - Initial piece scores: lp0 = floor(ln(c0/T0)·1e4) on the q300 integer
+  *    log grid (one floored ln per piece; BIGINT everywhere after).
+  *  - E-step: Viterbi-best segmentation of each word type under the current
+  *    scores, as a forward DP over positions — position i's best prefix
+  *    extends a best prefix at i−k by the piece (i−k+1..i), k ≤ [[MaxPiece]].
+  *    Relationally: a fixed [[MaxLen]]-round unroll (the q120 BFS
+  *    discipline); each round is one join (frontier × scored candidates
+  *    ending at i) plus one per-word top-1 window. Ties break by larger
+  *    score, then lexicographically smallest piece path — total and
+  *    deterministic.
+  *  - M-step: recount piece usage over the Viterbi segmentations
+  *    (freq-weighted), then re-score with add-one smoothing over the FULL
+  *    seed vocabulary: lp = floor(ln((c+1)/(T+V0))·1e4). Smoothing keeps
+  *    every seed piece alive (pieces the E-step dropped get the floor
+  *    probability), so the DP stays total in later rounds — the pruning
+  *    schedule of the paper degenerates here to "unused pieces fall to the
+  *    smoothing floor", which is the honest fixed-vocab variant.
+  *
+  * Words longer than [[MaxLen]] ascii chars are excluded from TRAINING
+  * (both engines identically); the fixture tops out at 8. The reference has
+  * no tokenizer trainer — this extends the q121/q138 BPE family per the
+  * round-10 verdict's build list.
+  */
+object UnigramLm {
+
+  /** DP unroll bound = max trainable word length (fixture max is 8). */
+  val MaxLen = 12
+  /** Max piece length in the seed vocabulary. */
+  val MaxPiece = 4
+  /** EM rounds (fixed unroll, replayed by the oracle). */
+  val Iters = 2
+
+  /** Training word types: (w, freq, len) — ascii lowercase, bounded. */
+  def wordTypes(documents: DataFrame): DataFrame =
+    documents
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$") && length(col("w")) <= MaxLen)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .withColumn("len", length(col("w")))
+
+  /** Candidate pieces: one row per (word type, start, length) occurrence —
+    * (w, freq, ci, ck, piece), ci 1-based, ck in 1..MaxPiece. */
+  def candidates(types: DataFrame): DataFrame =
+    types
+      .select(col("w"), col("freq"),
+        explode(expr(
+          s"flatten(transform(sequence(1, length(w)), i -> " +
+            s"transform(sequence(1, least($MaxPiece, length(w) - i + 1)), " +
+            "k -> struct(i AS ci, k AS ck))))")).as("ik"))
+      .select(col("w"), col("freq"), col("ik.ci").as("ci"),
+        col("ik.ck").as("ck"),
+        expr("substr(w, ik.ci, ik.ck)").as("piece"))
+
+  /** The forward Viterbi DP over one word, as a single higher-order fold:
+    * acc[j+1] = (best score, best path) for the prefix of length j; step i
+    * extends the best prefixes at i−k by the piece substr(w, i−k+1, k),
+    * k ≤ MaxPiece, picking max score then lexicographically smallest path
+    * (a strict total order — the argmax is iteration-order-free, so this
+    * is EXACTLY the (score DESC, path ASC) top-1 of the oracle's unrolled
+    * relational DP; the cross-engine hash-match proves the equivalence).
+    * `m` is the per-word map (ci*8+ck) → lp_q. */
+  private def dpExpr: String = {
+    def sc(kOff: String) =
+      s"element_at(acc, i - $kOff + 1).sc + element_at(m, (i - $kOff + 1) * 8 + $kOff)"
+    def ph(kOff: String) =
+      s"CASE WHEN i - $kOff = 0 THEN substr(w, i - $kOff + 1, $kOff) " +
+        s"ELSE element_at(acc, i - $kOff + 1).ph || '|' || " +
+        s"substr(w, i - $kOff + 1, $kOff) END"
+    s"""aggregate(
+       |  sequence(1, length(w)),
+       |  array(named_struct('sc', cast(0 as bigint), 'ph', '')),
+       |  (acc, i) -> concat(acc, array(
+       |    aggregate(
+       |      sequence(1, least($MaxPiece, i)),
+       |      cast(null as struct<sc: bigint, ph: string>),
+       |      (b, k) -> CASE
+       |        WHEN b IS NULL
+       |          OR ${sc("k")} > b.sc
+       |          OR (${sc("k")} = b.sc AND (${ph("k")}) < b.ph)
+       |        THEN named_struct('sc', ${sc("k")}, 'ph', ${ph("k")})
+       |        ELSE b END))),
+       |  acc -> element_at(acc, length(w) + 1).ph)""".stripMargin
+  }
+
+  /** Viterbi-best segmentation of every word type under `lp` (piece →
+    * lp_q): (w, path) with path = pieces joined by '|'.
+    *
+    * Engine shape: ONE join (candidates × scores) + ONE per-word map
+    * aggregation + the [[dpExpr]] fold — constant stage count regardless
+    * of MaxLen. (A first cut unrolled the DP relationally like the
+    * oracle, 12 join+window+checkpoint rounds per E-step; correct, but
+    * 3 E-steps × 12 rounds of tiny-stage scheduling dominated the runtime
+    * at ANY scale — the fold does the same integer DP in-row, and the
+    * oracle's unrolled form certifies it per round via the hash match.) */
+  private def viterbi(types: DataFrame, cand: DataFrame,
+                      lp: DataFrame): DataFrame =
+    cand.drop("freq")
+      .join(lp.select(col("piece"), col("lp_q")), Seq("piece"))
+      .groupBy(col("w"))
+      .agg(map_from_entries(collect_list(struct(
+        ((col("ci") * 8) + col("ck")).cast("int").as("key"),
+        col("lp_q").as("value")))).as("m"))
+      .select(col("w"), expr(dpExpr).as("path"))
+
+  /** Freq-weighted piece usage counts of a segmentation set. */
+  private def usageCounts(seg: DataFrame, types: DataFrame): DataFrame =
+    seg.join(types.select(col("w"), col("freq")), Seq("w"))
+      .select(col("freq"), explode(split(col("path"), "\\|")).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
+
+  /** Add-one-smoothed integer-log scores over the full seed vocabulary:
+    * (piece, cnt, arg, lp_q) with cnt = 0 for unused pieces. `arg` is the
+    * pre-floor ln argument, carried so the knife-edge audit measures the
+    * QUERY'S OWN terms rather than a duplicated pipeline. */
+  private def smoothedLp(counts: DataFrame, seedPieces: DataFrame): DataFrame = {
+    val tot = counts.agg(sum(col("cnt")).as("tt"))
+    val v0 = seedPieces.agg(count(lit(1)).as("v0"))
+    seedPieces.join(counts, Seq("piece"), "left")
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(v0))
+      .select(col("piece"), coalesce(col("cnt"), lit(0L)).as("cnt"),
+        ((coalesce(col("cnt"), lit(0L)) + lit(1L)).cast("double") /
+          (col("tt") + col("v0")).cast("double")).as("arg"))
+      .withColumn("lp_q", floor(log(col("arg")) * 1e4).cast("long"))
+  }
+
+  /** Shared training pipeline: returns (types, cand, final smoothed lp,
+    * and the union of every scoring round's pre-floor ln arguments for
+    * the KnifeEdgeSpec audit). */
+  private def trained(documents: DataFrame, iters: Int)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val types = wordTypes(documents).localCheckpoint()
+    val cand = candidates(types).localCheckpoint()
+    val seedPieces = cand.select(col("piece")).distinct()
+    // round-0 scores from raw seed occurrence counts (every piece >= 1)
+    val c0 = cand.groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
+    val t0 = c0.agg(sum(col("cnt")).as("tt"))
+    var lp = c0.crossJoin(broadcast(t0))
+      .select(col("piece"), col("cnt"),
+        (col("cnt").cast("double") / col("tt").cast("double")).as("arg"))
+      .withColumn("lp_q", floor(log(col("arg")) * 1e4).cast("long"))
+      .localCheckpoint()
+    var args = lp.select(col("arg"))
+    for (_ <- 1 to iters) {
+      val seg = viterbi(types, cand, lp)
+      lp = smoothedLp(usageCounts(seg, types), seedPieces).localCheckpoint()
+      args = args.unionByName(lp.select(col("arg")))
+    }
+    (types, cand, lp, args)
+  }
+
+  /** Every pre-floor ln argument the training evaluates (round 0 plus each
+    * EM re-score), for KnifeEdgeSpec — returned from the SAME plan the
+    * registered queries run, so the audit cannot drift from the query. */
+  private[graft] def lnArgsForAudit(documents: DataFrame,
+                                    iters: Int = Iters): DataFrame =
+    trained(documents, iters)._4
+
+  /** Tokenizer TRAIN: the final vocabulary — pieces used by the last
+    * E-step's segmentations, with their freq-weighted counts and smoothed
+    * integer-log scores: (piece, cnt, lp_q). */
+  def train(documents: DataFrame, iters: Int = Iters): DataFrame = {
+    val (_, _, lp, _) = trained(documents, iters)
+    lp.filter(col("cnt") > 0L)
+      .select(col("piece"), col("cnt"), col("lp_q"))
+  }
+
+  /** Tokenizer APPLY: segment the training word types with the trained
+    * scores (one more Viterbi pass under the final lp) — the encode twin,
+    * mirroring q138's BPE encode: (w, freq, n_pieces, encoding). */
+  def encode(documents: DataFrame, iters: Int = Iters): DataFrame = {
+    val (types, cand, lp, _) = trained(documents, iters)
+    viterbi(types, cand, lp)
+      .join(types.select(col("w"), col("freq")), Seq("w"))
+      .select(col("w"), col("freq"),
+        size(split(col("path"), "\\|")).cast("long").as("n_pieces"),
+        col("path").as("encoding"))
+  }
+}

