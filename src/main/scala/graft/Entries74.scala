@@ -138,7 +138,80 @@ object Entries74 {
              |      (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
              |        ::BIGINT % 1000000) * 2 + 1 AS DOUBLE)
              |      / 2000000.0) * 1e4) AS BIGINT) < logw_q - mx AS selected
-             |FROM agg CROSS JOIN mx""".stripMargin)))
+             |FROM agg CROSS JOIN mx""".stripMargin)),
+
+    // SQL-TEXT SURFACE over the curation/dedup families (r10 verdict #8):
+    // the DataFrame-only relations (LSH near-dup pairs, quality scores)
+    // registered as lazy temp views by SqlSurface, then the quality-gated
+    // dedup KEEP LIST written in PURE SQL — drop the lower-quality member
+    // of every verified near-dup pair (ties break to the larger doc_id).
+    // Catalyst inlines the views, so the physical plan is the q23 banded
+    // pipeline + one broadcast join — identical to the DataFrame form.
+    Q("q422_sql_dedup_keep",
+      (s, d) => {
+        graft.ext.SqlSurface.registerCurationViews(s, Tables.documents(s, d))
+        s.sql("""WITH losers AS (
+                |  SELECT DISTINCT
+                |    CASE WHEN qa.quality_score < qb.quality_score THEN p.d1
+                |         WHEN qb.quality_score < qa.quality_score THEN p.d2
+                |         ELSE greatest(p.d1, p.d2) END AS doc_id
+                |  FROM graft_neardup_pairs p
+                |  JOIN graft_quality qa ON p.d1 = qa.doc_id
+                |  JOIN graft_quality qb ON p.d2 = qb.doc_id)
+                |SELECT q.doc_id, q.n_tokens, q.quality_score,
+                |  CAST(CASE WHEN l.doc_id IS NULL THEN 1 ELSE 0 END AS INT)
+                |    AS keep
+                |FROM graft_quality q
+                |LEFT JOIN losers l ON q.doc_id = l.doc_id""".stripMargin)
+      },
+      Some(s"""WITH ${ExtEntries.shinglesCte}, ${ExtEntries.shingleIdCte},
+              |${ExtEntries.minhashLongCte}, ${ExtEntries.shingleCountCte},
+              |${ExtEntries.shingleInterCte},
+              |wide AS (
+              |  SELECT doc_id,
+              |    ${(0 until 16).map(j => s"min(CASE WHEN j = $j THEN minh END) AS h$j").mkString(", ")}
+              |  FROM sigs GROUP BY doc_id),
+              |bands AS (
+              |  ${(0 until 4).map(b =>
+                   s"SELECT doc_id, $b AS band, " +
+                   (0 until 4).map(r => s"CAST(h${b * 4 + r} AS VARCHAR)").mkString(" || ',' || ") +
+                   " AS sig FROM wide").mkString(" UNION ALL ")}),
+              |cands AS (
+              |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+              |  FROM bands x JOIN bands y
+              |    ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+              |ndpairs AS (
+              |  SELECT c.d1, c.d2
+              |  FROM cands c
+              |  JOIN shint ON c.d1 = shint.d1 AND c.d2 = shint.d2
+              |  JOIN shcnt ca ON c.d1 = ca.doc_id
+              |  JOIN shcnt cb ON c.d2 = cb.doc_id
+              |  WHERE CAST(ix AS DOUBLE) / (ca.n + cb.n - ix) >= 0.5),
+              |quality AS (
+              |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+              |    least(greatest(CAST(nu AS DOUBLE) / len(w)
+              |      - 0.5 * (CAST(ns AS DOUBLE) / len(w)), 0.0), 1.0)
+              |      AS quality_score
+              |  FROM (
+              |    SELECT doc_id, w,
+              |      len(list_filter(w, x -> list_contains(
+              |        ['the','a','of','and','to'], x))) AS ns,
+              |      len(list_distinct(w)) AS nu
+              |    FROM (SELECT doc_id, string_split(text, ' ') AS w
+              |          FROM documents))),
+              |losers AS (
+              |  SELECT DISTINCT
+              |    CASE WHEN qa.quality_score < qb.quality_score THEN p.d1
+              |         WHEN qb.quality_score < qa.quality_score THEN p.d2
+              |         ELSE greatest(p.d1, p.d2) END AS doc_id
+              |  FROM ndpairs p
+              |  JOIN quality qa ON p.d1 = qa.doc_id
+              |  JOIN quality qb ON p.d2 = qb.doc_id)
+              |SELECT q.doc_id, q.n_tokens, q.quality_score,
+              |  CAST(CASE WHEN l.doc_id IS NULL THEN 1 ELSE 0 END AS INT)
+              |    AS keep
+              |FROM quality q
+              |LEFT JOIN losers l ON q.doc_id = l.doc_id""".stripMargin)))
 
   // ------------------------------------------------- unigram oracle codegen
 

@@ -629,6 +629,10 @@ object SparkEntry {
         val labeled = feats
           .select(col("user_id"), col("event_id"), col("ts_us"))
           .join(labels, Seq("user_id", "event_id"), "inner")
+          // three consumers since the r11 distributed split: its own
+          // stage, the split's bucket-counts pass, and the split's ranked
+          // pass — uncut, each replans the label join over the events scan
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val split = Labels.orderedSplit(labeled,
           Seq("user_id", "ts_us", "event_id"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

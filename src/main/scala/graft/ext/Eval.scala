@@ -108,8 +108,12 @@ object Eval {
     */
   def calibrationBins(df: DataFrame, scoreCol: String, labelCol: String,
                       idCol: String, bins: Int): DataFrame = {
-    val w = Window.orderBy(col(scoreCol).asc, col(idCol).asc)
-    df.withColumn("bin", ntile(bins).over(w).cast("long"))
+    import graft.ops.Ranks
+    // distributed ntile (Ranks): score-range buckets monotone in the sort
+    // key; no fact-sized unpartitioned window (bit-identical to ntile)
+    Ranks.withGlobalRank(df, expr(s"$scoreCol DIV 100000"),
+        Seq(col(scoreCol).asc, col(idCol).asc), "__rn", "__n")
+      .withColumn("bin", Ranks.ntileFromRank(col("__rn"), col("__n"), bins))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n"),
         sum(when(col(labelCol), 1L).otherwise(0L)).as("n_pos"),

@@ -1,0 +1,46 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** SQL-text reach into the DataFrame-only curation/dedup families.
+  *
+  * The engine's SQL front end already covers scalar/aggregate functions
+  * (GraftFunctions.register — kll_sketch, bitmap_*, char_grams, ... usable
+  * from `spark.sql`), SQL-defined functions (q246), raw-table SQL (q84) and
+  * recursive CTEs (q97). What it could NOT reach were the whole-relation
+  * curation operators (LSH pair generation, quality scoring, language id,
+  * exact-dup grouping): those exist only as DataFrame transformers.
+  *
+  * Spark's idiomatic bridge for relation-valued operators is the catalog:
+  * register each derived relation as a (lazy) temporary view, then compose
+  * in SQL text. Views are unevaluated plans — Catalyst inlines them, so a
+  * SQL query over `graft_neardup_pairs` gets the SAME physical plan as the
+  * DataFrame pipeline (banded LSH join, broadcast verify), with pushdown
+  * and pruning intact. (A custom table-valued function would need a
+  * catalyst TableFunctionRegistry entry and buys nothing over a view for
+  * fixed-argument relations.)
+  */
+object SqlSurface {
+
+  /** Register the curation/dedup relations over `documents` as temp views:
+    *  - graft_docs            the corpus itself
+    *  - graft_quality         TextAnalysis.qualityScore (q31 semantics)
+    *  - graft_langid          TextAnalysis.langId (q32 semantics)
+    *  - graft_exact_dups      Dedup.exact content-hash groups (q20)
+    *  - graft_neardup_pairs   Dedup.minhashLshPairs banded+verified (q23)
+    *  - graft_simhash         Dedup.simhash 64-bit signatures (q24)
+    * All lazy — nothing is computed until a SQL query consumes a view. */
+  def registerCurationViews(spark: SparkSession, documents: DataFrame): Unit = {
+    documents.createOrReplaceTempView("graft_docs")
+    TextAnalysis.qualityScore(documents)
+      .createOrReplaceTempView("graft_quality")
+    TextAnalysis.langId(documents)
+      .createOrReplaceTempView("graft_langid")
+    Dedup.exact(documents)
+      .createOrReplaceTempView("graft_exact_dups")
+    Dedup.minhashLshPairs(documents, 3, 0.5)
+      .createOrReplaceTempView("graft_neardup_pairs")
+    Dedup.simhash(documents)
+      .createOrReplaceTempView("graft_simhash")
+  }
+}

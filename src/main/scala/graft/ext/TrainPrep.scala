@@ -47,15 +47,21 @@ object TrainPrep {
     * embargoed. Complements the hash split (q54: entity-leakage-free) and
     * the reference's ordered prefix split (q10 / SURVEY T3).
     *
-    * Fold assignment is `ntile(k)` over (ts, tie) — a global sort, exactly
-    * like the reference's T3 split (the semantics REQUIRE a total order).
-    * At 100 TB the same contract runs on approximate range boundaries
-    * (quantile cut points) instead; ntile keeps it oracle-exact here.
+    * Fold assignment is ntile(k) over (ts, tie) — the semantics REQUIRE a
+    * total order — computed as [[graft.ops.Ranks.withGlobalRank]] (weekly
+    * time buckets + offsets + bucket-partitioned ranks) +
+    * [[graft.ops.Ranks.ntileFromRank]], so no fact-sized single-partition
+    * window exists in the plan and the cut is still EXACT (bit-identical
+    * to the oracle's ntile window).
     */
   def purgedTimeFolds(df: DataFrame, tsCol: String, tieCol: String,
                       k: Int, embargoUs: Long): DataFrame = {
-    val w = Window.orderBy(col(tsCol).asc, col(tieCol).asc)
-    val folded = df.withColumn("fold", ntile(k).over(w).cast("long"))
+    import graft.ops.Ranks
+    val folded = Ranks.withGlobalRank(df,
+        expr(s"$tsCol DIV 604800000000"), // weekly buckets, monotone in ts
+        Seq(col(tsCol).asc, col(tieCol).asc), "__rn", "__n")
+      .withColumn("fold", Ranks.ntileFromRank(col("__rn"), col("__n"), k))
+      .drop("__rn", "__n")
     val starts = folded.groupBy(col("fold"))
       .agg(min(col(tsCol)).as("fold_start"))
       .withColumn("next_start",
@@ -77,29 +83,32 @@ object TrainPrep {
     * the global median index (N+1) DIV 2). Ties are pinned by id, so the
     * result is deterministic and oracle-exact.
     *
-    * Scale shape: one within-group window, one global rank (the same
-    * total-order contract as the T3 split — range-partitioned sort at real
-    * scale), then an equi join on the computed index against the
-    * |N|-row (idx, value) reference — no per-row search, no interpolation
-    * floats.
+    * Scale shape: one within-group window, one DISTRIBUTED global rank
+    * ([[graft.ops.Ranks.withGlobalRank]] over score-range buckets — no
+    * fact-sized unpartitioned window), then an equi join on the computed
+    * index against the |N|-row (idx, value) reference — no per-row search,
+    * no interpolation floats, no driver-side count().
     */
   def quantileNormalize(df: DataFrame, grpCol: String, idCol: String,
                         scoreCol: String): DataFrame = {
+    import graft.ops.Ranks
     val gw = Window.partitionBy(col(grpCol))
       .orderBy(col(scoreCol).asc, col(idCol).asc)
     val ranked = df
       .withColumn("__rn", row_number().over(gw).cast("long"))
       .withColumn("__ng", count(lit(1))
         .over(Window.partitionBy(col(grpCol))))
-    val globalW = Window.orderBy(col(scoreCol).asc, col(idCol).asc)
-    val ref = df
-      .withColumn("__idx", row_number().over(globalW).cast("long"))
+    val ref = Ranks.withGlobalRank(df,
+        expr(s"$scoreCol DIV 100000"), // score-range buckets, monotone
+        Seq(col(scoreCol).asc, col(idCol).asc), "__idx", "__n")
       .select(col("__idx"), col(scoreCol).as("norm_score"))
-    val n = df.count()
+    val tot = df.agg(count(lit(1)).as("__nt"))
     ranked
+      .crossJoin(broadcast(tot))
       .withColumn("__idx",
-        when(col("__ng") === 1L, lit((n + 1) / 2))
-          .otherwise(expr(s"(( __rn - 1) * ${n - 1}) DIV (__ng - 1) + 1")))
+        when(col("__ng") === 1L, Ranks.idiv(col("__nt") + 1L, lit(2L)))
+          .otherwise(Ranks.idiv((col("__rn") - 1L) * (col("__nt") - 1L),
+            col("__ng") - 1L) + 1L))
       .join(ref, Seq("__idx"))
       .select(col(idCol), col(grpCol), col(scoreCol), col("norm_score"))
   }
@@ -271,10 +280,15 @@ object TrainPrep {
     * ~10^8 rows; the 100 TB path replaces it with approx-quantile boundaries
     * + a broadcast range join, same output schema. */
   def quantileBins(orders: DataFrame, nBins: Int): DataFrame = {
+    import graft.ops.Ranks
     val cents = round(col("o_totalprice") * 100).cast("long")
-    val w = Window.orderBy(col("price_cents").asc, col("o_orderkey").asc)
-    orders.select(col("o_orderkey"), cents.as("price_cents"))
-      .withColumn("bin", ntile(nBins).over(w).cast("long"))
+    // distributed ntile (Ranks): per-million-cents value buckets are
+    // monotone in the sort key; no fact-sized unpartitioned window
+    Ranks.withGlobalRank(
+        orders.select(col("o_orderkey"), cents.as("price_cents")),
+        expr("price_cents DIV 1000000"),
+        Seq(col("price_cents").asc, col("o_orderkey").asc), "__rn", "__n")
+      .withColumn("bin", Ranks.ntileFromRank(col("__rn"), col("__n"), nBins))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n"),
         min(col("price_cents")).as("min_cents"),

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -66,15 +66,21 @@ object Labels {
   /** T3 — ordered sequential 80/20 prefix split (reference:
     * jobs/make_training_and_train.py:57-58 — despite the comment it is an
     * ordered prefix split, not a time split). Integer math (5·rn ≤ 4·n)
-    * avoids float boundary surprises. Global row_number = single-partition
-    * sort; fine for training-set assembly (output of heavy aggregation),
-    * not for raw-event scale. */
-  def orderedSplit(df: DataFrame, orderCols: Seq[String]): DataFrame = {
-    val w = Window.orderBy(orderCols.map(col): _*)
-    val n = df.count()
-    df.withColumn("rn", row_number().over(w))
+    * avoids float boundary surprises. The global rank runs through
+    * [[Ranks.withGlobalRank]] (bucket offsets + partitioned in-bucket
+    * ranks) rather than a single-partition window, so the split survives
+    * raw-event scale; `bucket` must be monotone in `orderCols.head`
+    * (default: the leading key DIV 1024 — both call sites lead with an
+    * integral entity id). The row count rides the same bucket-counts
+    * relation (no driver-side count()). */
+  def orderedSplit(df: DataFrame, orderCols: Seq[String],
+                   bucket: Column = null): DataFrame = {
+    val bk = Option(bucket)
+      .getOrElse(expr(s"CAST(${orderCols.head} AS BIGINT) DIV 1024"))
+    Ranks.withGlobalRank(df, bk, orderCols.map(col), "__rn", "__n")
       .withColumn("split",
-        when(col("rn") * 5 <= lit(n) * 4, lit("train")).otherwise(lit("test")))
-      .drop("rn")
+        when(col("__rn") * 5 <= col("__n") * 4, lit("train"))
+          .otherwise(lit("test")))
+      .drop("__rn", "__n")
   }
 }

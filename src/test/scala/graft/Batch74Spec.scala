@@ -86,4 +86,26 @@ class Batch74Spec extends SparkSpec {
       .count()
     assert(out.length.toLong === expected)
   }
+
+  test("q422: the SQL-text surface reaches the dedup views; no near-dup " +
+    "pair survives with both members kept") {
+    val out = q("q422_sql_dedup_keep").collect()
+    // one row per document, and the views landed in the catalog
+    assert(out.length.toLong === Tables.documents(spark, sf).count())
+    for (v <- Seq("graft_neardup_pairs", "graft_quality", "graft_docs",
+      "graft_exact_dups", "graft_simhash", "graft_langid"))
+      assert(spark.catalog.tableExists(v), s"view $v not registered")
+    val keep = out.filter(_.getAs[Int]("keep") == 1)
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(keep.nonEmpty && keep.size < out.length,
+      "fixture has near-dups, so some doc must be dropped and some kept")
+    val pairs = graft.ext.Dedup
+      .minhashLshPairs(Tables.documents(spark, sf), 3, 0.5).collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { p =>
+      assert(!(keep(p.getAs[Long]("d1")) && keep(p.getAs[Long]("d2"))),
+        s"pair (${p.get(0)}, ${p.get(1)}): both members kept — the SQL " +
+          "loser rule must drop one side of every verified pair")
+    }
+  }
 }

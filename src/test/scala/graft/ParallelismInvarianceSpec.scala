@@ -72,7 +72,15 @@ class ParallelismInvarianceSpec extends SparkSpec {
     // on (score, path) total order; DSIR's resampling is hash-keyed
     "q419_unigram_lm",
     "q420_unigram_encode",
-    "q421_dsir_resample")
+    "q421_dsir_resample",
+    // r11 distributed-rank rewrites (ops/Ranks): the global rank is now
+    // bucket offsets + in-bucket windows — the rank must be a pure
+    // function of the data under any shuffle layout
+    "q10_ordered_split",
+    "q57_quantile_bins",
+    "q182_purged_folds",
+    "q183_calibration_bins",
+    "q184_quantile_normalize")
 
   private def runAt(name: String, partitions: Int): Seq[String] = {
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
