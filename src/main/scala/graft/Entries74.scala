@@ -14,7 +14,9 @@ import graft.ext.UnigramLm
   */
 object Entries74 {
 
-  val all: Seq[Q] = Seq(
+  def all: Seq[Q] = base ++ hll
+
+  private val base: Seq[Q] = Seq(
 
     // UNIGRAM-LM TOKENIZER TRAINING (Kudo 2018, arXiv:1804.10959), hard-EM
     // variant: substring seed vocab -> integer-log seed scores -> 2 rounds
@@ -212,6 +214,122 @@ object Entries74 {
               |    AS keep
               |FROM quality q
               |LEFT JOIN losers l ON q.doc_id = l.doc_id""".stripMargin)))
+
+  /** HyperLogLog alpha for m = 256 registers (Flajolet et al. 2007:
+    * 0.7213/(1+1.079/m)), micro-quantized at BUILD TIME — the same
+    * embedded-literal escape hatch as the SPRT/Bloom constants. */
+  private val hllAlphaMicro: Long =
+    math.floor(0.7213 / (1.0 + 1.079 / 256.0) * 1e6).toLong
+
+  private val hll: Seq[Q] = Seq(
+
+    // HYPERLOGLOG AS RELATIONAL ALGEBRA: the approximate COUNT(DISTINCT)
+    // member of the sketch suite (bitmap = exact distincts, KLL =
+    // quantiles, CMS = frequencies, Bloom = membership). No custom
+    // aggregate is needed — an HLL register table IS `groupBy(key, j)
+    // .agg(max(rho))`, and `max` is the merge, so the sketch is mergeable,
+    // map-side-combining, and layout-free BY ALGEBRA (the same argument as
+    // the bitmap OR). h = 48-bit md5 prefix; j = h mod 256 (p = 8);
+    // rho = leading zeros of the remaining 40 bits + 1, computed with the
+    // q315 bit-math idiom length(bin(w)) — no float log in the register
+    // build. The raw estimate alpha*m^2/sum(2^-M[j]) is scaled by 2^41
+    // into an exact BIGINT harmonic sum (missing registers contribute
+    // 2^41 each), the one division runs on 128-bit intermediates (Spark
+    // DECIMAL(38,0) DIV = DuckDB HUGEINT // on non-negative operands —
+    // q413/q417), and the standard small-range rule applies LINEAR
+    // COUNTING m*ln(m/V) when raw <= 2.5m and V > 0 (one floored ln on
+    // the 1e-4 grid — KnifeEdge-audited; the 256/V argument has only 255
+    // possible values). Keyed on orders.o_custkey per priority: the sf0.01
+    // gate exercises the raw regime, sf0.001 the linear-counting branch.
+    // Output keeps the exact count beside the estimate with err_ppm, the
+    // measured-gate discipline of q295/q354.
+    Q("q423_hll_registers",
+      (s, d) => {
+        val ord = Tables.orders(s, d)
+        val h = graft.ext.Dedup.contentId(col("o_custkey").cast("string"))
+        val regs = ord
+          .select(col("o_orderpriority").as("grp"), (h % 256L).as("j"),
+            (h.cast("long") / lit(256L)).cast("long").as("w"))
+          .select(col("grp"), col("j"),
+            when(col("w") === 0L, lit(41L))
+              .otherwise(lit(41L) - length(bin(col("w"))).cast("long"))
+              .as("rho"))
+          .groupBy(col("grp"), col("j"))
+          .agg(max(col("rho")).as("m_j"))
+        val sums = regs.groupBy(col("grp"))
+          .agg(count(lit(1)).as("n_regs"),
+            sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(41 - m_j AS INT))"))
+              .as("s_seen"))
+          .select(col("grp"), (lit(256L) - col("n_regs")).as("v_zero"),
+            (col("s_seen") +
+              (lit(256L) - col("n_regs")) * lit(1L << 41)).as("s_scaled"))
+        val exact = ord.groupBy(col("o_orderpriority").as("grp"))
+          .agg(countDistinct(col("o_custkey")).as("n_exact"))
+        sums.join(exact, Seq("grp"))
+          .selectExpr("grp", "n_exact", "v_zero", "s_scaled",
+            s"CAST(CAST($hllAlphaMicro AS DECIMAL(38,0)) * 65536 * " +
+              "CAST(shiftleft(CAST(1 AS BIGINT), 41) AS DECIMAL(38,0)) DIV " +
+              "(CAST(s_scaled AS DECIMAL(38,0)) * 1000) AS BIGINT) " +
+              "AS raw_milli")
+          // linear counting: 256 * floor(ln(256/V)*1e4) is on the 1e-4
+          // grid; DIV 10 brings it to milli (operands non-negative)
+          .selectExpr("grp", "n_exact", "v_zero", "s_scaled", "raw_milli",
+            "CASE WHEN v_zero > 0 THEN (256 * CAST(floor(ln(256.0 / " +
+              "CAST(v_zero AS DOUBLE)) * 1e4) AS BIGINT)) DIV 10 END " +
+              "AS lc_milli")
+          .selectExpr("grp", "n_exact", "v_zero", "s_scaled", "raw_milli",
+            "lc_milli",
+            "CASE WHEN raw_milli <= 640000 AND v_zero > 0 THEN lc_milli " +
+              "ELSE raw_milli END AS est_milli")
+          .selectExpr("grp", "n_exact", "v_zero", "s_scaled", "raw_milli",
+            "lc_milli", "est_milli",
+            "abs(est_milli - n_exact * 1000) * 1000000 DIV " +
+              "(n_exact * 1000) AS err_ppm")
+      },
+      Some(s"""WITH h AS (
+              |  SELECT o_orderpriority AS grp,
+              |    ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 12))
+              |      ::BIGINT AS hv
+              |  FROM orders),
+              |rho AS (
+              |  SELECT grp, hv % 256 AS j,
+              |    CASE WHEN hv // 256 = 0 THEN 41
+              |         ELSE 41 - length(bin(hv // 256)) END AS rho
+              |  FROM h),
+              |regs AS (
+              |  SELECT grp, j, max(rho) AS m_j
+              |  FROM rho GROUP BY 1, 2),
+              |sums AS (
+              |  SELECT grp,
+              |    256 - count(*) AS v_zero,
+              |    CAST(sum(1::BIGINT << CAST(41 - m_j AS INT)) AS BIGINT)
+              |      + (256 - count(*)) * (1::BIGINT << 41) AS s_scaled
+              |  FROM regs GROUP BY 1),
+              |exact AS (
+              |  SELECT o_orderpriority AS grp,
+              |    CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_exact
+              |  FROM orders GROUP BY 1),
+              |est0 AS (
+              |  SELECT s.grp, e.n_exact,
+              |    CAST(s.v_zero AS BIGINT) AS v_zero, s.s_scaled,
+              |    CAST(($hllAlphaMicro::HUGEINT * 65536 *
+              |      (1::HUGEINT << 41)) //
+              |      (s.s_scaled::HUGEINT * 1000) AS BIGINT) AS raw_milli,
+              |    CASE WHEN s.v_zero > 0 THEN
+              |      (256 * CAST(floor(ln(256.0 /
+              |        CAST(s.v_zero AS DOUBLE)) * 1e4) AS BIGINT)) // 10
+              |    END AS lc_milli
+              |  FROM sums s JOIN exact e ON s.grp = e.grp),
+              |est AS (
+              |  SELECT grp, n_exact, v_zero, s_scaled, raw_milli, lc_milli,
+              |    CASE WHEN raw_milli <= 640000 AND v_zero > 0
+              |         THEN lc_milli ELSE raw_milli END AS est_milli
+              |  FROM est0)
+              |SELECT grp, n_exact, v_zero, s_scaled, raw_milli, lc_milli,
+              |  est_milli,
+              |  abs(est_milli - n_exact * 1000) * 1000000
+              |    // (n_exact * 1000) AS err_ppm
+              |FROM est""".stripMargin)))
 
   // ------------------------------------------------- unigram oracle codegen
 

@@ -108,4 +108,30 @@ class Batch74Spec extends SparkSpec {
           "loser rule must drop one side of every verified pair")
     }
   }
+
+  test("q423: HLL register algebra is consistent and the estimate lands " +
+    "within the published error envelope in its regime") {
+    val out = q("q423_hll_registers").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val v = r.getAs[Long]("v_zero")
+      assert(v >= 0L && v <= 256L)
+      // harmonic-sum bounds: every register contributes (0, 2^41]
+      val s = r.getAs[Long]("s_scaled")
+      assert(s > 0L && s <= 256L * (1L << 41))
+      // the regime rule: raw <= 2.5m with zeros -> linear counting
+      val raw = r.getAs[Long]("raw_milli")
+      val est = r.getAs[Long]("est_milli")
+      if (raw <= 640000L && v > 0L)
+        assert(est === r.getAs[Long]("lc_milli"))
+      else assert(est === raw)
+      // m = 256 -> relative std error ~1.04/sqrt(256) = 6.5%; gate at
+      // 4 sigma (26%) so a fixture regeneration can't flake the spec
+      // while a broken rho/register build (orders-of-magnitude off)
+      // still fails loudly
+      assert(r.getAs[Long]("err_ppm") < 260000L,
+        s"${r.getAs[String]("grp")}: est $est vs exact " +
+          s"${r.getAs[Long]("n_exact")} — outside 4 sigma")
+    }
+  }
 }

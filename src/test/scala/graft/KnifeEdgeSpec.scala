@@ -550,4 +550,17 @@ class KnifeEdgeSpec extends SparkSpec {
       .select((log(col("arg")) * 1e4).as("v"))
     assertFloorSafe("q421", vs)
   }
+
+  // ---- q423 HLL linear counting (Entries74.scala): floor(ln(256/V)*1e4)
+
+  test("q423: linear-counting terms clear the 1e-4 grid boundaries — " +
+    "exhaustively, for every possible register-zero count") {
+    // the ln argument is 256/V for V in 1..255 — the FULL domain is 255
+    // rationals, so audit all of them, not just the fixture's draws
+    // (V = 256 is excluded by the query's v_zero > 0 guard; 256/256 = 1
+    // is the exact-zero case both engines agree on anyway)
+    val vs = spark.range(1, 256)
+      .select((log(lit(256.0) / col("id").cast("double")) * 1e4).as("v"))
+    assertFloorSafe("q423", vs)
+  }
 }

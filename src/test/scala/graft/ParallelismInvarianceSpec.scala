@@ -80,7 +80,10 @@ class ParallelismInvarianceSpec extends SparkSpec {
     "q57_quantile_bins",
     "q182_purged_folds",
     "q183_calibration_bins",
-    "q184_quantile_normalize")
+    "q184_quantile_normalize",
+    // HLL registers merge by max — commutative-monoid, layout-free by
+    // algebra like the bitmap OR; executed here, not argued
+    "q423_hll_registers")
 
   private def runAt(name: String, partitions: Int): Seq[String] = {
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
