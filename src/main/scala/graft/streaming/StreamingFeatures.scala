@@ -446,6 +446,79 @@ object StreamingFeatures {
     ()
   }
 
+  /** INCREMENTAL CMS MATERIALIZATION: maintain a parquet store of per-week
+    * Count-Min sketches of the event user_id column across micro-batches —
+    * the FREQUENCY member of the streaming sketch face (bitmap = distincts,
+    * KLL = quantiles, CMS = per-key counts). Per batch: partial
+    * `cms_sketch` per touched week, elementwise-ADD merge with the stored
+    * counter arrays (`zip_with` — codegen, no custom merge aggregate
+    * needed for the two-sided cell merge), rewrite only those week
+    * partitions. Counter addition is NOT idempotent (same failure algebra
+    * as KLL weights), so the store carries the SAME per-week `batch_id`
+    * high-water mark as [[streamKllUpsert]] — replays are refused
+    * week-by-week, and recovery from checkpoint loss is
+    * delete-store-and-rebuild. */
+  def streamCmsUpsert(spark: SparkSession, eventsDir: String,
+                      storePath: String,
+                      maxFilesPerTrigger: Int = 0,
+                      checkpointDir: Option[String] = None): StreamingQuery = {
+    graft.functions.GraftFunctions.register(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(eventsDir).schema
+    val reader = spark.readStream.schema(schema)
+    val raw = (if (maxFilesPerTrigger > 0)
+      reader.option("maxFilesPerTrigger", maxFilesPerTrigger) else reader)
+      .parquet(eventsDir)
+    val writer = raw.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+    checkpointDir.foreach(writer.option("checkpointLocation", _))
+    writer
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        cmsApplyBatch(spark, batch.toDF(), schema, storePath, batchId)
+      }
+      .start()
+  }
+
+  /** One micro-batch of [[streamCmsUpsert]] — the [[kllApplyBatch]] shape
+    * with a join+zip_with cell merge instead of a merge aggregate. */
+  private[graft] def cmsApplyBatch(spark: SparkSession, batch: DataFrame,
+      schema: org.apache.spark.sql.types.StructType, storePath: String,
+      batchId: Long): Unit = {
+    import graft.functions.GraftFunctions.cmsSketch
+    val part = batch
+      .withColumn("ts_us", tsUsExpr(schema))
+      .withColumn("week", expr("ts_us DIV 604800000000"))
+      .groupBy(col("week"))
+      .agg(cmsSketch(col("user_id").cast("string")).as("sk"))
+      .localCheckpoint() // one materialization: feeds semi-join AND merge
+    val hPath = new org.apache.hadoop.fs.Path(storePath)
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val merged = (if (fs.exists(hPath)) {
+      val touched = spark.read.parquet(storePath)
+        .join(broadcast(part.select(col("week"))), Seq("week"))
+        .localCheckpoint()
+      val replayedWeeks = touched
+        .filter(col("batch_id") >= batchId).select(col("week"))
+      val fresh = part.join(broadcast(replayedWeeks), Seq("week"), "left_anti")
+      fresh
+        .join(touched.filter(col("batch_id") < batchId)
+          .select(col("week"), col("sk").as("sk_store")), Seq("week"), "left")
+        .select(col("week"),
+          when(col("sk_store").isNull, col("sk"))
+            .otherwise(zip_with(col("sk_store"), col("sk"),
+              (a, b) => a + b)).as("sk"))
+    } else part)
+      .withColumn("batch_id", lit(batchId))
+      .localCheckpoint() // lineage break before the in-place overwrite
+    merged.sparkSession.conf
+      .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("week").parquet(storePath)
+    spark.catalog.refreshByPath(storePath)
+    ()
+  }
+
   /** Open-session state carried between micro-batches. */
   case class OpenSession(startUs: Long, endUs: Long, n: Long, cents: Long)
   /** A closed session — the streaming twin of one Sessions.sessionize row

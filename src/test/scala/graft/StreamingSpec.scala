@@ -469,6 +469,101 @@ class StreamingSpec extends SparkSpec {
         "high-water mark — a doubled weight means the guard lost the race")
   }
 
+  test("CMS materialization restart: checkpointed resume conserves per-week " +
+    "counts; replays are refused by the batch_id guard; estimates dominate " +
+    "exact frequencies") {
+    // the frequency member of the streaming sketch face, same delivery
+    // algebra as KLL (counter addition is not idempotent): chunked
+    // backlog, stop/restart on one checkpoint, then a lost checkpoint
+    // whose replay the per-week high-water mark must refuse.
+    import java.nio.file.Files
+    import java.nio.file.attribute.FileTime
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.functions.GraftFunctions.register(spark)
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    val chunked = raw.withColumn("c", ntile(2).over(
+      org.apache.spark.sql.expressions.Window.orderBy($"ts", $"event_id")))
+    val dir = Files.createTempDirectory("events_cms_restart")
+    val chunkFiles = (1 to 2).map { k =>
+      val tmp = Files.createTempDirectory(s"cmschunk_$k")
+      chunked.filter($"c" === k).drop("c")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      new java.io.File(tmp.toString).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .head.toPath
+    }
+    def stage(k: Int): Unit = {
+      val dst = dir.resolve(f"chunk-$k%03d.parquet")
+      Files.copy(chunkFiles(k - 1), dst)
+      Files.setLastModifiedTime(dst, FileTime.fromMillis(2000000L + k * 60000L))
+    }
+    val ckpt = Files.createTempDirectory("cms_ckpt").toString
+    val store = Files.createTempDirectory("cms_store").toString + "/weekly"
+    // per-week item total = the sum of ANY single depth row's counters;
+    // row 0 = elements 1..Width
+    def storeTotals(): Map[Long, Long] =
+      spark.read.parquet(store)
+        .select($"week".cast("long"),
+          expr(s"aggregate(slice(sk, 1, ${graft.functions.CmsCodec.Width}), " +
+            "0L, (acc, x) -> acc + x)"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    stage(1)
+    val run1 = StreamingFeatures.streamCmsUpsert(spark, dir.toString,
+      store, maxFilesPerTrigger = 1, checkpointDir = Some(ckpt))
+    run1.processAllAvailable(); run1.stop()
+    stage(2)
+    val run2 = StreamingFeatures.streamCmsUpsert(spark, dir.toString,
+      store, maxFilesPerTrigger = 1, checkpointDir = Some(ckpt))
+    run2.processAllAvailable(); run2.stop()
+
+    val exactN = Tables.events(spark, sf)
+      .select(expr("ts_us DIV 604800000000").as("week"))
+      .groupBy($"week").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(storeTotals() == exactN,
+      "per-week counter mass must equal the exact event count after a " +
+        "checkpointed restart (counter addition conserves items)")
+
+    // CMS point estimates never underestimate; spot-check the heaviest
+    // (week, user) cells against exact counts
+    val exactCells = Tables.events(spark, sf)
+      .select(expr("ts_us DIV 604800000000").as("week"), $"user_id")
+      .groupBy($"week", $"user_id").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc).limit(20)
+    val est = spark.read.parquet(store)
+      .join(exactCells, Seq("week"))
+      .select($"week", $"user_id", $"n",
+        graft.functions.GraftFunctions
+          .cmsEstimate($"sk", $"user_id".cast("string")).as("e"))
+      .collect()
+    est.foreach { r =>
+      assert(r.getLong(3) >= r.getLong(2),
+        s"CMS underestimated (${r.get(0)}, ${r.get(1)})")
+    }
+
+    // checkpoint loss: the replay's batchIds 0..1 are dominated by the
+    // stored high-water marks — refused, store bit-unchanged
+    val ckpt2 = Files.createTempDirectory("cms_ckpt_lost").toString
+    val run3 = StreamingFeatures.streamCmsUpsert(spark, dir.toString,
+      store, maxFilesPerTrigger = 1, checkpointDir = Some(ckpt2))
+    run3.processAllAvailable(); run3.stop()
+    assert(storeTotals() == exactN,
+      "a replayed backlog must be REFUSED by the per-week batch_id guard")
+
+    // and the crash-window shape, driven directly: re-apply the SAME
+    // (batch content, batchId) pair that batch 1 already wrote — chunk 2
+    // with batchId 1. (Replaying different content under a HIGHER batchId
+    // is legitimately applied — the guard is a per-week high-water mark,
+    // not a content hash.)
+    val before = storeTotals()
+    StreamingFeatures.cmsApplyBatch(spark,
+      spark.read.parquet(chunkFiles(1).toString), raw.schema, store,
+      batchId = 1L)
+    assert(storeTotals() == before,
+      "replaying an applied batchId through cmsApplyBatch must be a no-op")
+  }
+
   test("kllApplyBatch is idempotent per (week, batchId): the crash window " +
     "between partition overwrite and offset commit replays harmlessly") {
     // the exact at-least-once window the streaming harness can't stage:
