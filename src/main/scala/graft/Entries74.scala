@@ -14,7 +14,7 @@ import graft.ext.UnigramLm
   */
 object Entries74 {
 
-  def all: Seq[Q] = base ++ hll
+  def all: Seq[Q] = base ++ hll ++ Seq(hllRollup)
 
   private val base: Seq[Q] = Seq(
 
@@ -330,6 +330,110 @@ object Entries74 {
               |  abs(est_milli - n_exact * 1000) * 1000000
               |    // (n_exact * 1000) AS err_ppm
               |FROM est""".stripMargin)))
+
+  /** Shared estimate SQL from (grp, v_zero, s_scaled) — raw HLL with the
+    * linear-counting branch, identical in both engines modulo DIV/// and
+    * DECIMAL/HUGEINT spellings. */
+  private def hllEstSpark: String =
+    s"""CASE WHEN (CAST(CAST($hllAlphaMicro AS DECIMAL(38,0)) * 65536 *
+       |  CAST(shiftleft(CAST(1 AS BIGINT), 41) AS DECIMAL(38,0)) DIV
+       |  (CAST(s_scaled AS DECIMAL(38,0)) * 1000) AS BIGINT)) <= 640000
+       |  AND v_zero > 0
+       |THEN (256 * CAST(floor(ln(256.0 / CAST(v_zero AS DOUBLE)) * 1e4)
+       |  AS BIGINT)) DIV 10
+       |ELSE CAST(CAST($hllAlphaMicro AS DECIMAL(38,0)) * 65536 *
+       |  CAST(shiftleft(CAST(1 AS BIGINT), 41) AS DECIMAL(38,0)) DIV
+       |  (CAST(s_scaled AS DECIMAL(38,0)) * 1000) AS BIGINT) END""".stripMargin
+      .replace("\n", " ")
+
+  // MONTHLY ROLLUP OF WEEKLY HLL REGISTERS — the re-aggregation story for
+  // approximate distincts, sibling of the bitmap (q140), CMS (q176) and
+  // KLL (q320) rollups: weekly register tables merge to month level by
+  // MAX ALONE (no raw-data repass), then estimate. The rolled-up month
+  // estimate is gated against the exact month distinct count computed
+  // from the raw facts — proving register max-merge loses nothing vs
+  // building the month sketch directly (they are identical sets of maxima
+  // by associativity; the oracle replays the whole chain).
+  private val hllRollup: Q =
+    Q("q424_hll_rollup",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val h = graft.ext.Dedup.contentId(col("user_id").cast("string"))
+        val weekly = ev
+          .select(expr("ts_us DIV 604800000000").as("week"),
+            (h % 256L).as("j"),
+            (h.cast("long") / lit(256L)).cast("long").as("w"))
+          .select(col("week"), expr("(week * 7) DIV 30").as("month"),
+            col("j"),
+            when(col("w") === 0L, lit(41L))
+              .otherwise(lit(41L) - length(bin(col("w"))).cast("long"))
+              .as("rho"))
+          .groupBy(col("week"), col("month"), col("j"))
+          .agg(max(col("rho")).as("m_j"))
+        // the rollup: month registers = max over the WEEK REGISTERS only
+        val monthly = weekly.groupBy(col("month"), col("j"))
+          .agg(max(col("m_j")).as("m_j"))
+        val sums = monthly.groupBy(col("month"))
+          .agg(count(lit(1)).as("n_regs"),
+            sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(41 - m_j AS INT))"))
+              .as("s_seen"))
+          .select(col("month"), (lit(256L) - col("n_regs")).as("v_zero"),
+            (col("s_seen") +
+              (lit(256L) - col("n_regs")) * lit(1L << 41)).as("s_scaled"))
+        val exact = ev
+          .select(expr("(ts_us DIV 604800000000) * 7 DIV 30").as("month"),
+            col("user_id"))
+          .groupBy(col("month"))
+          .agg(countDistinct(col("user_id")).as("n_exact"))
+        sums.join(exact, Seq("month"))
+          .selectExpr("month", "n_exact", "v_zero", "s_scaled",
+            s"$hllEstSpark AS est_milli")
+          .selectExpr("month", "n_exact", "v_zero", "s_scaled", "est_milli",
+            "abs(est_milli - n_exact * 1000) * 1000000 DIV " +
+              "(n_exact * 1000) AS err_ppm")
+      },
+      Some(s"""WITH h AS (
+              |  SELECT epoch_us(ts) // 604800000000 AS week,
+              |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))
+              |      ::BIGINT AS hv,
+              |    user_id
+              |  FROM events),
+              |weekly AS (
+              |  SELECT week, (week * 7) // 30 AS month, hv % 256 AS j,
+              |    max(CASE WHEN hv // 256 = 0 THEN 41
+              |             ELSE 41 - length(bin(hv // 256)) END) AS m_j
+              |  FROM h GROUP BY 1, 2, 3),
+              |monthly AS (
+              |  SELECT month, j, max(m_j) AS m_j
+              |  FROM weekly GROUP BY 1, 2),
+              |sums AS (
+              |  SELECT month,
+              |    256 - count(*) AS v_zero,
+              |    CAST(sum(1::BIGINT << CAST(41 - m_j AS INT)) AS BIGINT)
+              |      + (256 - count(*)) * (1::BIGINT << 41) AS s_scaled
+              |  FROM monthly GROUP BY 1),
+              |exact AS (
+              |  SELECT (epoch_us(ts) // 604800000000 * 7) // 30 AS month,
+              |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+              |  FROM events GROUP BY 1),
+              |est0 AS (
+              |  SELECT s.month, e.n_exact,
+              |    CAST(s.v_zero AS BIGINT) AS v_zero, s.s_scaled,
+              |    CAST(($hllAlphaMicro::HUGEINT * 65536 *
+              |      (1::HUGEINT << 41)) //
+              |      (s.s_scaled::HUGEINT * 1000) AS BIGINT) AS raw_milli
+              |  FROM sums s JOIN exact e ON s.month = e.month)
+              |SELECT month, n_exact, v_zero, s_scaled,
+              |  CASE WHEN raw_milli <= 640000 AND v_zero > 0
+              |       THEN (256 * CAST(floor(ln(256.0 /
+              |         CAST(v_zero AS DOUBLE)) * 1e4) AS BIGINT)) // 10
+              |       ELSE raw_milli END AS est_milli,
+              |  abs(CASE WHEN raw_milli <= 640000 AND v_zero > 0
+              |       THEN (256 * CAST(floor(ln(256.0 /
+              |         CAST(v_zero AS DOUBLE)) * 1e4) AS BIGINT)) // 10
+              |       ELSE raw_milli END - n_exact * 1000) * 1000000
+              |    // (n_exact * 1000) AS err_ppm
+              |FROM est0""".stripMargin))
 
   // ------------------------------------------------- unigram oracle codegen
 

@@ -519,6 +519,65 @@ object StreamingFeatures {
     ()
   }
 
+  /** INCREMENTAL HLL MATERIALIZATION: maintain a parquet store of per-week
+    * HyperLogLog register tables (week, j, m_j) of distinct user_ids — the
+    * approximate-distinct member of the streaming sketch face, stored in
+    * the q423 RELATIONAL register form (no blob): the register value is a
+    * MAX, so the per-batch merge is `groupBy(week, j).max(m_j)` and the
+    * store is REPLAY-ABSORBING by algebra — max is idempotent, exactly
+    * like the bitmap OR and UNLIKE the KLL/CMS sinks, so no batch_id
+    * guard is needed and a lost checkpoint merely re-maxes the backlog
+    * into an unchanged store. Estimates read the registers with the q423
+    * harmonic-sum arithmetic; weekly registers roll up to months by max
+    * alone (q424). */
+  def streamHllUpsert(spark: SparkSession, eventsDir: String,
+                      storePath: String,
+                      maxFilesPerTrigger: Int = 0,
+                      checkpointDir: Option[String] = None): StreamingQuery = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(eventsDir).schema
+    val reader = spark.readStream.schema(schema)
+    val raw = (if (maxFilesPerTrigger > 0)
+      reader.option("maxFilesPerTrigger", maxFilesPerTrigger) else reader)
+      .parquet(eventsDir)
+    val writer = raw.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+    checkpointDir.foreach(writer.option("checkpointLocation", _))
+    writer
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val h = graft.ext.Dedup.contentId(col("user_id").cast("string"))
+        val part = batch
+          .withColumn("ts_us", tsUsExpr(schema))
+          .select(expr("ts_us DIV 604800000000").as("week"),
+            (h % 256L).as("j"),
+            (h.cast("long") / lit(256L)).cast("long").as("w"))
+          .select(col("week"), col("j"),
+            when(col("w") === 0L, lit(41L))
+              .otherwise(lit(41L) - length(bin(col("w"))).cast("long"))
+              .as("m_j"))
+          .groupBy(col("week"), col("j")).agg(max(col("m_j")).as("m_j"))
+          .localCheckpoint() // feeds the touched-weeks semi-join AND merge
+        val hPath = new org.apache.hadoop.fs.Path(storePath)
+        val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+        val merged = (if (fs.exists(hPath)) {
+          spark.read.parquet(storePath)
+            .join(broadcast(part.select(col("week")).distinct()), Seq("week"))
+            .select(col("week"), col("j"), col("m_j"))
+            .unionByName(part)
+            .groupBy(col("week"), col("j")).agg(max(col("m_j")).as("m_j"))
+        } else part)
+          .localCheckpoint() // lineage break before the in-place overwrite
+        merged.sparkSession.conf
+          .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .partitionBy("week").parquet(storePath)
+        spark.catalog.refreshByPath(storePath)
+        ()
+      }
+      .start()
+  }
+
   /** Open-session state carried between micro-batches. */
   case class OpenSession(startUs: Long, endUs: Long, n: Long, cents: Long)
   /** A closed session — the streaming twin of one Sessions.sessionize row

@@ -134,4 +134,41 @@ class Batch74Spec extends SparkSpec {
           s"${r.getAs[Long]("n_exact")} — outside 4 sigma")
     }
   }
+
+  test("q424: week->month register max-merge equals the direct month " +
+    "build (max associativity, executed) and the estimate stays in the " +
+    "error envelope") {
+    import org.apache.spark.sql.functions.{length => sqlLength}
+    val out = q("q424_hll_rollup").collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getAs[Long]("err_ppm") < 260000L,
+      s"month ${r.getAs[Long]("month")}: outside 4 sigma"))
+    // associativity: registers built per month DIRECTLY from raw events
+    // must equal the week-then-month max-merge the query performs —
+    // compare the derived harmonic sums
+    val ev = Tables.events(spark, sf)
+    val h = graft.ext.Dedup.contentId(col("user_id").cast("string"))
+    val direct = ev
+      .select(expr("(ts_us DIV 604800000000) * 7 DIV 30").as("month"),
+        (h % 256L).as("j"),
+        (h.cast("long") / lit(256L)).cast("long").as("w"))
+      .select(col("month"), col("j"),
+        when(col("w") === 0L, lit(41L))
+          .otherwise(lit(41L) - sqlLength(bin(col("w"))).cast("long"))
+          .as("rho"))
+      .groupBy(col("month"), col("j")).agg(max(col("rho")).as("m_j"))
+      .groupBy(col("month"))
+      .agg(count(lit(1)).as("n_regs"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(41 - m_j AS INT))"))
+          .as("s_seen"))
+      .select(col("month"),
+        (col("s_seen") + (lit(256L) - col("n_regs")) * lit(1L << 41))
+          .as("s_direct"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      assert(r.getAs[Long]("s_scaled") === direct(r.getAs[Long]("month")),
+        s"month ${r.getAs[Long]("month")}: rolled-up registers differ " +
+          "from the direct build — max-merge lost information")
+    }
+  }
 }

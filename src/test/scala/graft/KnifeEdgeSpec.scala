@@ -551,7 +551,9 @@ class KnifeEdgeSpec extends SparkSpec {
     assertFloorSafe("q421", vs)
   }
 
-  // ---- q423 HLL linear counting (Entries74.scala): floor(ln(256/V)*1e4)
+  // ---- q423/q424 HLL linear counting (Entries74.scala):
+  //      floor(ln(256/V)*1e4) — shared by the per-group sketch and the
+  //      month rollup (identical argument domain)
 
   test("q423: linear-counting terms clear the 1e-4 grid boundaries — " +
     "exhaustively, for every possible register-zero count") {

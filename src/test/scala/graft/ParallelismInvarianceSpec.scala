@@ -83,7 +83,8 @@ class ParallelismInvarianceSpec extends SparkSpec {
     "q184_quantile_normalize",
     // HLL registers merge by max — commutative-monoid, layout-free by
     // algebra like the bitmap OR; executed here, not argued
-    "q423_hll_registers")
+    "q423_hll_registers",
+    "q424_hll_rollup")
 
   private def runAt(name: String, partitions: Int): Seq[String] = {
     val saved = spark.conf.get("spark.sql.shuffle.partitions")

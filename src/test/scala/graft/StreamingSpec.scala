@@ -469,6 +469,72 @@ class StreamingSpec extends SparkSpec {
         "high-water mark — a doubled weight means the guard lost the race")
   }
 
+  test("HLL materialization restart: the register store equals a one-pass " +
+    "batch build after chunked ingest, restart, AND checkpoint loss " +
+    "(max-merge absorbs replays by algebra)") {
+    // the approximate-distinct member, with the OPPOSITE delivery algebra
+    // to KLL/CMS: registers merge by max, so replays are absorbed with no
+    // batch_id guard — asserted by the strongest possible check: after
+    // any ingest sequence the store must BIT-EQUAL the register table
+    // built from the raw events in one batch pass.
+    import java.nio.file.Files
+    import java.nio.file.attribute.FileTime
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    val chunked = raw.withColumn("c", ntile(2).over(
+      org.apache.spark.sql.expressions.Window.orderBy($"ts", $"event_id")))
+    val dir = Files.createTempDirectory("events_hll_restart")
+    val chunkFiles = (1 to 2).map { k =>
+      val tmp = Files.createTempDirectory(s"hllchunk_$k")
+      chunked.filter($"c" === k).drop("c")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      new java.io.File(tmp.toString).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .head.toPath
+    }
+    def stage(k: Int): Unit = {
+      val dst = dir.resolve(f"chunk-$k%03d.parquet")
+      Files.copy(chunkFiles(k - 1), dst)
+      Files.setLastModifiedTime(dst, FileTime.fromMillis(3000000L + k * 60000L))
+    }
+    val ckpt = Files.createTempDirectory("hll_ckpt").toString
+    val store = Files.createTempDirectory("hll_store").toString + "/weekly"
+    def storeRegs(): Set[(Long, Long, Long)] =
+      spark.read.parquet(store)
+        .select($"week".cast("long"), $"j".cast("long"), $"m_j".cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // the one-pass truth over ALL events
+    val h = graft.ext.Dedup.contentId($"user_id".cast("string"))
+    val truth = Tables.events(spark, sf)
+      .select(expr("ts_us DIV 604800000000").as("week"),
+        (h % 256L).as("j"),
+        (h.cast("long") / lit(256L)).cast("long").as("w"))
+      .select($"week", $"j",
+        when($"w" === 0L, lit(41L))
+          .otherwise(lit(41L) - length(bin($"w")).cast("long")).as("m_j"))
+      .groupBy($"week", $"j").agg(max($"m_j").as("m_j"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    stage(1)
+    val run1 = StreamingFeatures.streamHllUpsert(spark, dir.toString,
+      store, maxFilesPerTrigger = 1, checkpointDir = Some(ckpt))
+    run1.processAllAvailable(); run1.stop()
+    stage(2)
+    val run2 = StreamingFeatures.streamHllUpsert(spark, dir.toString,
+      store, maxFilesPerTrigger = 1, checkpointDir = Some(ckpt))
+    run2.processAllAvailable(); run2.stop()
+    assert(storeRegs() == truth,
+      "incremental register store must equal the one-pass batch build")
+
+    // checkpoint LOSS: the replay re-maxes the same registers — absorbed
+    val ckpt2 = Files.createTempDirectory("hll_ckpt_lost").toString
+    val run3 = StreamingFeatures.streamHllUpsert(spark, dir.toString,
+      store, maxFilesPerTrigger = 1, checkpointDir = Some(ckpt2))
+    run3.processAllAvailable(); run3.stop()
+    assert(storeRegs() == truth,
+      "a replayed backlog must be absorbed: register max is idempotent")
+  }
+
   test("CMS materialization restart: checkpointed resume conserves per-week " +
     "counts; replays are refused by the batch_id guard; estimates dominate " +
     "exact frequencies") {
