@@ -142,6 +142,15 @@ object Entries74 {
              |      / 2000000.0) * 1e4) AS BIGINT) < logw_q - mx AS selected
              |FROM agg CROSS JOIN mx""".stripMargin)),
 
+    // UNIGRAM COMPRESSION REPORT: the tokenizer's training objective as a
+    // one-row readout — total corpus code length under the trained model
+    // (nats on the 1e-4 grid, BIGINT-exact), fertility (pieces per word
+    // instance, milli), used-vocab size. The oracle replays the full
+    // training + encode and aggregates the same integers.
+    Q("q425_unigram_report",
+      (s, d) => UnigramLm.report(Tables.documents(s, d)),
+      Some(unigramReportOracle(UnigramLm.Iters))),
+
     // SQL-TEXT SURFACE over the curation/dedup families (r10 verdict #8):
     // the DataFrame-only relations (LSH near-dup pairs, quality scores)
     // registered as lazy temp views by SqlSurface, then the quality-gated
@@ -521,6 +530,26 @@ object Entries74 {
   private def unigramCtes(iters: Int): String =
     "WITH " + unigramHeader + ",\n" +
       (1 to iters).map(emBlock).mkString(",\n")
+
+  /** Report oracle: the encode replay plus the code-length aggregation. */
+  private[graft] def unigramReportOracle(iters: Int): String =
+    unigramCtes(iters) + ",\n" + dpBlock("e", s"lp$iters") +
+      s""",
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_types,
+         |  CAST(sum(freq) AS BIGINT) AS n_words FROM w0),
+         |pieces AS (
+         |  SELECT w0.freq, unnest(string_split(f.path, '|')) AS piece
+         |  FROM fe_${UnigramLm.MaxLen} f
+         |  JOIN w0 ON f.w = w0.w AND f.pos = w0.len),
+         |rep AS (
+         |  SELECT CAST(count(DISTINCT p.piece) AS BIGINT) AS vocab_used,
+         |    CAST(sum(p.freq) AS BIGINT) AS total_pieces,
+         |    CAST(sum(p.freq * -l.lp_q) AS BIGINT) AS code_len_q
+         |  FROM pieces p JOIN lp$iters l ON p.piece = l.piece)
+         |SELECT n_types, n_words, vocab_used, total_pieces,
+         |  (total_pieces * 1000) // n_words AS fertility_milli,
+         |  code_len_q, code_len_q // n_words AS nats_q_per_word
+         |FROM rep CROSS JOIN tot""".stripMargin
 
   /** Train oracle: the full EM replay, answer = final vocab with counts. */
   private[graft] def unigramTrainOracle(iters: Int): String =

@@ -187,6 +187,29 @@ object UnigramLm {
       .select(col("piece"), col("cnt"), col("lp_q"))
   }
 
+  /** CORPUS COMPRESSION REPORT under the trained model — the number a
+    * tokenizer is actually optimized for: total corpus code length
+    * Σ_w freq(w) · Σ_pieces −lp(piece) on the 1e-4 integer-log grid
+    * (nats·1e4, BIGINT-exact), plus fertility (pieces per word instance,
+    * milli) and the used-vocabulary size. One row. */
+  def report(documents: DataFrame, iters: Int = Iters): DataFrame = {
+    val (types, cand, lp, _) = trained(documents, iters)
+    val totals = types.agg(count(lit(1)).as("n_types"),
+      sum(col("freq")).as("n_words"))
+    val pieces = viterbi(types, cand, lp)
+      .join(types.select(col("w"), col("freq")), Seq("w"))
+      .select(col("freq"), explode(split(col("path"), "\\|")).as("piece"))
+      .join(lp.select(col("piece"), col("lp_q")), Seq("piece"))
+    pieces
+      .agg(countDistinct(col("piece")).as("vocab_used"),
+        sum(col("freq")).as("total_pieces"),
+        sum(col("freq") * -col("lp_q")).as("code_len_q"))
+      .crossJoin(broadcast(totals))
+      .selectExpr("n_types", "n_words", "vocab_used", "total_pieces",
+        "(total_pieces * 1000) DIV n_words AS fertility_milli",
+        "code_len_q", "code_len_q DIV n_words AS nats_q_per_word")
+  }
+
   /** Tokenizer APPLY: segment the training word types with the trained
     * scores (one more Viterbi pass under the final lp) — the encode twin,
     * mirroring q138's BPE encode: (w, freq, n_pieces, encoding). */

@@ -135,6 +135,23 @@ class Batch74Spec extends SparkSpec {
     }
   }
 
+  test("q425: the compression report reconciles with the encode output " +
+    "and the code length is positive") {
+    val rep = q("q425_unigram_report").head()
+    val enc = q("q420_unigram_encode")
+      .agg(sum(col("freq") * col("n_pieces")).as("tp"),
+        sum(col("freq")).as("nw"), count(lit(1)).as("nt"))
+      .head()
+    // both run the encode pass under the FINAL scores — totals must agree
+    assert(rep.getAs[Long]("total_pieces") === enc.getLong(0))
+    assert(rep.getAs[Long]("n_words") === enc.getLong(1))
+    assert(rep.getAs[Long]("n_types") === enc.getLong(2))
+    assert(rep.getAs[Long]("fertility_milli") >= 1000L,
+      "a segmentation has at least one piece per word")
+    assert(rep.getAs[Long]("code_len_q") > 0L)
+    assert(rep.getAs[Long]("vocab_used") <= rep.getAs[Long]("total_pieces"))
+  }
+
   test("q424: week->month register max-merge equals the direct month " +
     "build (max associativity, executed) and the estimate stays in the " +
     "error envelope") {

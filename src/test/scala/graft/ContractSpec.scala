@@ -41,7 +41,7 @@ class ContractSpec extends SparkSpec {
       "q308_word_pmi", "q314_weighted_reservoir", "q318_mutual_info",
       "q388_bh_fdr", "q391_dp_histogram", "q418_moore_lewis",
       "q419_unigram_lm", "q420_unigram_encode", "q421_dsir_resample",
-      "q423_hll_registers", "q424_hll_rollup")
+      "q423_hll_registers", "q424_hll_rollup", "q425_unigram_report")
     val offenders = SparkEntry.oracleSql.collect {
       case (name, sql) if !vetted(name) &&
         ("""(?i)\b(ln|exp|pow|power|log|log2|log10|sin|cos|tan|asin|acos""" +
