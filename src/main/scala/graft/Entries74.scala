@@ -14,7 +14,7 @@ import graft.ext.UnigramLm
   */
 object Entries74 {
 
-  def all: Seq[Q] = base ++ hll ++ Seq(hllRollup)
+  def all: Seq[Q] = base ++ hll ++ Seq(hllRollup, hllOverlap)
 
   private val base: Seq[Q] = Seq(
 
@@ -443,6 +443,129 @@ object Entries74 {
               |       ELSE raw_milli END - n_exact * 1000) * 1000000
               |    // (n_exact * 1000) AS err_ppm
               |FROM est0""".stripMargin))
+
+  // HLL SET-OPERATION ESTIMATES — the q166 bitmap-overlap sibling for
+  // approximate distincts, completing the HLL family (build q423, rollup
+  // q424, overlap here): the union sketch of two sets is register max
+  // (built directly from the combined rho relation — identical to maxing
+  // the per-set registers by associativity), |A∩B| comes from
+  // inclusion–exclusion on the three estimates, and every row carries the
+  // exact count + err_ppm (nullif-guarded). All the q423 arithmetic,
+  // reused verbatim.
+  private val hllOverlap: Q =
+    Q("q426_hll_overlap",
+      (s, d) => {
+        val ord = Tables.orders(s, d)
+          .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+          .select(when(col("o_orderpriority") === "1-URGENT", "a")
+            .otherwise("b").as("tag"), col("o_custkey"))
+        val h = graft.ext.Dedup.contentId(col("o_custkey").cast("string"))
+        val rho = ord
+          .select(col("tag"), (h % 256L).as("j"),
+            (h.cast("long") / lit(256L)).cast("long").as("w"))
+          .select(col("tag"), col("j"),
+            when(col("w") === 0L, lit(41L))
+              .otherwise(lit(41L) - length(bin(col("w"))).cast("long"))
+              .as("rho"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val regs = rho.groupBy(col("tag"), col("j"))
+          .agg(max(col("rho")).as("m_j"))
+          .unionByName(rho.groupBy(col("j")).agg(max(col("rho")).as("m_j"))
+            .select(lit("union").as("tag"), col("j"), col("m_j")))
+        val est = regs.groupBy(col("tag"))
+          .agg(count(lit(1)).as("n_regs"),
+            sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(41 - m_j AS INT))"))
+              .as("s_seen"))
+          .select(col("tag"), (lit(256L) - col("n_regs")).as("v_zero"),
+            (col("s_seen") +
+              (lit(256L) - col("n_regs")) * lit(1L << 41)).as("s_scaled"))
+          .selectExpr("tag", s"$hllEstSpark AS est_milli")
+        val exact = ord.groupBy(col("o_custkey"))
+          .agg(countDistinct(col("tag")).as("nt"),
+            min(col("tag")).as("t0"))
+          .select(
+            when(col("nt") === 2, "inter")
+              .otherwise(col("t0")).as("cls"))
+          .groupBy(col("cls")).agg(count(lit(1)).as("n"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        def ex(cls: String) = exact.filter(col("cls") === cls)
+          .select(col("n"))
+        // exact a/b include the intersection; union = a-only + b-only + inter
+        val wide = est.groupBy()
+          .pivot(col("tag"), Seq("a", "b", "union"))
+          .agg(first(col("est_milli")))
+          .crossJoin(broadcast(ex("a").withColumnRenamed("n", "xa")))
+          .crossJoin(broadcast(ex("b").withColumnRenamed("n", "xb")))
+          .crossJoin(broadcast(ex("inter").withColumnRenamed("n", "xi")))
+        wide.selectExpr(
+          "stack(4, " +
+            "'a', xa + xi, a, " +
+            "'b', xb + xi, b, " +
+            "'union', xa + xb + xi, union, " +
+            "'inter', xi, a + b - union) AS (set_name, n_exact, est_milli)")
+          .selectExpr("set_name", "n_exact", "est_milli",
+            "abs(est_milli - n_exact * 1000) * 1000000 DIV " +
+              "nullif(n_exact * 1000, 0) AS err_ppm")
+      },
+      Some(s"""WITH ord AS (
+              |  SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 'a'
+              |    ELSE 'b' END AS tag, o_custkey
+              |  FROM orders
+              |  WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+              |rho AS (
+              |  SELECT tag, hv % 256 AS j,
+              |    CASE WHEN hv // 256 = 0 THEN 41
+              |         ELSE 41 - length(bin(hv // 256)) END AS rho
+              |  FROM (SELECT tag,
+              |    ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 12))
+              |      ::BIGINT AS hv FROM ord)),
+              |regs AS (
+              |  SELECT tag, j, max(rho) AS m_j FROM rho GROUP BY 1, 2
+              |  UNION ALL
+              |  SELECT 'union', j, max(rho) FROM rho GROUP BY 2),
+              |est0 AS (
+              |  SELECT tag, 256 - count(*) AS v_zero,
+              |    CAST(sum(1::BIGINT << CAST(41 - m_j AS INT)) AS BIGINT)
+              |      + (256 - count(*)) * (1::BIGINT << 41) AS s_scaled
+              |  FROM regs GROUP BY 1),
+              |est1 AS (
+              |  SELECT tag,
+              |    CAST(($hllAlphaMicro::HUGEINT * 65536 *
+              |      (1::HUGEINT << 41)) //
+              |      (s_scaled::HUGEINT * 1000) AS BIGINT) AS raw_milli,
+              |    v_zero
+              |  FROM est0),
+              |est AS (
+              |  SELECT tag,
+              |    CASE WHEN raw_milli <= 640000 AND v_zero > 0
+              |      THEN (256 * CAST(floor(ln(256.0 /
+              |        CAST(v_zero AS DOUBLE)) * 1e4) AS BIGINT)) // 10
+              |      ELSE raw_milli END AS est_milli
+              |  FROM est1),
+              |exact AS (
+              |  SELECT CASE WHEN count(DISTINCT tag) = 2 THEN 'inter'
+              |    ELSE min(tag) END AS cls
+              |  FROM ord GROUP BY o_custkey),
+              |xc AS (SELECT cls, CAST(count(*) AS BIGINT) AS n
+              |       FROM exact GROUP BY 1),
+              |wide AS (
+              |  SELECT
+              |    (SELECT est_milli FROM est WHERE tag = 'a') AS ea,
+              |    (SELECT est_milli FROM est WHERE tag = 'b') AS eb,
+              |    (SELECT est_milli FROM est WHERE tag = 'union') AS eu,
+              |    (SELECT n FROM xc WHERE cls = 'a') AS xa,
+              |    (SELECT n FROM xc WHERE cls = 'b') AS xb,
+              |    (SELECT n FROM xc WHERE cls = 'inter') AS xi),
+              |rows_ AS (
+              |  SELECT 'a' AS set_name, xa + xi AS n_exact, ea AS est_milli
+              |    FROM wide
+              |  UNION ALL SELECT 'b', xb + xi, eb FROM wide
+              |  UNION ALL SELECT 'union', xa + xb + xi, eu FROM wide
+              |  UNION ALL SELECT 'inter', xi, ea + eb - eu FROM wide)
+              |SELECT set_name, n_exact, est_milli,
+              |  abs(est_milli - n_exact * 1000) * 1000000
+              |    // nullif(n_exact * 1000, 0) AS err_ppm
+              |FROM rows_""".stripMargin))
 
   // ------------------------------------------------- unigram oracle codegen
 

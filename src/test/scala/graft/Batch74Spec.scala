@@ -152,6 +152,26 @@ class Batch74Spec extends SparkSpec {
     assert(rep.getAs[Long]("vocab_used") <= rep.getAs[Long]("total_pieces"))
   }
 
+  test("q426: set identities hold exactly on the exact side and the " +
+    "union estimate respects monotonicity") {
+    val out = q("q426_hll_overlap").collect()
+      .map(r => r.getAs[String]("set_name") ->
+        (r.getAs[Long]("n_exact"), r.getAs[Long]("est_milli"))).toMap
+    assert(out.keySet === Set("a", "b", "union", "inter"))
+    // exact inclusion-exclusion is an identity, not an estimate
+    assert(out("a")._1 + out("b")._1 - out("inter")._1 === out("union")._1)
+    // union >= each side, inter <= each side (exact)
+    assert(out("union")._1 >= out("a")._1 && out("union")._1 >= out("b")._1)
+    assert(out("inter")._1 <= out("a")._1 && out("inter")._1 <= out("b")._1)
+    // estimated union >= each side's estimate (register max dominates)
+    assert(out("union")._2 >= out("a")._2 && out("union")._2 >= out("b")._2)
+    // estimate errors inside the (compounded) envelope
+    Seq("a", "b", "union").foreach { k =>
+      val (n, e) = out(k)
+      assert(math.abs(e - n * 1000) < n * 1000 * 26 / 100, s"$k: $e vs $n")
+    }
+  }
+
   test("q424: week->month register max-merge equals the direct month " +
     "build (max associativity, executed) and the estimate stays in the " +
     "error envelope") {

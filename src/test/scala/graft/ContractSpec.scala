@@ -41,7 +41,8 @@ class ContractSpec extends SparkSpec {
       "q308_word_pmi", "q314_weighted_reservoir", "q318_mutual_info",
       "q388_bh_fdr", "q391_dp_histogram", "q418_moore_lewis",
       "q419_unigram_lm", "q420_unigram_encode", "q421_dsir_resample",
-      "q423_hll_registers", "q424_hll_rollup", "q425_unigram_report")
+      "q423_hll_registers", "q424_hll_rollup", "q425_unigram_report",
+      "q426_hll_overlap")
     val offenders = SparkEntry.oracleSql.collect {
       case (name, sql) if !vetted(name) &&
         ("""(?i)\b(ln|exp|pow|power|log|log2|log10|sin|cos|tan|asin|acos""" +
@@ -71,9 +72,9 @@ class ContractSpec extends SparkSpec {
       "Entries70.scala" -> 3, // build-time math.log on literal constants
       "Entries71.scala" -> 5, // build-time math.log on literal constants
       "Entries73.scala" -> 3, // q418 Moore–Lewis: log() + oracle ln()x2
-      "Entries74.scala" -> 13, // q421 log()x2 + oracle ln()x4; unigram
-                               // oracle templates ln()x2; q423/q424
-                               // linear-counting ln() x5 (shared Spark
+      "Entries74.scala" -> 14, // q421 log()x2 + oracle ln()x4; unigram
+                               // oracle templates ln()x2; q423/q424/q426
+                               // linear-counting ln() x6 (shared Spark
                                // estimate template + oracle branches)
       "UnigramLm.scala" -> 2)  // lp0 + smoothed re-score log()
     val root = new java.io.File("src/main/scala/graft")

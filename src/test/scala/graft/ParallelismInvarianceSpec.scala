@@ -84,7 +84,8 @@ class ParallelismInvarianceSpec extends SparkSpec {
     // HLL registers merge by max — commutative-monoid, layout-free by
     // algebra like the bitmap OR; executed here, not argued
     "q423_hll_registers",
-    "q424_hll_rollup")
+    "q424_hll_rollup",
+    "q426_hll_overlap")
 
   private def runAt(name: String, partitions: Int): Seq[String] = {
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
