@@ -227,7 +227,7 @@ object Entries74 {
   /** HyperLogLog alpha for m = 256 registers (Flajolet et al. 2007:
     * 0.7213/(1+1.079/m)), micro-quantized at BUILD TIME — the same
     * embedded-literal escape hatch as the SPRT/Bloom constants. */
-  private val hllAlphaMicro: Long =
+  private[graft] val hllAlphaMicro: Long =
     math.floor(0.7213 / (1.0 + 1.079 / 256.0) * 1e6).toLong
 
   private val hll: Seq[Q] = Seq(
@@ -343,7 +343,7 @@ object Entries74 {
   /** Shared estimate SQL from (grp, v_zero, s_scaled) — raw HLL with the
     * linear-counting branch, identical in both engines modulo DIV/// and
     * DECIMAL/HUGEINT spellings. */
-  private def hllEstSpark: String =
+  private[graft] def hllEstSpark: String =
     s"""CASE WHEN (CAST(CAST($hllAlphaMicro AS DECIMAL(38,0)) * 65536 *
        |  CAST(shiftleft(CAST(1 AS BIGINT), 41) AS DECIMAL(38,0)) DIV
        |  (CAST(s_scaled AS DECIMAL(38,0)) * 1000) AS BIGINT)) <= 640000
@@ -358,7 +358,10 @@ object Entries74 {
   // MONTHLY ROLLUP OF WEEKLY HLL REGISTERS — the re-aggregation story for
   // approximate distincts, sibling of the bitmap (q140), CMS (q176) and
   // KLL (q320) rollups: weekly register tables merge to month level by
-  // MAX ALONE (no raw-data repass), then estimate. The rolled-up month
+  // MAX ALONE (no raw-data repass), then estimate. "month" here is a
+  // 30-day EPOCH bucket, (week*7) DIV 30 — NOT a calendar month; for a
+  // rollup-algebra demonstration the bucket definition is immaterial and
+  // the oracle replays the same formula. The rolled-up month
   // estimate is gated against the exact month distinct count computed
   // from the raw facts — proving register max-merge loses nothing vs
   // building the month sketch directly (they are identical sets of maxima
@@ -480,23 +483,26 @@ object Entries74 {
             (col("s_seen") +
               (lit(256L) - col("n_regs")) * lit(1L << 41)).as("s_scaled"))
           .selectExpr("tag", s"$hllEstSpark AS est_milli")
+        // one guaranteed-one-row aggregation for all three class counts:
+        // the first cut filtered the class relation three times and
+        // crossJoined the one-row frames, so an EMPTY class at some SF
+        // would empty the whole output while the oracle's guarded sums
+        // still emit 4 rows — a latent cross-engine divergence
         val exact = ord.groupBy(col("o_custkey"))
           .agg(countDistinct(col("tag")).as("nt"),
             min(col("tag")).as("t0"))
           .select(
             when(col("nt") === 2, "inter")
               .otherwise(col("t0")).as("cls"))
-          .groupBy(col("cls")).agg(count(lit(1)).as("n"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        def ex(cls: String) = exact.filter(col("cls") === cls)
-          .select(col("n"))
+          .agg(
+            coalesce(sum(when(col("cls") === "a", 1L)), lit(0L)).as("xa"),
+            coalesce(sum(when(col("cls") === "b", 1L)), lit(0L)).as("xb"),
+            coalesce(sum(when(col("cls") === "inter", 1L)), lit(0L)).as("xi"))
         // exact a/b include the intersection; union = a-only + b-only + inter
         val wide = est.groupBy()
           .pivot(col("tag"), Seq("a", "b", "union"))
           .agg(first(col("est_milli")))
-          .crossJoin(broadcast(ex("a").withColumnRenamed("n", "xa")))
-          .crossJoin(broadcast(ex("b").withColumnRenamed("n", "xb")))
-          .crossJoin(broadcast(ex("inter").withColumnRenamed("n", "xi")))
+          .crossJoin(broadcast(exact))
         wide.selectExpr(
           "stack(4, " +
             "'a', xa + xi, a, " +
@@ -546,16 +552,20 @@ object Entries74 {
               |  SELECT CASE WHEN count(DISTINCT tag) = 2 THEN 'inter'
               |    ELSE min(tag) END AS cls
               |  FROM ord GROUP BY o_custkey),
-              |xc AS (SELECT cls, CAST(count(*) AS BIGINT) AS n
-              |       FROM exact GROUP BY 1),
+              |xc AS (SELECT
+              |    CAST(coalesce(sum(CASE WHEN cls = 'a' THEN 1 END), 0)
+              |      AS BIGINT) AS xa,
+              |    CAST(coalesce(sum(CASE WHEN cls = 'b' THEN 1 END), 0)
+              |      AS BIGINT) AS xb,
+              |    CAST(coalesce(sum(CASE WHEN cls = 'inter' THEN 1 END), 0)
+              |      AS BIGINT) AS xi
+              |  FROM exact),
               |wide AS (
               |  SELECT
               |    (SELECT est_milli FROM est WHERE tag = 'a') AS ea,
               |    (SELECT est_milli FROM est WHERE tag = 'b') AS eb,
               |    (SELECT est_milli FROM est WHERE tag = 'union') AS eu,
-              |    (SELECT n FROM xc WHERE cls = 'a') AS xa,
-              |    (SELECT n FROM xc WHERE cls = 'b') AS xb,
-              |    (SELECT n FROM xc WHERE cls = 'inter') AS xi),
+              |    xa, xb, xi FROM xc),
               |rows_ AS (
               |  SELECT 'a' AS set_name, xa + xi AS n_exact, ea AS est_milli
               |    FROM wide
@@ -572,7 +582,7 @@ object Entries74 {
   /** Shared header: word types, candidate pieces, seed vocabulary, and the
     * round-0 scores from raw seed occurrence counts. Mirrors
     * [[UnigramLm.wordTypes]] / [[UnigramLm.candidates]] exactly. */
-  private def unigramHeader: String =
+  private[graft] def unigramHeader: String =
     s"""w0 AS MATERIALIZED (
        |  SELECT w, CAST(count(*) AS BIGINT) AS freq, len(w) AS len FROM (
        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
@@ -603,7 +613,8 @@ object Entries74 {
     * top-1 with the (score DESC, path ASC) tie-break), f{tag}_i = all best
     * prefixes so far. Every CTE MATERIALIZED — each state is referenced by
     * multiple downstream CTEs (the BPE-oracle lesson). */
-  private def dpBlock(tag: String, lpName: String): String = {
+  private[graft] def dpBlock(tag: String, lpName: String,
+      candName: String = "cand"): String = {
     val rounds = (1 to UnigramLm.MaxLen).map { i =>
       s"""b${tag}_$i AS MATERIALIZED (
          |  SELECT w, $i AS pos, score_q, path FROM (
@@ -623,7 +634,7 @@ object Entries74 {
     }.mkString(",\n")
     s"""sc$tag AS MATERIALIZED (
        |  SELECT c.w, c.ci, c.ck, c.piece, l.lp_q
-       |  FROM cand c JOIN $lpName l ON c.piece = l.piece),
+       |  FROM $candName c JOIN $lpName l ON c.piece = l.piece),
        |f${tag}_0 AS MATERIALIZED (
        |  SELECT w, 0 AS pos, CAST(0 AS BIGINT) AS score_q, '' AS path
        |  FROM w0),
@@ -650,7 +661,7 @@ object Entries74 {
        |  FROM seedv sv LEFT JOIN c$r c ON sv.piece = c.piece
        |  CROSS JOIN t$r t CROSS JOIN v0 v)""".stripMargin
 
-  private def unigramCtes(iters: Int): String =
+  private[graft] def unigramCtes(iters: Int): String =
     "WITH " + unigramHeader + ",\n" +
       (1 to iters).map(emBlock).mkString(",\n")
 

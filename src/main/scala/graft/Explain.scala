@@ -73,28 +73,75 @@ object Explain {
         if w.partitionSpec.isEmpty => 1
     }.sum
 
+  /** Build-time provenance for localCheckpointed relations: rdd id → the
+    * [[boundLabel]] of the plan that BUILT the checkpoint. A checkpoint
+    * severs the plan, so post-hoc the audit sees only an RDDScanExec; a
+    * builder that checkpoints a domain-bounded relation registers it here
+    * (via [[localCheckpointWithProvenance]]) so the claim stays
+    * machine-checked. Entries are a few bytes each and keyed by RDD id —
+    * session-lifetime growth is bounded by the number of checkpoints. */
+  private val checkpointProvenance =
+    new java.util.concurrent.ConcurrentHashMap[Int, String]()
+
+  /** localCheckpoint `df` (eager) and record what built it, derived from
+    * the PRE-checkpoint physical plan — so [[windowAudit]] can see through
+    * the resulting RDDScanExec instead of stopping at `checkpointed-rdd`. */
+  def localCheckpointWithProvenance(df: DataFrame): DataFrame = {
+    val label = boundLabel(df.queryExecution.sparkPlan)
+    val out = df.localCheckpoint()
+    out.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+    }.foreach(id => checkpointProvenance.put(id, label))
+    out
+  }
+
+  /** What bounds a plan subtree: the first aggregate / limit /
+    * local-relation met walking DOWN (an aggregate below means the subtree
+    * is a REDUCED domain: distinct values, group keys, a calendar spine),
+    * or `RAW` if it reaches a source scan with no reduction — the shape
+    * that cannot ship under an unpartitioned window. Recurses through the
+    * two plan-severing boundaries: an InMemoryTableScanExec is audited by
+    * the plan that BUILT the cache (`cache-of(...)`), and an RDDScanExec
+    * by its registered build-time provenance (`checkpoint-of(...)`) —
+    * an UNREGISTERED checkpoint stays opaque and reports as RAW so it
+    * must be either registered or adjudicated, never silently trusted. */
+  private def boundLabel(
+      p: org.apache.spark.sql.execution.SparkPlan): String = p.collectFirst {
+    case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+      s"agg-below(${a.groupingExpressions.map(_.name).mkString(",")})"
+    case _: org.apache.spark.sql.execution.LocalLimitExec => "limit-below"
+    case _: org.apache.spark.sql.execution.GlobalLimitExec => "limit-below"
+    case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec =>
+      "topk-below"
+    case l: org.apache.spark.sql.execution.LocalTableScanExec =>
+      s"local-relation(${l.rows.length} rows)"
+    case r: org.apache.spark.sql.execution.RangeExec =>
+      // a statically small range is a spine; a huge one is fact-sized
+      if (r.numElements <= BigInt(10_000_000)) s"range(${r.numElements} rows)"
+      else s"RAW-large-range(${r.numElements})"
+    case r: org.apache.spark.sql.execution.RDDScanExec =>
+      Option(checkpointProvenance.get(r.rdd.id))
+        .map(l => s"checkpoint-of($l)")
+        .getOrElse("RAW-unregistered-checkpoint")
+    case i: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+      s"cache-of(${boundLabel(i.relation.cachedPlan)})"
+    // AQE wrappers are leaf-like (children = Nil) — recurse explicitly,
+    // or a cached/staged aggregate would be invisible and report RAW
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      boundLabel(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      boundLabel(q.plan)
+  }.getOrElse("RAW")
+
   /** Adjudication aid for the census `windows` column (`--windows` mode):
-    * one line per unpartitioned window describing what bounds its input —
-    * the first aggregate / limit / local-relation met walking DOWN the
-    * child subtree (an aggregate below means the window runs over a
-    * REDUCED domain: distinct values, group keys, a calendar spine), or
-    * `RAW` if the subtree reaches a source scan with no reduction, which
-    * is the shape that cannot ship. */
+    * one line per unpartitioned window with [[boundLabel]] of its child
+    * subtree. PlanCensusSpec asserts no registered query's line contains
+    * RAW — the domain-bounded claim behind every adjudicated nonzero
+    * census row is machine-checked, including through cache and
+    * checkpoint boundaries. */
   def windowAudit(df: DataFrame): Seq[String] = {
-    import org.apache.spark.sql.execution.SparkPlan
-    def bound(p: SparkPlan): String = p.collectFirst {
-      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
-        s"agg-below(${a.groupingExpressions.map(_.name).mkString(",")})"
-      case _: org.apache.spark.sql.execution.LocalLimitExec => "limit-below"
-      case _: org.apache.spark.sql.execution.GlobalLimitExec => "limit-below"
-      case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec =>
-        "topk-below"
-      case l: org.apache.spark.sql.execution.LocalTableScanExec =>
-        s"local-relation(${l.rows.length} rows)"
-      case _: org.apache.spark.sql.execution.RDDScanExec => "checkpointed-rdd"
-      case _: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
-        "cached-relation" // adjudicate by what BUILT the cache
-    }.getOrElse("RAW")
+    def bound(p: org.apache.spark.sql.execution.SparkPlan): String =
+      boundLabel(p)
     df.queryExecution.sparkPlan.collect {
       case w: org.apache.spark.sql.execution.window.WindowExec
         if w.partitionSpec.isEmpty => s"Window -> ${bound(w.child)}"

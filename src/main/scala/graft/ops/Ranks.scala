@@ -35,22 +35,35 @@ import org.apache.spark.sql.functions._
 object Ranks {
 
   /** Exact integer division for NON-NEGATIVE operands (no Column DIV in
-    * the DataFrame API): (a − a mod b) / b is an exact double, cast back.
-    * Safe to 2^53 — ranks and counts, not money. */
+    * the DataFrame API): (a − a mod b) is an exact multiple of b, and the
+    * division runs in decimal(38,0) — EXACT over the full BIGINT range.
+    * (The first cut divided in double, which rounds the numerator above
+    * 2^53; quantileNormalize feeds (rn−1)·(nt−1), which crosses that at
+    * ~9.5e7 rows — a silent off-by-one join key at the 100 TB posture.
+    * Decimal (38,0)/(38,0) yields (38,6); an integral quotient of ≤19
+    * digits is exact there, and the cast back to long truncates .000000.) */
   def idiv(a: Column, b: Column): Column =
-    ((a - pmod(a, b)) / b).cast("long")
+    ((a.cast("decimal(38,0)") - pmod(a, b).cast("decimal(38,0)")) /
+      b.cast("decimal(38,0)")).cast("long")
 
   /** Adds `rnCol` (1-based global rank over `order`, BIGINT) and `nCol`
     * (total row count) to `df`. `bucket` MUST be monotone non-decreasing
     * in the leading `order` column. The bucket-counts relation is
-    * persisted by construction (it feeds offsets AND the total); it is
-    * bucket-domain-sized, so the persist is bounded at any SF. */
+    * materialized once by construction (it feeds offsets AND the total);
+    * it is bucket-domain-sized, so the materialization is bounded at any
+    * SF. It is an eager localCheckpoint rather than a persist: this
+    * helper runs once per CALL (several queries invoke it, some twice),
+    * and a persist would pin one cache-manager relation per call for the
+    * session lifetime — checkpoint blocks are freed by the ContextCleaner
+    * once the returned frame is unreachable. The checkpoint registers its
+    * build provenance so Explain.windowAudit still sees the aggregate
+    * below the offsets window. */
   def withGlobalRank(df: DataFrame, bucket: Column, order: Seq[Column],
                      rnCol: String, nCol: String): DataFrame = {
     val b = df.withColumn("__gr_bucket", bucket)
-    val counts = b.groupBy(col("__gr_bucket"))
-      .agg(count(lit(1)).as("__gr_n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = graft.Explain.localCheckpointWithProvenance(
+      b.groupBy(col("__gr_bucket"))
+        .agg(count(lit(1)).as("__gr_n")))
     val offsets = counts
       .withColumn("__gr_off",
         coalesce(sum(col("__gr_n")).over(Window.orderBy(col("__gr_bucket"))

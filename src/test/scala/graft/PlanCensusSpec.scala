@@ -96,7 +96,16 @@ class PlanCensusSpec extends SparkSpec {
         // the Project directly above a Generate that ignores the
         // generator's output re-runs once per exploded row
         val hoistRows = Explain.hoistViolations(p).map(v => s"$n: $v")
-        scanRow.toSeq ++ genRow.toSeq ++ winRow.toSeq ++ hoistRows
+        // every nonzero-window row's domain-bounded claim, machine-checked
+        // (r12): the audit recurses through InMemoryRelation and registered
+        // localCheckpoints, so "adjudicate by what built the cache" is no
+        // longer a human step — any line still containing RAW means a
+        // window whose input the audit cannot prove reduced
+        val rawRows =
+          if (got.windows == 0) Nil
+          else Explain.windowAudit(df).filter(_.contains("RAW"))
+            .map(l => s"$n: unpartitioned window over an unproven input — $l")
+        scanRow.toSeq ++ genRow.toSeq ++ winRow.toSeq ++ hoistRows ++ rawRows
       }
       finally spark.sharedState.cacheManager.clearCache()
     assert(regressions.isEmpty,
@@ -160,5 +169,48 @@ class PlanCensusSpec extends SparkSpec {
       .filter(col("rn") <= 3)
     assert(Explain.unpartitionedWindows(partTopK) == 0,
       "a partitioned top-k must not be counted")
+  }
+
+  test("the window audit sees through cache and checkpoint boundaries " +
+    "(r12): agg-built inputs resolve, a cached fact-sized input stays RAW") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val fact = spark.read.parquet(s"$sf/events.parquet")
+    // NEGATIVE: a global window over a cached FACT-SIZED relation must
+    // still report RAW — the cache boundary must not launder the shape
+    val cachedFact = fact.cache()
+    try {
+      val w = cachedFact
+        .withColumn("rn", row_number().over(Window.orderBy(col("ts"))))
+      val audit = Explain.windowAudit(w)
+      assert(audit.nonEmpty && audit.forall(_.contains("cache-of(RAW)")),
+        s"expected cache-of(RAW) for a cached fact under a global window, " +
+          s"got: ${audit.mkString("; ")}")
+    } finally cachedFact.unpersist()
+    // POSITIVE: a cached AGGREGATE resolves through the cache
+    val agg = fact.groupBy(col("user_id")).agg(count(lit(1)).as("n")).cache()
+    try {
+      val w = agg
+        .withColumn("rn", row_number().over(Window.orderBy(col("user_id"))))
+      val audit = Explain.windowAudit(w)
+      assert(audit.exists(_.contains("cache-of(agg-below(user_id)")),
+        s"expected cache-of(agg-below(user_id)), got: ${audit.mkString("; ")}")
+    } finally agg.unpersist()
+    // CHECKPOINT with registered provenance resolves; an UNREGISTERED one
+    // must stay RAW (opaque = unproven, never silently trusted)
+    val reg = Explain.localCheckpointWithProvenance(
+      fact.groupBy(col("user_id")).agg(count(lit(1)).as("n")))
+    val wReg = reg
+      .withColumn("rn", row_number().over(Window.orderBy(col("user_id"))))
+    assert(Explain.windowAudit(wReg)
+      .exists(_.contains("checkpoint-of(agg-below(user_id)")),
+      "registered checkpoint must carry its build provenance")
+    val unreg = fact.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val wUnreg = unreg
+      .withColumn("rn", row_number().over(Window.orderBy(col("user_id"))))
+    assert(Explain.windowAudit(wUnreg)
+      .exists(_.contains("RAW-unregistered-checkpoint")),
+      "an unregistered checkpoint must report as RAW")
   }
 }

@@ -158,4 +158,20 @@ class TrainPrepSpec extends SparkSpec {
       .map(r => r.getAs[Long]("n") * r.getAs[Double]("weight"))
     assert(masses.forall(m => math.abs(m - 20.0) < 1e-9))
   }
+
+  test("Ranks.idiv is exact over the full BIGINT range (r12: the double " +
+    "path rounded numerators above 2^53 — quantileNormalize's (rn−1)(nt−1) " +
+    "crosses that at ~9.5e7 rows)") {
+    // 2^53+1 is the first long a double cannot represent: the old
+    // ((a − a mod b) / b) double division returned q−1 or q±1 here
+    val cases = Seq(
+      ((1L << 53) + 1L, 1L), ((1L << 53) + 1L, 3L),
+      ((1L << 60) + 123456789L, 97L),
+      (Long.MaxValue, 1L), (Long.MaxValue, 7L), (0L, 5L), (41L, 7L))
+    val got = cases.toDF("a", "b")
+      .withColumn("q", graft.ops.Ranks.idiv(col("a"), col("b")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    got.foreach { case (a, b, q) =>
+      assert(q == a / b, s"idiv($a, $b) = $q, want ${a / b}") }
+  }
 }
