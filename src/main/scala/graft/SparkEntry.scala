@@ -768,7 +768,8 @@ object SparkEntry {
       Entries71.all.map(q => q.name -> q.fn) ++
       Entries72.all.map(q => q.name -> q.fn) ++
       Entries73.all.map(q => q.name -> q.fn) ++
-      Entries74.all.map(q => q.name -> q.fn)).toMap
+      Entries74.all.map(q => q.name -> q.fn) ++
+      Entries75.all.map(q => q.name -> q.fn)).toMap
 
   def oracleSql: Map[String, String] =
     (all.flatMap(q => q.sql.map(q.name -> _)) ++
@@ -844,5 +845,6 @@ object SparkEntry {
       Entries71.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries72.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries73.all.flatMap(q => q.sql.map(q.name -> _)) ++
-      Entries74.all.flatMap(q => q.sql.map(q.name -> _))).toMap
+      Entries74.all.flatMap(q => q.sql.map(q.name -> _)) ++
+      Entries75.all.flatMap(q => q.sql.map(q.name -> _))).toMap
 }

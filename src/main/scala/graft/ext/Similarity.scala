@@ -104,6 +104,74 @@ object Similarity {
         col("n_id"), col("cos"))
   }
 
+  /** IVF OPERATING-POINT SWEEP: recall@k and candidate-scan cost per
+    * nprobe value, in ONE pass over one candidate relation — the tuning
+    * table the q168 recall gate exists to feed. Each corpus vector lives
+    * in exactly one inverted list, so a candidate (q, n) enters the scan
+    * set at probe rank prn = the rank of n's centroid in q's probe order;
+    * the nprobe=p scan set is exactly {prn ≤ p}. One candidate relation
+    * built at max(nprobes) therefore serves every sweep point: the
+    * expensive parts (centroid assignment over the corpus, cosine
+    * scoring) run once, and each sweep point re-ranks only the candidate
+    * edge list. Output: (nprobe, n_candidates, hits, possible,
+    * recall_milli) — n_candidates IS the scan cost of that operating
+    * point. */
+  def ivfSweep(embeddings: DataFrame, nQueries: Int, k: Int,
+               centroidEvery: Int, nprobes: Seq[Int]): DataFrame = {
+    val maxP = nprobes.max
+    val cent = embeddings.filter(col("vec_id") % centroidEvery === 0)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val assignW = Window.partitionBy(col("n_id"))
+      .orderBy(col("c_cos").desc, col("c_id").asc)
+    val assigned = embeddings
+      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+      .join(broadcast(cent), lit(true))
+      .withColumn("c_cos", cosine(col("n_emb"), col("c_emb")))
+      .withColumn("arn", row_number().over(assignW))
+      .filter(col("arn") === 1)
+      .select(col("n_id"), col("n_emb"), col("c_id"))
+    val probeW = Window.partitionBy(col("q_id"))
+      .orderBy(col("c_cos").desc, col("c_id").asc)
+    val probes = embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .join(broadcast(cent), lit(true))
+      .withColumn("c_cos", cosine(col("q_emb"), col("c_emb")))
+      .withColumn("prn", row_number().over(probeW))
+      .filter(col("prn") <= maxP)
+      .select(col("q_id"), col("q_emb"), col("c_id"),
+        col("prn").cast("long").as("prn"))
+    // the one scored candidate relation; persisted — it feeds the top-k
+    // ranking AND the per-point cost counts
+    val cand = assigned.join(probes, Seq("c_id"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos", cosine(col("q_emb"), col("n_emb")))
+      .select(col("q_id"), col("n_id"), col("prn"), col("cos"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val truth = bruteForceTopK(embeddings, nQueries, k)
+      .select(col("q_id"), col("n_id"))
+    val poss = truth.agg(count(lit(1)).as("possible"))
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val nps = broadcast(nprobes.map(_.toLong).toDF("nprobe"))
+    val perNp = cand.join(nps, col("prn") <= col("nprobe"))
+    val topk = perNp.withColumn("rank", row_number().over(
+        Window.partitionBy(col("nprobe"), col("q_id"))
+          .orderBy(col("cos").desc, col("n_id").asc)))
+      .filter(col("rank") <= k)
+    val hits = topk.join(truth, Seq("q_id", "n_id"))
+      .groupBy(col("nprobe")).agg(count(lit(1)).as("hits"))
+    val cost = perNp.groupBy(col("nprobe"))
+      .agg(count(lit(1)).as("n_candidates"))
+    nps.join(cost, Seq("nprobe"), "left").join(hits, Seq("nprobe"), "left")
+      .crossJoin(broadcast(poss))
+      .select(col("nprobe"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        col("possible"))
+      .withColumn("recall_milli",
+        expr("hits * 1000 DIV nullif(possible, 0)"))
+  }
+
   /** Per-label centroids: element-wise mean over each label's vectors —
     * the vector-aggregation building block of k-means / IVF training.
     *

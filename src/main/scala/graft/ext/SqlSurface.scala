@@ -43,4 +43,34 @@ object SqlSurface {
     Dedup.simhash(documents)
       .createOrReplaceTempView("graft_simhash")
   }
+
+  /** The similarity-search relations as temp views (r12: the SQL-text
+    * reach extended beyond curation/dedup per the round-11 verdict):
+    *  - graft_embeddings      the corpus itself
+    *  - graft_brute_topk      exact cosine top-5 for the 20-query set (q26)
+    *  - graft_ivf_topk        IVF top-5, nprobe=2 (q28 semantics)
+    * Same lazy-view discipline: Catalyst inlines the view plan, so a SQL
+    * consumer of graft_ivf_topk gets the IDENTICAL bucketed physical plan
+    * (broadcast centroids, inverted-list equi join, WindowGroupLimit
+    * top-k) as the DataFrame pipeline — census-pinned by q430. */
+  def registerSimilarityViews(spark: SparkSession,
+                              embeddings: DataFrame): Unit = {
+    embeddings.createOrReplaceTempView("graft_embeddings")
+    Similarity.bruteForceTopK(embeddings, 20, 5)
+      .createOrReplaceTempView("graft_brute_topk")
+    Similarity.ivfTopK(embeddings, 20, 5, 100, 2)
+      .createOrReplaceTempView("graft_ivf_topk")
+  }
+
+  /** The train-prep relations as temp views:
+    *  - graft_split           leakage-free md5 hash split (q54 semantics)
+    *  - graft_doc_tokens      token counts per doc (quality-gate input)
+    * Lazy, like everything above. */
+  def registerTrainPrepViews(spark: SparkSession,
+                             documents: DataFrame): Unit = {
+    TrainPrep.hashSplit(documents, "doc_id")
+      .createOrReplaceTempView("graft_split")
+    TextAnalysis.tokenStats(documents)
+      .createOrReplaceTempView("graft_doc_tokens")
+  }
 }

@@ -97,12 +97,13 @@ object UnigramLm {
        |      sequence(1, least($MaxPiece, i)),
        |      cast(null as struct<sc: bigint, ph: string>),
        |      (b, k) -> CASE
+       |        WHEN ${sc("k")} IS NULL THEN b
        |        WHEN b IS NULL
        |          OR ${sc("k")} > b.sc
        |          OR (${sc("k")} = b.sc AND (${ph("k")}) < b.ph)
        |        THEN named_struct('sc', ${sc("k")}, 'ph', ${ph("k")})
        |        ELSE b END))),
-       |  acc -> element_at(acc, length(w) + 1).ph)""".stripMargin
+       |  acc -> element_at(acc, length(w) + 1))""".stripMargin
   }
 
   /** Viterbi-best segmentation of every word type under `lp` (piece →
@@ -123,7 +124,29 @@ object UnigramLm {
       .agg(map_from_entries(collect_list(struct(
         ((col("ci") * 8) + col("ck")).cast("int").as("key"),
         col("lp_q").as("value")))).as("m"))
-      .select(col("w"), expr(dpExpr).as("path"))
+      .select(col("w"), expr(dpExpr).as("dp"))
+      .select(col("w"), col("dp.ph").as("path"), col("dp.sc").as("score_q"))
+
+  /** Viterbi with ONE PIECE REMOVED, per (w, rp) pair — the Kudo prune
+    * loss primitive. `pairs` lists only AFFECTED words (a word whose best
+    * path does not use rp keeps its best path when rp is removed, so its
+    * loss contribution is zero by construction). Single chars are never
+    * removed, so the DP stays total; candidate occurrences of rp simply
+    * vanish from the per-word score map and the fold's null-guard skips
+    * them — exactly the missing join row of the oracle's relational DP.
+    * Returns (w, rp, score_q) of the best rp-free segmentation. */
+  private def viterbiWithout(pairs: DataFrame, cand: DataFrame,
+                             lp: DataFrame): DataFrame =
+    cand.drop("freq")
+      .join(lp.select(col("piece"), col("lp_q")), Seq("piece"))
+      .join(pairs, Seq("w"))
+      .filter(col("piece") =!= col("rp"))
+      .groupBy(col("w"), col("rp"))
+      .agg(map_from_entries(collect_list(struct(
+        ((col("ci") * 8) + col("ck")).cast("int").as("key"),
+        col("lp_q").as("value")))).as("m"))
+      .select(col("w"), col("rp"), expr(dpExpr).as("dp"))
+      .select(col("w"), col("rp"), col("dp.sc").as("score_q"))
 
   /** Freq-weighted piece usage counts of a segmentation set. */
   private def usageCounts(seg: DataFrame, types: DataFrame): DataFrame =
@@ -220,5 +243,111 @@ object UnigramLm {
       .select(col("w"), col("freq"),
         size(split(col("path"), "\\|")).cast("long").as("n_pieces"),
         col("path").as("encoding"))
+  }
+
+  /** Percent of prunable (used, multi-char) pieces dropped by the prune
+    * round — smallest likelihood-loss first, Kudo 2018 §3.2 step 3. */
+  val PrunePct = 20
+
+  /** VOCABULARY PRUNING round (Kudo 2018 §3.2 step 3 — the schedule the
+    * fixed-vocab trainer deliberately omitted, see the object scaladoc):
+    *
+    *  1. Segment under the FINAL trained scores (the encode pass).
+    *  2. Per USED multi-char piece p, loss(p) = Σ_w freq(w)·(best(w) −
+    *     best_without_p(w)) — computed by re-running the Viterbi DP with p
+    *     removed, but ONLY for words whose best path uses p (any other
+    *     word's best path survives p's removal unchanged, so its
+    *     contribution is zero by construction — this is what keeps the
+    *     prune pass O(affected words), not O(types × vocab)).
+    *  3. Drop the bottom [[PrunePct]]% by (loss ASC, piece ASC); unused
+    *     multi-char seed pieces leave the vocabulary wholesale (the
+    *     "remove unused" half of the paper's step); single chars always
+    *     survive, so segmentation stays total.
+    *  4. One more EM round over the pruned vocabulary (E-step restricted
+    *     to surviving pieces under the current scores, add-one M-step
+    *     re-score with the SMALLER V in the denominator).
+    *
+    * Output: the vocab-size / code-length trade, one row per stage —
+    * (stage ∈ {pre, post}, vocab_size, vocab_used, total_pieces,
+    * code_len_q, nats_q_per_word) on the q425 report's 1e-4 nats grid.
+    * Everything integer or integer-log-grid — the oracle replays the
+    * prune round CTE-for-CTE. */
+  def pruneReport(documents: DataFrame, iters: Int = Iters): DataFrame = {
+    val st = pruneState(documents, iters)
+    pruneReportOf(st)
+  }
+
+  /** Every pre-floor ln argument the PRUNE round adds beyond training
+    * (the post-prune M-step re-score), from the SAME plan q428 runs —
+    * the KnifeEdgeSpec hook, mirroring [[lnArgsForAudit]]. */
+  private[graft] def pruneLnArgsForAudit(documents: DataFrame,
+                                         iters: Int = Iters): DataFrame =
+    pruneState(documents, iters).lpPost.select(col("arg"))
+
+  private case class PruneState(types: DataFrame, cand: DataFrame,
+      lp: DataFrame, seg: DataFrame, seedPieces: DataFrame,
+      vocab1: DataFrame, segP: DataFrame, lpPost: DataFrame)
+
+  private def pruneState(documents: DataFrame, iters: Int): PruneState = {
+    val (types, cand, lp, _) = trained(documents, iters)
+    val freq = types.select(col("w"), col("freq"))
+    // fresh E-pass under the final scores; feeds the pre report, the
+    // affected-pairs list, and the with-piece score — one materialization
+    val seg = viterbi(types, cand, lp).localCheckpoint()
+    // affected (word, removed-piece) pairs: distinct multi-char path pieces
+    val pairs = seg
+      .select(col("w"),
+        explode(array_distinct(split(col("path"), "\\|"))).as("rp"))
+      .filter(length(col("rp")) >= 2)
+    val loss = viterbiWithout(pairs, cand, lp)
+      .join(seg.select(col("w"), col("score_q").as("sc_with")), Seq("w"))
+      .join(freq, Seq("w"))
+      .groupBy(col("rp").as("piece"))
+      .agg(sum(col("freq") * (col("sc_with") - col("score_q"))).as("loss_q"))
+    // bottom PrunePct% by (loss ASC, piece ASC): window over the PIECE
+    // domain — bounded (sits above the loss aggregate; audit-visible)
+    val np = loss.agg(count(lit(1)).as("np"))
+    val survivors = loss.crossJoin(broadcast(np))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("loss_q").asc, col("piece").asc)).cast("long"))
+      .filter(col("rk") > expr(s"np * $PrunePct DIV 100"))
+      .select(col("piece"))
+    val seedPieces = cand.select(col("piece")).distinct()
+    // pruned vocabulary: all single chars + surviving used multi-char
+    // pieces; checkpointed with provenance (piece-domain, 4 consumers)
+    val vocab1 = graft.Explain.localCheckpointWithProvenance(
+      seedPieces.filter(length(col("piece")) === 1)
+        .union(survivors).distinct())
+    // one EM round over the pruned vocabulary
+    val candP = cand.join(vocab1, Seq("piece"))
+    val lpP = lp.join(vocab1, Seq("piece")).select(col("piece"), col("lp_q"))
+    val segP = viterbi(types, candP, lpP)
+    val lpPost = smoothedLp(usageCounts(segP, types), vocab1)
+    PruneState(types, cand, lp, seg, seedPieces, vocab1, segP, lpPost)
+  }
+
+  private def pruneReportOf(st: PruneState): DataFrame = {
+    val freq = st.types.select(col("w"), col("freq"))
+    val usedPre = st.seg.join(freq, Seq("w"))
+      .select(col("freq"), explode(split(col("path"), "\\|")).as("piece"))
+      .join(st.lp.select(col("piece"), col("lp_q")), Seq("piece"))
+    val usedPost = st.segP.join(freq, Seq("w"))
+      .select(col("freq"), explode(split(col("path"), "\\|")).as("piece"))
+      .join(st.lpPost.select(col("piece"), col("lp_q")), Seq("piece"))
+    val nWords = st.types.agg(sum(col("freq")).as("n_words"))
+    def stageRow(name: String, used: DataFrame,
+                 vocabSize: DataFrame): DataFrame =
+      used.agg(countDistinct(col("piece")).as("vocab_used"),
+          sum(col("freq")).as("total_pieces"),
+          sum(col("freq") * -col("lp_q")).as("code_len_q"))
+        .crossJoin(broadcast(vocabSize))
+        .crossJoin(broadcast(nWords))
+        .selectExpr(s"'$name' AS stage", "vocab_size", "vocab_used",
+          "total_pieces", "code_len_q",
+          "code_len_q DIV n_words AS nats_q_per_word")
+    stageRow("pre", usedPre,
+        st.seedPieces.agg(count(lit(1)).as("vocab_size")))
+      .unionByName(stageRow("post", usedPost,
+        st.vocab1.agg(count(lit(1)).as("vocab_size"))))
   }
 }

@@ -42,7 +42,11 @@ class ContractSpec extends SparkSpec {
       "q388_bh_fdr", "q391_dp_histogram", "q418_moore_lewis",
       "q419_unigram_lm", "q420_unigram_encode", "q421_dsir_resample",
       "q423_hll_registers", "q424_hll_rollup", "q425_unigram_report",
-      "q426_hll_overlap")
+      "q426_hll_overlap",
+      // r12: q427's ln is the q423 HLL linear-counting branch (audited
+      // EXHAUSTIVELY over its 255-value domain); q428's is the post-prune
+      // M-step re-score (KnifeEdgeSpec probe via pruneLnArgsForAudit)
+      "q427_theta_sketch", "q428_unigram_prune")
     val offenders = SparkEntry.oracleSql.collect {
       case (name, sql) if !vetted(name) &&
         ("""(?i)\b(ln|exp|pow|power|log|log2|log10|sin|cos|tan|asin|acos""" +
@@ -76,6 +80,8 @@ class ContractSpec extends SparkSpec {
                                // oracle templates ln()x2; q423/q424/q426
                                // linear-counting ln() x6 (shared Spark
                                // estimate template + oracle branches)
+      "Entries75.scala" -> 2,  // q427 oracle linear-counting ln() +
+                               // q428 oracle post-prune re-score ln()
       "UnigramLm.scala" -> 2)  // lp0 + smoothed re-score log()
     val root = new java.io.File("src/main/scala/graft")
     assert(root.isDirectory, s"source root not found from ${new java.io.File(".").getAbsolutePath}")

@@ -492,6 +492,20 @@ class KnifeEdgeSpec extends SparkSpec {
     assertFloorSafe("q419", vs)
   }
 
+  // ---- q428 prune round (ext/UnigramLm.scala): the post-prune M-step
+  //      re-score adds floor(ln((c+1)/(T'+V1))*1e4) terms over the PRUNED
+  //      vocabulary — the only new floors beyond the q419 training audit
+
+  test("q428: the post-prune re-score terms clear the 1e-4 grid " +
+    "boundaries") {
+    // same-plan hook (UnigramLm.pruneLnArgsForAudit) — the arg column
+    // rides inside the q428 lpPost relation, so no duplicated pipeline
+    val vs = ext.UnigramLm.pruneLnArgsForAudit(Tables.documents(spark, gate))
+      .where(col("arg") =!= 1.0)
+      .select((log(col("arg")) * 1e4).as("v"))
+    assertFloorSafe("q428", vs)
+  }
+
   // ---- q421 DSIR (Entries74.scala): floor(ln((c+1)/(T+256))*1e4) for the
   //      two bucket models + floor(ln((2h+1)/2e6)*1e4) acceptance uniform
 

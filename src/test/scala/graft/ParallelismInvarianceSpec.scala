@@ -85,7 +85,17 @@ class ParallelismInvarianceSpec extends SparkSpec {
     // algebra like the bitmap OR; executed here, not argued
     "q423_hll_registers",
     "q424_hll_rollup",
-    "q426_hll_overlap")
+    "q426_hll_overlap",
+    // r12 batch: theta/KMV k-smallest is an order statistic (a pure
+    // function of the value SET — the partial WindowGroupLimit must not
+    // leak layout); the prune round's loss rank and the nprobe sweep's
+    // per-point top-k break ties on total orders; the SQL-text consumers
+    // must agree with their DataFrame twins under any layout
+    "q427_theta_sketch",
+    "q428_unigram_prune",
+    "q429_ivf_nprobe_sweep",
+    "q430_sql_ivf_recall",
+    "q431_sql_split_budget")
 
   private def runAt(name: String, partitions: Int): Seq[String] = {
     val saved = spark.conf.get("spark.sql.shuffle.partitions")

@@ -1097,4 +1097,43 @@ class ScalePostureSpec extends SparkSpec {
       "q109: a Union re-appeared — the pair subtree is being replayed " +
         "once per containment direction")
   }
+
+  test("r12 posture: q427 theta k-smallest is a PARTITIONED group limit; " +
+    "q430's SQL-text IVF plan broadcasts and never CartesianProducts") {
+    // q427: rank ≤ k+1 per set must compile to WindowGroupLimit with a
+    // NON-empty partitionSpec — each input partition forwards at most k+1
+    // rows map-side (the 100 TB shape for an order statistic); the only
+    // global group limits are the ≤2(k+1)-row union-merge ranks, which
+    // sit above distinct-aggregates (census no-RAW machine-checks that)
+    spark.sharedState.cacheManager.clearCache()
+    val th = SparkEntry.queries("q427_theta_sketch")(spark, sf)
+    // the k-smallest relation is persisted, so its WindowGroupLimit lives
+    // INSIDE the InMemoryRelation — recurse through cache/AQE boundaries
+    // the same way Explain.boundLabel does
+    def allPlans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p +: p.collect {
+        case i: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          allPlans(i.relation.cachedPlan)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          allPlans(a.executedPlan)
+      }.flatten
+    val wgls = allPlans(th.queryExecution.sparkPlan).flatMap(_.collect {
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => w
+    })
+    assert(wgls.exists(_.partitionSpec.nonEmpty),
+      "q427: the per-set k-smallest must be a partitioned WindowGroupLimit")
+    // q430: the SQL-text consumer of the IVF view must get the SAME
+    // bucketed physical shape as the DataFrame pipeline — centroids
+    // broadcast (BroadcastNestedLoopJoin against the corpus is the
+    // intended 1×N broadcast cross), no CartesianProduct anywhere
+    spark.sharedState.cacheManager.clearCache()
+    val p430 = planOf(SparkEntry.queries("q430_sql_ivf_recall")(spark, sf))
+    assert(!p430.contains("CartesianProduct"),
+      "q430: SQL text fell off the broadcast plan into a cartesian join")
+    assert(p430.contains("BroadcastNestedLoopJoin") ||
+      p430.contains("BroadcastExchange"),
+      "q430: centroids must broadcast in the SQL-text plan")
+    spark.sharedState.cacheManager.clearCache()
+  }
 }
