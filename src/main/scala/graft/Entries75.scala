@@ -22,13 +22,16 @@ import graft.ext.UnigramLm
   *  - q430/q431 SQL-TEXT SURFACE over the similarity and train-prep
   *    families (the q422 discipline extended beyond curation): lazy temp
   *    views + pure-SQL consumers, census-pinned to the bucketed plans.
+  *  - q432 TRAINED-CENTROID SWEEP: q429 with the modulo quantizer swapped
+  *    for q53's deterministic Lloyd k-means centroids — the before/after
+  *    pair an index operator reads to pick the nprobe operating point.
   *
   * Everything integer or integer-log-grid; every query replays in DuckDB.
   */
 object Entries75 {
 
   def all: Seq[Q] = Seq(thetaSketch, unigramPrune, ivfSweep,
-    sqlIvfConsumer, sqlTrainPrepConsumer)
+    sqlIvfConsumer, sqlTrainPrepConsumer, ivfTrainedSweep)
 
   /** Theta-sketch sample size (k). Estimation kicks in above k distinct
     * hashes; below it the sketch IS the set and every estimate is exact. */
@@ -422,70 +425,124 @@ object Entries75 {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         graft.ext.Similarity.ivfSweep(emb, 20, 5, 100, Seq(1, 2, 4, 8))
       },
+      Some(sweepOracle(
+        """cent AS (SELECT vec_id AS c_id, embedding AS c_emb
+          |         FROM embeddings WHERE vec_id % 100 = 0)""".stripMargin)))
+
+  /** The q429/q432 sweep oracle against an arbitrary coarse-quantizer CTE
+    * chain whose LAST relation is `cent(c_id, c_emb)`. */
+  private def sweepOracle(centDef: String): String = {
+    val cos = ExtEntries.cosSql _
+    s"""WITH $centDef,
+       |assigned AS (
+       |  SELECT n_id, n_emb, c_id FROM (
+       |    SELECT e.vec_id AS n_id, e.embedding AS n_emb, c.c_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cos("e.embedding", "c.c_emb")} DESC,
+       |          c.c_id ASC) AS arn
+       |    FROM embeddings e, cent c)
+       |  WHERE arn = 1),
+       |probes AS (
+       |  SELECT q_id, q_emb, c_id, CAST(prn AS BIGINT) AS prn FROM (
+       |    SELECT e.vec_id AS q_id, e.embedding AS q_emb, c.c_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cos("e.embedding", "c.c_emb")} DESC,
+       |          c.c_id ASC) AS prn
+       |    FROM embeddings e, cent c WHERE e.vec_id < 20)
+       |  WHERE prn <= 8),
+       |cand AS MATERIALIZED (
+       |  SELECT p.q_id, a.n_id, p.prn,
+       |    ${cos("p.q_emb", "a.n_emb")} AS cos
+       |  FROM assigned a JOIN probes p USING (c_id)
+       |  WHERE p.q_id <> a.n_id),
+       |brute AS MATERIALIZED (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${cos("q.embedding", "e.embedding")} DESC,
+       |          e.vec_id ASC) AS rank
+       |    FROM embeddings q JOIN embeddings e ON q.vec_id <> e.vec_id
+       |    WHERE q.vec_id < 20)
+       |  WHERE rank <= 5),
+       |poss AS (SELECT CAST(count(*) AS BIGINT) AS possible FROM brute),
+       |nps AS (SELECT CAST(unnest([1, 2, 4, 8]) AS BIGINT) AS nprobe),
+       |pern AS (
+       |  SELECT n.nprobe, c.q_id, c.n_id, c.cos
+       |  FROM cand c JOIN nps n ON c.prn <= n.nprobe),
+       |topk AS (
+       |  SELECT nprobe, q_id, n_id FROM (
+       |    SELECT nprobe, q_id, n_id,
+       |      row_number() OVER (PARTITION BY nprobe, q_id
+       |        ORDER BY cos DESC, n_id ASC) AS rk
+       |    FROM pern)
+       |  WHERE rk <= 5),
+       |hits AS (
+       |  SELECT t.nprobe, CAST(count(*) AS BIGINT) AS hits
+       |  FROM topk t JOIN brute b
+       |    ON t.q_id = b.q_id AND t.n_id = b.n_id
+       |  GROUP BY 1),
+       |cost AS (
+       |  SELECT nprobe, CAST(count(*) AS BIGINT) AS n_candidates
+       |  FROM pern GROUP BY 1)
+       |SELECT n.nprobe,
+       |  CAST(coalesce(c.n_candidates, 0) AS BIGINT) AS n_candidates,
+       |  CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+       |  p.possible,
+       |  CAST(coalesce(h.hits, 0) * 1000 // nullif(p.possible, 0)
+       |    AS BIGINT) AS recall_milli
+       |FROM nps n
+       |LEFT JOIN cost c ON n.nprobe = c.nprobe
+       |LEFT JOIN hits h ON n.nprobe = h.nprobe
+       |CROSS JOIN poss p""".stripMargin
+  }
+
+  // TRAINED-CENTROID NPROBE SWEEP: the README's "re-run the sweep after
+  // swapping in trained centroids" step, made a query — the q429 table
+  // with the coarse quantizer replaced by q53's deterministic 2-round
+  // Lloyd k-means centroids (integerized-exact means, so the oracle
+  // replays the training trajectory bit-for-bit and then the sweep).
+  // Together q429/q432 are the before/after tuning tables an index
+  // operator reads to pick nprobe.
+  private val ivfTrainedSweep: Q =
+    Q("q432_ivf_trained_sweep",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val emb = Tables.embeddings(s, d)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // checkpointed: the trained quantizer feeds BOTH the corpus
+        // assignment and the query probes — train once, not per consumer
+        val cent = graft.Explain.localCheckpointWithProvenance(
+          graft.ext.Similarity.kmeansCentroids(emb, 100, 2)
+            .select(col("cluster").as("c_id"), col("centroid").as("c_emb")))
+        graft.ext.Similarity.ivfSweepWith(emb, cent, 20, 5, Seq(1, 2, 4, 8))
+      },
       Some {
         val cos = ExtEntries.cosSql _
-        s"""WITH cent AS (SELECT vec_id AS c_id, embedding AS c_emb
-           |             FROM embeddings WHERE vec_id % 100 = 0),
-           |assigned AS (
-           |  SELECT n_id, n_emb, c_id FROM (
-           |    SELECT e.vec_id AS n_id, e.embedding AS n_emb, c.c_id,
-           |      row_number() OVER (PARTITION BY e.vec_id
-           |        ORDER BY ${cos("e.embedding", "c.c_emb")} DESC,
-           |          c.c_id ASC) AS arn
-           |    FROM embeddings e, cent c)
-           |  WHERE arn = 1),
-           |probes AS (
-           |  SELECT q_id, q_emb, c_id, CAST(prn AS BIGINT) AS prn FROM (
-           |    SELECT e.vec_id AS q_id, e.embedding AS q_emb, c.c_id,
-           |      row_number() OVER (PARTITION BY e.vec_id
-           |        ORDER BY ${cos("e.embedding", "c.c_emb")} DESC,
-           |          c.c_id ASC) AS prn
-           |    FROM embeddings e, cent c WHERE e.vec_id < 20)
-           |  WHERE prn <= 8),
-           |cand AS MATERIALIZED (
-           |  SELECT p.q_id, a.n_id, p.prn,
-           |    ${cos("p.q_emb", "a.n_emb")} AS cos
-           |  FROM assigned a JOIN probes p USING (c_id)
-           |  WHERE p.q_id <> a.n_id),
-           |brute AS MATERIALIZED (
-           |  SELECT q_id, n_id FROM (
-           |    SELECT q.vec_id AS q_id, e.vec_id AS n_id,
-           |      row_number() OVER (PARTITION BY q.vec_id
-           |        ORDER BY ${cos("q.embedding", "e.embedding")} DESC,
-           |          e.vec_id ASC) AS rank
-           |    FROM embeddings q JOIN embeddings e ON q.vec_id <> e.vec_id
-           |    WHERE q.vec_id < 20)
-           |  WHERE rank <= 5),
-           |poss AS (SELECT CAST(count(*) AS BIGINT) AS possible FROM brute),
-           |nps AS (SELECT CAST(unnest([1, 2, 4, 8]) AS BIGINT) AS nprobe),
-           |pern AS (
-           |  SELECT n.nprobe, c.q_id, c.n_id, c.cos
-           |  FROM cand c JOIN nps n ON c.prn <= n.nprobe),
-           |topk AS (
-           |  SELECT nprobe, q_id, n_id FROM (
-           |    SELECT nprobe, q_id, n_id,
-           |      row_number() OVER (PARTITION BY nprobe, q_id
-           |        ORDER BY cos DESC, n_id ASC) AS rk
-           |    FROM pern)
-           |  WHERE rk <= 5),
-           |hits AS (
-           |  SELECT t.nprobe, CAST(count(*) AS BIGINT) AS hits
-           |  FROM topk t JOIN brute b
-           |    ON t.q_id = b.q_id AND t.n_id = b.n_id
-           |  GROUP BY 1),
-           |cost AS (
-           |  SELECT nprobe, CAST(count(*) AS BIGINT) AS n_candidates
-           |  FROM pern GROUP BY 1)
-           |SELECT n.nprobe,
-           |  CAST(coalesce(c.n_candidates, 0) AS BIGINT) AS n_candidates,
-           |  CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
-           |  p.possible,
-           |  CAST(coalesce(h.hits, 0) * 1000 // nullif(p.possible, 0)
-           |    AS BIGINT) AS recall_milli
-           |FROM nps n
-           |LEFT JOIN cost c ON n.nprobe = c.nprobe
-           |LEFT JOIN hits h ON n.nprobe = h.nprobe
-           |CROSS JOIN poss p""".stripMargin
+        def assignSql(cent: String, out: String) =
+          s"""$out AS (
+             |  SELECT vec_id, embedding, cluster FROM (
+             |    SELECT e.vec_id, e.embedding, c.cluster,
+             |      row_number() OVER (PARTITION BY e.vec_id
+             |        ORDER BY ${cos("e.embedding", "c.centroid")} DESC,
+             |          c.cluster ASC) AS rn
+             |    FROM embeddings e, $cent c)
+             |  WHERE rn = 1)""".stripMargin
+        sweepOracle(
+          s"""cent0 AS (
+             |  SELECT vec_id AS cluster,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
+             |  FROM embeddings WHERE vec_id % 100 = 0),
+             |${assignSql("cent0", "a0")},
+             |cent1 AS (
+             |  SELECT cluster, array_agg(c ORDER BY dim) AS centroid FROM (
+             |    SELECT cluster, dim,
+             |      CAST(sum(CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT)
+             |        / 1000000.0 / count(*) AS c
+             |    FROM (SELECT cluster, unnest(embedding) AS x,
+             |            generate_subscripts(embedding, 1) AS dim FROM a0)
+             |    GROUP BY cluster, dim)
+             |  GROUP BY cluster),
+             |cent AS (SELECT cluster AS c_id, centroid AS c_emb FROM cent1)""".stripMargin)
       })
 
   // SQL-TEXT SIMILARITY CONSUMER (round-11 verdict #5): the IVF and

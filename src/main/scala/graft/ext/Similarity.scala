@@ -117,10 +117,17 @@ object Similarity {
     * recall_milli) — n_candidates IS the scan cost of that operating
     * point. */
   def ivfSweep(embeddings: DataFrame, nQueries: Int, k: Int,
-               centroidEvery: Int, nprobes: Seq[Int]): DataFrame = {
+               centroidEvery: Int, nprobes: Seq[Int]): DataFrame =
+    ivfSweepWith(embeddings,
+      embeddings.filter(col("vec_id") % centroidEvery === 0)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb")),
+      nQueries, k, nprobes)
+
+  /** [[ivfSweep]] over an ARBITRARY coarse-quantizer frame
+    * (c_id, c_emb) — e.g. [[kmeansCentroids]] trained centroids (q432). */
+  def ivfSweepWith(embeddings: DataFrame, cent: DataFrame, nQueries: Int,
+                   k: Int, nprobes: Seq[Int]): DataFrame = {
     val maxP = nprobes.max
-    val cent = embeddings.filter(col("vec_id") % centroidEvery === 0)
-      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
     val assignW = Window.partitionBy(col("n_id"))
       .orderBy(col("c_cos").desc, col("c_id").asc)
     val assigned = embeddings
@@ -201,7 +208,20 @@ object Similarity {
     * only k×dim centroids do).
     *
     * Returns final (vec_id, cluster) assignments. */
-  def kmeans(embeddings: DataFrame, seedEvery: Int, iters: Int): DataFrame = {
+  def kmeans(embeddings: DataFrame, seedEvery: Int, iters: Int): DataFrame =
+    kmeansState(embeddings, seedEvery, iters)._1
+      .select(col("vec_id"), col("cluster"))
+
+  /** The TRAINED centroid frame (cluster, centroid: array<double>) after
+    * `iters` Lloyd rounds — the coarse quantizer q432 probes (the README's
+    * "swap in trained centroids" path, made concrete). */
+  def kmeansCentroids(embeddings: DataFrame, seedEvery: Int,
+                      iters: Int): DataFrame =
+    kmeansState(embeddings, seedEvery, iters)._2
+
+  /** Shared Lloyd loop: returns (final assignment, final centroids). */
+  private def kmeansState(embeddings: DataFrame, seedEvery: Int,
+                          iters: Int): (DataFrame, DataFrame) = {
     // centroid frame: (cluster, centroid: array<double>)
     var centroids = embeddings.filter(col("vec_id") % seedEvery === 0)
       .select(col("vec_id").as("cluster"),
@@ -228,7 +248,7 @@ object Similarity {
           .getField("c").as("centroid"))
       assigned = assign(centroids)
     }
-    assigned.select(col("vec_id"), col("cluster"))
+    (assigned, centroids)
   }
 
   val PlaneP = 2000003L

@@ -578,6 +578,96 @@ object StreamingFeatures {
       .start()
   }
 
+  /** INCREMENTAL THETA/KMV MATERIALIZATION: maintain a parquet store of
+    * per-week theta-sketch samples (week, hv) — the k+1 smallest DISTINCT
+    * 48-bit user-id hashes per week, the q427 relational sketch form (no
+    * blob; the sample IS the sketch, θ = its max when full). The
+    * per-batch merge is set-union + order statistic: (store rows for
+    * touched weeks ∪ the batch's own k+1-smallest sample) → distinct →
+    * k+1 smallest per week. Taking only the batch's k+1 smallest loses
+    * nothing: any member of the global k+1 smallest of (prev ∪ batch)
+    * is within the k+1 smallest of its source set. REPLAY-ABSORBING by
+    * algebra like the bitmap OR and the HLL max (set union is idempotent,
+    * order statistics are functions of the SET) — no batch_id guard; a
+    * lost checkpoint re-unions the backlog into a bit-identical store.
+    * Weekly samples merge to any coarser grain the same way (the q424
+    * rollup story), and estimates read the store with the q427 integer
+    * arithmetic. */
+  def streamThetaUpsert(spark: SparkSession, eventsDir: String,
+                        storePath: String, k: Int = 64,
+                        maxFilesPerTrigger: Int = 0,
+                        checkpointDir: Option[String] = None): StreamingQuery = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(eventsDir).schema
+    val reader = spark.readStream.schema(schema)
+    val raw = (if (maxFilesPerTrigger > 0)
+      reader.option("maxFilesPerTrigger", maxFilesPerTrigger) else reader)
+      .parquet(eventsDir)
+    val writer = raw.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+    checkpointDir.foreach(writer.option("checkpointLocation", _))
+    def kSmallest(df: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame =
+      df.withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("week")).orderBy(col("hv").asc)))
+        .filter(col("rn") <= k + 1)
+        .select(col("week"), col("hv"))
+    writer
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val h = graft.ext.Dedup.contentId(col("user_id").cast("string"))
+        val part = kSmallest(batch
+          .withColumn("ts_us", tsUsExpr(schema))
+          .select(expr("ts_us DIV 604800000000").as("week"),
+            h.cast("long").as("hv"))
+          .distinct())
+          .localCheckpoint() // feeds the touched-weeks semi-join AND merge
+        val hPath = new org.apache.hadoop.fs.Path(storePath)
+        val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+        val merged = (if (fs.exists(hPath)) {
+          kSmallest(spark.read.parquet(storePath)
+            .join(broadcast(part.select(col("week")).distinct()), Seq("week"))
+            .select(col("week"), col("hv"))
+            .unionByName(part)
+            .distinct())
+        } else part)
+          .localCheckpoint() // lineage break before the in-place overwrite
+        merged.sparkSession.conf
+          .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .partitionBy("week").parquet(storePath)
+        spark.catalog.refreshByPath(storePath)
+        ()
+      }
+      .start()
+  }
+
+  /** Weekly distinct-count estimates from a [[streamThetaUpsert]] store,
+    * with the q427 integer arithmetic: θ = (k+1)-th smallest (2^48 when
+    * the sample is the whole set), est = |{hv < θ}| · 2^48 · 1000 / θ
+    * milli. Returns (week, n_ret, theta, est_milli). */
+  def thetaWeeklyEstimates(spark: SparkSession, storePath: String,
+                           k: Int = 64): org.apache.spark.sql.DataFrame = {
+    val hSpace = 281474976710656L // 2^48 — contentId is 48-bit
+    spark.read.parquet(storePath)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("week")).orderBy(col("hv").asc)))
+      .groupBy(col("week"))
+      .agg(coalesce(max(when(col("rn") === k + 1, col("hv"))),
+        lit(hSpace)).as("theta"))
+      .join(spark.read.parquet(storePath), Seq("week"))
+      .filter(col("hv") < col("theta"))
+      .groupBy(col("week"), col("theta"))
+      .agg(count(lit(1)).as("n_ret"))
+      // week is a partition column on disk and reads back as INT — pin
+      // the contract to BIGINT regardless of directory-name inference
+      .selectExpr("CAST(week AS BIGINT) AS week", "n_ret", "theta",
+        s"CAST(CAST(n_ret AS DECIMAL(38,0)) * $hSpace * 1000 DIV theta " +
+          "AS BIGINT) AS est_milli")
+  }
+
   /** Open-session state carried between micro-batches. */
   case class OpenSession(startUs: Long, endUs: Long, n: Long, cents: Long)
   /** A closed session — the streaming twin of one Sessions.sessionize row

@@ -94,6 +94,20 @@ class Batch75Spec extends SparkSpec {
       "SQL-text consumer of the IVF view diverged from the DataFrame form")
   }
 
+  test("q432: the trained-centroid sweep keeps the q429 invariants " +
+    "(monotone recall and cost, possible = |queries| · k)") {
+    val rows = q("q432_ivf_trained_sweep").collect()
+      .sortBy(_.getAs[Long]("nprobe"))
+    assert(rows.map(_.getAs[Long]("nprobe")).toSeq === Seq(1L, 2L, 4L, 8L))
+    rows.foreach(r => assert(r.getAs[Long]("possible") === 100L))
+    val recalls = rows.map(_.getAs[Long]("recall_milli"))
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b },
+      s"recall must not drop as nprobe grows: ${recalls.mkString(",")}")
+    val costs = rows.map(_.getAs[Long]("n_candidates"))
+    assert(costs.zip(costs.tail).forall { case (a, b) => a <= b },
+      s"candidate cost must not drop with nprobe: ${costs.mkString(",")}")
+  }
+
   test("q431: the three splits partition the corpus and token totals are " +
     "positive") {
     val rows = q("q431_sql_split_budget").collect()

@@ -95,7 +95,8 @@ class ParallelismInvarianceSpec extends SparkSpec {
     "q428_unigram_prune",
     "q429_ivf_nprobe_sweep",
     "q430_sql_ivf_recall",
-    "q431_sql_split_budget")
+    "q431_sql_split_budget",
+    "q432_ivf_trained_sweep")
 
   private def runAt(name: String, partitions: Int): Seq[String] = {
     val saved = spark.conf.get("spark.sql.shuffle.partitions")

@@ -535,6 +535,100 @@ class StreamingSpec extends SparkSpec {
       "a replayed backlog must be absorbed: register max is idempotent")
   }
 
+  test("theta materialization restart (r12): the sample store equals a " +
+    "one-pass batch build after chunked ingest, restart, AND checkpoint " +
+    "loss (k-smallest-of-union absorbs replays by algebra); estimates " +
+    "reproduce the q427 arithmetic") {
+    // the KMV/theta member of the streaming sketch face, same delivery
+    // algebra as bitmap OR and HLL max: the per-week sample is the k+1
+    // smallest DISTINCT hashes — a pure function of the value SET, so any
+    // replay or re-chunking converges to the identical store. k = 8 keeps
+    // the trim path exercised (weeks hold more than 9 distinct users).
+    import java.nio.file.Files
+    import java.nio.file.attribute.FileTime
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val k = 8
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    val chunked = raw.withColumn("c", ntile(2).over(
+      org.apache.spark.sql.expressions.Window.orderBy($"ts", $"event_id")))
+    val dir = Files.createTempDirectory("events_theta_restart")
+    val chunkFiles = (1 to 2).map { n =>
+      val tmp = Files.createTempDirectory(s"thetachunk_$n")
+      chunked.filter($"c" === n).drop("c")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      new java.io.File(tmp.toString).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .head.toPath
+    }
+    def stage(n: Int): Unit = {
+      val dst = dir.resolve(f"chunk-$n%03d.parquet")
+      Files.copy(chunkFiles(n - 1), dst)
+      Files.setLastModifiedTime(dst, FileTime.fromMillis(4000000L + n * 60000L))
+    }
+    val ckpt = Files.createTempDirectory("theta_ckpt").toString
+    val store = Files.createTempDirectory("theta_store").toString + "/weekly"
+    def storeRows(): Set[(Long, Long)] =
+      spark.read.parquet(store)
+        .select($"week".cast("long"), $"hv".cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // one-pass truth: k+1 smallest distinct hashes per week over ALL events
+    val h = graft.ext.Dedup.contentId($"user_id".cast("string"))
+    val truth = Tables.events(spark, sf)
+      .select(expr("ts_us DIV 604800000000").as("week"),
+        h.cast("long").as("hv"))
+      .distinct()
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"week").orderBy($"hv".asc)))
+      .filter($"rn" <= k + 1).select($"week", $"hv")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    stage(1)
+    val run1 = StreamingFeatures.streamThetaUpsert(spark, dir.toString,
+      store, k = k, maxFilesPerTrigger = 1, checkpointDir = Some(ckpt))
+    run1.processAllAvailable(); run1.stop()
+    stage(2)
+    val run2 = StreamingFeatures.streamThetaUpsert(spark, dir.toString,
+      store, k = k, maxFilesPerTrigger = 1, checkpointDir = Some(ckpt))
+    run2.processAllAvailable(); run2.stop()
+    assert(storeRows() == truth,
+      "incremental sample store must equal the one-pass batch build")
+
+    // checkpoint LOSS: the replay re-unions the same values — absorbed
+    val ckpt2 = Files.createTempDirectory("theta_ckpt_lost").toString
+    val run3 = StreamingFeatures.streamThetaUpsert(spark, dir.toString,
+      store, k = k, maxFilesPerTrigger = 1, checkpointDir = Some(ckpt2))
+    run3.processAllAvailable(); run3.stop()
+    assert(storeRows() == truth,
+      "a replayed backlog must be absorbed: k-smallest-of-union is a " +
+        "function of the value set")
+
+    // the estimate reader reproduces the q427 arithmetic on the store:
+    // exact-mode weeks (sample not full) estimate EXACTLY; estimating
+    // weeks land within the loose 4-sigma ~ 4/sqrt(k-1) gate
+    val exact = Tables.events(spark, sf)
+      .select(expr("ts_us DIV 604800000000").as("week"), $"user_id")
+      .groupBy($"week").agg(countDistinct($"user_id").as("nd"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ests = StreamingFeatures.thetaWeeklyEstimates(spark, store, k)
+      .collect()
+    assert(ests.nonEmpty)
+    ests.foreach { r =>
+      val week = r.getAs[Long]("week")
+      val est = r.getAs[Long]("est_milli")
+      val nd = exact(week)
+      if (r.getAs[Long]("theta") == 281474976710656L) {
+        // exact mode: distinct HASHES seen = the estimate; md5 collisions
+        // across user ids could shrink it below nd, never above
+        assert(est <= nd * 1000L && est >= (nd - 1) * 1000L,
+          s"week $week exact-mode estimate $est vs $nd distinct users")
+      } else {
+        assert(est > 0L && math.abs(est - nd * 1000L) <= nd * 1000L * 3 / 2,
+          s"week $week estimate $est too far from exact $nd")
+      }
+    }
+  }
+
   test("CMS materialization restart: checkpointed resume conserves per-week " +
     "counts; replays are refused by the batch_id guard; estimates dominate " +
     "exact frequencies") {
