@@ -31,7 +31,7 @@ import graft.ext.UnigramLm
 object Entries75 {
 
   def all: Seq[Q] = Seq(thetaSketch, unigramPrune, ivfSweep,
-    sqlIvfConsumer, sqlTrainPrepConsumer, ivfTrainedSweep)
+    sqlIvfConsumer, sqlTrainPrepConsumer, ivfTrainedSweep, thetaRollup)
 
   /** Theta-sketch sample size (k). Estimation kicks in above k distinct
     * hashes; below it the sketch IS the set and every estimate is exact. */
@@ -97,9 +97,14 @@ object Entries75 {
           .filter(col("rn") <= ThetaK + 1)
           .agg(coalesce(max(when(col("rn") === ThetaK + 1, col("hv"))),
             lit(HSpace)).as("th_u0"))
-        val wide0 = thWide.crossJoin(broadcast(nWide)).crossJoin(broadcast(thU0))
-          .withColumn("th_u", least(col("th_a"), col("th_b"), col("th_u0")))
-          .withColumn("th_i", least(col("th_a"), col("th_b")))
+        // ONE ROW; checkpointed so the theta subtree (with its union-rank
+        // window) materializes once instead of replanning under each of
+        // its three consumers (nU, nI, the final wide)
+        val wide0 = graft.Explain.localCheckpointWithProvenance(
+          thWide.crossJoin(broadcast(nWide)).crossJoin(broadcast(thU0))
+            .withColumn("th_u",
+              least(col("th_a"), col("th_b"), col("th_u0")))
+            .withColumn("th_i", least(col("th_a"), col("th_b"))))
         val nU = u.crossJoin(broadcast(wide0.select(col("th_u"))))
           .filter(col("hv") < col("th_u"))
           .agg(count(lit(1)).as("n_u"))
@@ -410,6 +415,135 @@ object Entries75 {
          |  code_len_q // n_words
          |FROM codepost, vsz, nwd""".stripMargin
   }
+
+  // THETA ROLLUP — the q424 sibling for KMV/theta: weekly sample tables
+  // merge to 30-day epoch buckets ("months", q424's pseudo-month, same
+  // caveat) by SET UNION + ORDER STATISTIC ALONE — no raw-data repass.
+  // The rollup is provably lossless and the proof is EXECUTED, not
+  // argued: any member of the month's k+1 smallest is within its own
+  // week's k+1 smallest, so (k+1 smallest of the union of weekly
+  // samples) == (k+1 smallest of the month's raw distinct hashes); the
+  // n_mismatch column counts the symmetric difference of the two sample
+  // sets (always 0), and est_milli is gated against the exact monthly
+  // distinct count. No transcendental anywhere — the theta estimator is
+  // pure integer arithmetic, unlike HLL's linear-counting branch.
+  private val ThetaRollK = 32
+  private val thetaRollup: Q =
+    Q("q433_theta_rollup",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables.events(s, d)
+        val h = graft.ext.Dedup.contentId(col("user_id").cast("string"))
+        val hv = ev
+          .select(expr("ts_us DIV 604800000000").as("week"),
+            h.cast("long").as("hv"))
+          .distinct()
+          .withColumn("month", expr("(week * 7) DIV 30"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        def kSmallest(df: org.apache.spark.sql.DataFrame,
+                      key: String): org.apache.spark.sql.DataFrame =
+          df.withColumn("rn", row_number().over(
+              Window.partitionBy(col(key)).orderBy(col("hv").asc)))
+            .filter(col("rn") <= ThetaRollK + 1)
+        // weekly sketches (what a streaming store holds), then the rollup:
+        // month sample = k+1 smallest of the UNION of weekly samples
+        val weekly = kSmallest(hv.select(col("week"), col("month"),
+          col("hv")), "week")
+        val merged = kSmallest(
+          weekly.select(col("month"), col("hv")).distinct(), "month")
+        // the direct build the rollup must equal
+        val direct = kSmallest(
+          hv.select(col("month"), col("hv")).distinct(), "month")
+        def retained(df: org.apache.spark.sql.DataFrame)
+            : org.apache.spark.sql.DataFrame = {
+          val th = df.groupBy(col("month"))
+            .agg(coalesce(max(when(col("rn") === ThetaRollK + 1, col("hv"))),
+              lit(HSpace)).as("theta"))
+          df.join(th, Seq("month")).filter(col("hv") < col("theta"))
+            .select(col("month"), col("hv"), col("theta"))
+        }
+        val rm = retained(merged)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val rd = retained(direct)
+        // executed losslessness: symmetric difference of the sample sets
+        val mism = rm.select(col("month"), col("hv"))
+          .unionByName(rd.select(col("month"), col("hv")))
+          .groupBy(col("month"), col("hv")).agg(count(lit(1)).as("c"))
+          .filter(col("c") === 1)
+          .groupBy(col("month")).agg(count(lit(1)).as("n_mismatch"))
+        val est = rm.groupBy(col("month"), col("theta"))
+          .agg(count(lit(1)).as("n_ret"))
+          .selectExpr("month", "n_ret", "theta",
+            s"${thetaEst("n_ret", "theta")} AS est_milli")
+        val exact = ev
+          .select(expr("(ts_us DIV 604800000000) * 7 DIV 30").as("month"),
+            col("user_id"))
+          .groupBy(col("month"))
+          .agg(countDistinct(col("user_id")).as("n_exact"))
+        est.join(exact, Seq("month"))
+          .join(mism, Seq("month"), "left")
+          .selectExpr("month", "n_ret", "theta", "est_milli", "n_exact",
+            "abs(est_milli - n_exact * 1000) * 1000000 DIV " +
+              "nullif(n_exact * 1000, 0) AS err_ppm",
+            "CAST(coalesce(n_mismatch, 0) AS BIGINT) AS n_mismatch")
+      },
+      Some(s"""WITH hv AS (
+              |  SELECT DISTINCT epoch_us(ts) // 604800000000 AS week,
+              |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))
+              |      ::BIGINT AS hv
+              |  FROM events),
+              |hvm AS (SELECT week, (week * 7) // 30 AS month, hv FROM hv),
+              |weekly AS (
+              |  SELECT month, hv FROM (
+              |    SELECT month, hv, row_number() OVER (PARTITION BY week
+              |      ORDER BY hv ASC) AS rn FROM hvm)
+              |  WHERE rn <= ${ThetaRollK + 1}),
+              |merged AS (
+              |  SELECT month, hv, rn FROM (
+              |    SELECT month, hv, row_number() OVER (PARTITION BY month
+              |      ORDER BY hv ASC) AS rn
+              |    FROM (SELECT DISTINCT month, hv FROM weekly))
+              |  WHERE rn <= ${ThetaRollK + 1}),
+              |direct AS (
+              |  SELECT month, hv, rn FROM (
+              |    SELECT month, hv, row_number() OVER (PARTITION BY month
+              |      ORDER BY hv ASC) AS rn
+              |    FROM (SELECT DISTINCT month, hv FROM hvm))
+              |  WHERE rn <= ${ThetaRollK + 1}),
+              |thm AS (
+              |  SELECT month, coalesce(max(CASE WHEN rn = ${ThetaRollK + 1}
+              |    THEN hv END), $HSpace) AS theta
+              |  FROM merged GROUP BY 1),
+              |thd AS (
+              |  SELECT month, coalesce(max(CASE WHEN rn = ${ThetaRollK + 1}
+              |    THEN hv END), $HSpace) AS theta
+              |  FROM direct GROUP BY 1),
+              |rm AS (SELECT m.month, m.hv, t.theta FROM merged m
+              |       JOIN thm t ON m.month = t.month WHERE m.hv < t.theta),
+              |rd AS (SELECT d.month, d.hv, t.theta FROM direct d
+              |       JOIN thd t ON d.month = t.month WHERE d.hv < t.theta),
+              |mism AS (
+              |  SELECT month, CAST(count(*) AS BIGINT) AS n_mismatch FROM (
+              |    SELECT month, hv FROM (
+              |      SELECT month, hv FROM rm
+              |      UNION ALL SELECT month, hv FROM rd)
+              |    GROUP BY month, hv HAVING count(*) = 1)
+              |  GROUP BY 1),
+              |est AS (
+              |  SELECT month, CAST(count(*) AS BIGINT) AS n_ret, theta,
+              |    CAST(CAST(count(*) AS HUGEINT) * $HSpace * 1000
+              |      // theta AS BIGINT) AS est_milli
+              |  FROM rm GROUP BY month, theta),
+              |exact AS (
+              |  SELECT (epoch_us(ts) // 604800000000 * 7) // 30 AS month,
+              |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+              |  FROM events GROUP BY 1)
+              |SELECT e.month, e.n_ret, e.theta, e.est_milli, x.n_exact,
+              |  abs(e.est_milli - x.n_exact * 1000) * 1000000
+              |    // nullif(x.n_exact * 1000, 0) AS err_ppm,
+              |  CAST(coalesce(m.n_mismatch, 0) AS BIGINT) AS n_mismatch
+              |FROM est e JOIN exact x ON e.month = x.month
+              |LEFT JOIN mism m ON e.month = m.month""".stripMargin))
 
   // IVF NPROBE SWEEP (round-11 verdict #4): q168 measured recall at
   // nprobe=2 and the gate said "bad operating point"; this is the tuning

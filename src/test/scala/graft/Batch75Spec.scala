@@ -108,6 +108,26 @@ class Batch75Spec extends SparkSpec {
       s"candidate cost must not drop with nprobe: ${costs.mkString(",")}")
   }
 
+  test("q433: the weekly->monthly theta rollup is lossless (zero sample " +
+    "mismatches vs the direct build) and exact-mode months estimate " +
+    "exactly") {
+    val rows = q("q433_theta_rollup").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_mismatch") === 0L,
+        s"month ${r.getAs[Long]("month")}: merged sample diverged from " +
+          "the direct build — the rollup lost values")
+      val theta = r.getAs[Long]("theta")
+      if (theta == 281474976710656L) {
+        // exact mode: the sample is the hash set; estimate == distinct
+        // hashes, which md5 collisions can only shrink below n_exact
+        val est = r.getAs[Long]("est_milli")
+        val nx = r.getAs[Long]("n_exact")
+        assert(est <= nx * 1000L && est >= (nx - 1) * 1000L)
+      }
+    }
+  }
+
   test("q431: the three splits partition the corpus and token totals are " +
     "positive") {
     val rows = q("q431_sql_split_budget").collect()

@@ -96,7 +96,8 @@ class ParallelismInvarianceSpec extends SparkSpec {
     "q429_ivf_nprobe_sweep",
     "q430_sql_ivf_recall",
     "q431_sql_split_budget",
-    "q432_ivf_trained_sweep")
+    "q432_ivf_trained_sweep",
+    "q433_theta_rollup")
 
   private def runAt(name: String, partitions: Int): Seq[String] = {
     val saved = spark.conf.get("spark.sql.shuffle.partitions")

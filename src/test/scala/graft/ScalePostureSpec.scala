@@ -1117,6 +1117,11 @@ class ScalePostureSpec extends SparkSpec {
           allPlans(i.relation.cachedPlan)
         case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
           allPlans(a.executedPlan)
+        // an ALREADY-MATERIALIZED cache's executedPlan is finalized into
+        // leaf query stages (q427's eager checkpoint materializes its
+        // caches at build time) — recurse like Explain.boundLabel does
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          allPlans(q.plan)
       }.flatten
     val wgls = allPlans(th.queryExecution.sparkPlan).flatMap(_.collect {
       case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => w
