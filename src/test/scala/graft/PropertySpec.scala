@@ -288,4 +288,49 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("withGlobalRank equals a global row_number window for any monotone " +
+    "bucketing (r12: the r11 rank-rewrite exactness claim on random data)") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val gen = for {
+      n <- Gen.choose(1, 80)
+      bw <- Gen.choose(1L, 20L) // bucket width — ANY monotone bucketing
+      vals <- Gen.listOfN(n, Gen.choose(0L, 100L)) // duplicates likely
+    } yield (bw, vals.zipWithIndex.map { case (v, i) => (v, i.toLong) })
+    forAll(gen) { case (bw, rows) =>
+      val df = rows.toDF("v", "id")
+      val got = graft.ops.Ranks.withGlobalRank(df,
+          expr(s"v DIV $bw"), Seq(col("v"), col("id")), "rn", "n")
+        .select($"id", $"rn", $"n").as[(Long, Long, Long)].collect()
+      val expect = rows.sortBy(r => (r._1, r._2)).zipWithIndex
+        .map { case ((_, id), i) => id -> (i + 1L) }.toMap
+      assert(got.length == rows.size)
+      got.foreach { case (id, rn, n) =>
+        assert(n == rows.size.toLong)
+        assert(rn == expect(id), s"id $id: rank $rn, want ${expect(id)}")
+      }
+    }
+  }
+
+  test("ntileFromRank equals the SQL ntile(k) window for random (n, k) — " +
+    "including the n < k degenerate tiles") {
+    import org.apache.spark.sql.functions.{col, lit, ntile}
+    import org.apache.spark.sql.expressions.Window
+    val gen = for {
+      n <- Gen.choose(1, 60)
+      k <- Gen.choose(1, 12)
+    } yield (n, k)
+    forAll(gen) { case (n, k) =>
+      val df = (1 to n).map(_.toLong).toDF("rn")
+      val got = df.withColumn("t",
+          graft.ops.Ranks.ntileFromRank(col("rn"), lit(n.toLong), k))
+        .select($"rn", $"t").as[(Long, Long)].collect().toMap
+      val win = df.withColumn("t", ntile(k).over(Window.orderBy($"rn")))
+        .select($"rn", $"t").as[(Long, Int)].collect().toMap
+      (1 to n).foreach { r =>
+        assert(got(r.toLong) == win(r.toLong).toLong,
+          s"n=$n k=$k rn=$r: formula ${got(r.toLong)} vs window ${win(r.toLong)}")
+      }
+    }
+  }
 }
