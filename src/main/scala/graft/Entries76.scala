@@ -1,0 +1,814 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ExtEntries.Q
+
+/** Round-12 continuation batch — the exact-substring frontier and the
+  * remaining sketch/LM families the suite lacked:
+  *
+  *  - q434/q435 DISTRIBUTED SUFFIX ARRAY by prefix doubling (Manber &
+  *    Myers 1990; the relational O(n log n) form) and its corollaries —
+  *    longest repeated substring + distinct-substring counts via
+  *    adjacent-suffix LCP. This is the exact-substring-dedup primitive
+  *    (Lee et al. 2022 "Deduplicating Training Data Makes Language Models
+  *    Better" builds on suffix arrays); the suite's k-gram families
+  *    (q152 dup spans, q281 winnowing) are the approximate cousins.
+  *  - q436 KNESER–NEY smoothed bigram LM (Kneser & Ney 1995; Chen &
+  *    Goodman 1999 interpolated form) — absolute discounting D = 3/4 kept
+  *    EXACT by clearing denominators: every probability is an integer
+  *    ppm via DECIMAL(38,0)/HUGEINT arithmetic, no transcendental, no
+  *    grid-tie risk. Complements q300's add-one bigram NLL.
+  *  - q437 WORDPIECE merge training (Schuster & Nakajima 2012; the BERT
+  *    tokenizer) — the BPE loop with the selection score changed to the
+  *    likelihood ratio count(ab)/(count(a)·count(b)), compared on an
+  *    exact 1e-18 integer grid with lexicographic tie-breaks. Completes
+  *    the tokenizer-trainer trio (BPE q121, unigram-LM q419, WordPiece).
+  *  - q438 AMS/TUG-OF-WAR F2 SKETCH (Alon, Matias & Szegedy 1996) —
+  *    join-size estimation from ±1-sign partial sums: self-join size of
+  *    lineitem on orderkey and the lineitem⋈orders inner-product size,
+  *    each with the exact answer and err_ppm beside the estimate (the
+  *    measured-gate discipline). One aggregation pass per relation; the
+  *    48 sign functions are bits of the per-key 48-bit content id, so the
+  *    sketch costs ONE md5 per row.
+  *  - q439 MINHASH SIGNATURE ROLLUP — weekly per-permutation minima of
+  *    the event user-id universe rolled up to 30-day buckets by min();
+  *    min is an idempotent commutative monoid, so the rollup is lossless
+  *    BY ALGEBRA and the query EXECUTES that claim (zero mismatches vs
+  *    the direct build), plus adjacent-week signature-agreement Jaccard
+  *    estimates beside the exact Jaccard with err_ppm. The batch twin of
+  *    streaming/StreamingFeatures.streamMinhashUpsert.
+  *
+  * Reference semantics anchor: the reference's feature pipelines dedup on
+  * exact string keys only (/root/reference/jobs/build_user_features.py:
+  * drop_duplicates) — these queries are the 100 TB generalizations the
+  * north-star inventory mandates. Everything replays in DuckDB.
+  */
+object Entries76 {
+
+  def all: Seq[Q] = Seq(suffixArray, longestRepeat, kneserNey, wordPiece,
+    amsF2, minhashRollup, repeatCoverage, goodTuring)
+
+  // ------------------------------------------------------------------ SA
+
+  /** Doubling offsets after the 8-char seed: ranks encode 8·2^k chars
+    * after round k, so 7 rounds cover 1024 ≥ the documents fixture's
+    * longest text (577 chars; the loader would simply mis-rank longer
+    * docs, so q434 pins max doc length < 1024 as an output column). */
+  private val SaOffsets = Seq(8, 16, 32, 64, 128, 256, 512)
+
+  /** Per-doc suffix ranks by prefix doubling: (doc_id, pos, r) where r is
+    * the 1-based rank of suffix `pos` within its document. Seed rank =
+    * dense_rank over the 8-char substring at pos (binary string compare —
+    * a shorter tail sorts first, exactly suffix order, so no sentinel
+    * column is needed); each round combines (r[i], r[i+off]) with -1 for
+    * "past the end" (a shorter suffix is a strict prefix of any suffix it
+    * ties with, so it must sort first). All windows are partitioned by
+    * doc_id — bounded by the longest document, never fact-sized (the
+    * census `windows` column stays 0). At 100 TB the same chain holds:
+    * one exchange on doc_id, O(max_doc_len) per partition per round,
+    * log(max_doc_len) rounds, no driver state.
+    */
+  private[graft] def suffixRanks(docs: DataFrame): DataFrame = {
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    var cur = docs
+      .selectExpr("doc_id",
+        "posexplode(transform(sequence(1, length(text)), " +
+          "i -> substring(text, i, 8)))")
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        dense_rank().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("col")))
+          .cast("long").as("r"))
+    for (off <- SaOffsets) {
+      cur = cur
+        .withColumn("r2", coalesce(lead(col("r"), off).over(byPos), lit(-1L)))
+        .select(col("doc_id"), col("pos"),
+          dense_rank().over(Window.partitionBy(col("doc_id"))
+            .orderBy(col("r"), col("r2"))).cast("long").as("r"))
+    }
+    cur
+  }
+
+  /** Generated DuckDB oracle CTE chain for [[suffixRanks]] — the identical
+    * seed + one CTE per doubling round. The intermediate rounds form a
+    * linear chain (each consumed once — default inlining is fine), but the
+    * terminal `sa`/`lcp` CTEs are MATERIALIZED: consumers reference them
+    * more than once (q434's agg, q435's best+sums, q440's two interval
+    * projections), and DuckDB's optimizer, after inlining both copies,
+    * merges the chain's projections until the per-round expression trees
+    * multiply — q440's un-materialized form never finished PLANNING at
+    * sf0.001 (the BPE-oracle lesson, measured again). Ends with `sa` =
+    * (doc_id, pos, r). */
+  private def saCtes: String = {
+    val rounds = SaOffsets.zipWithIndex.map { case (off, i) =>
+      s"""r${i + 1} AS (
+         |  SELECT doc_id, pos, CAST(dense_rank() OVER (
+         |    PARTITION BY doc_id ORDER BY r, r2) AS BIGINT) AS r
+         |  FROM (SELECT doc_id, pos, r,
+         |    coalesce(lead(r, $off) OVER (PARTITION BY doc_id
+         |      ORDER BY pos), -1) AS r2 FROM r$i))""".stripMargin
+    }.mkString(",\n")
+    s"""s0 AS (
+       |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+       |    substr(text, i, 8) AS s8
+       |  FROM documents, (SELECT unnest(range(1, 1024)) AS i) t
+       |  WHERE i <= len(text)),
+       |r0 AS (
+       |  SELECT doc_id, pos, CAST(dense_rank() OVER (
+       |    PARTITION BY doc_id ORDER BY s8) AS BIGINT) AS r FROM s0),
+       |$rounds,
+       |sa AS MATERIALIZED (SELECT doc_id, pos, r
+       |  FROM r${SaOffsets.length})""".stripMargin
+  }
+
+  // DISTRIBUTED SUFFIX ARRAY (prefix doubling). Output pins the whole
+  // per-doc permutation: n_ranks = len certifies ranks are a permutation
+  // (all suffixes of one doc are distinct, so a correct SA has no ties),
+  // sa_hash is the md5-sum over (pos, rank) pairs (order-free, layout-free,
+  // any single mis-ranked suffix moves it), first_sfx_pos is the start of
+  // the lexicographically smallest suffix.
+  private val suffixArray: Q =
+    Q("q434_suffix_array",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        suffixRanks(docs)
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("len"),
+            max(col("r")).as("n_ranks"),
+            max(when(col("r") === 1L, col("pos"))).as("first_sfx_pos"),
+            sum(graft.ext.Dedup.contentId(
+              concat(col("pos").cast("string"), lit(":"),
+                col("r").cast("string")))).as("sa_hash"))
+      },
+      Some(s"""WITH $saCtes
+              |SELECT doc_id, CAST(count(*) AS BIGINT) AS len,
+              |  max(r) AS n_ranks,
+              |  max(CASE WHEN r = 1 THEN pos END) AS first_sfx_pos,
+              |  CAST(sum(('0x' || substr(md5(pos::VARCHAR || ':' ||
+              |    r::VARCHAR), 1, 12))::BIGINT) AS BIGINT) AS sa_hash
+              |FROM sa GROUP BY doc_id""".stripMargin))
+
+  /** Exact LCP of the suffixes at p1 and p2 of `text`, as a static binary
+    * descent: for h = 512..1 (halving), extend k by h iff the next h-char
+    * chunks match. substr past the end returns the shorter tail, and two
+    * same-doc suffixes have different lengths, so truncated chunks compare
+    * equal only when one suffix is a strict prefix of the other — in which
+    * case k lands exactly on the shorter length. Pure per-row expressions:
+    * no join, no explode, each round one Project (Catalyst keeps the
+    * rounds as separate codegen'd projections — collapsing would duplicate
+    * the non-cheap `k` subtree). */
+  private def withLcp(pairs: DataFrame): DataFrame = {
+    var cur = pairs.withColumn("k", lit(0L))
+    for (h <- SaOffsets.reverse :+ 4 :+ 2 :+ 1) {
+      cur = cur.withColumn("k",
+        col("k") + when(
+          expr(s"substring(text, CAST(p1 + k + 1 AS INT), $h)") ===
+            expr(s"substring(text, CAST(p2 + k + 1 AS INT), $h)"),
+          lit(h.toLong)).otherwise(lit(0L)))
+    }
+    cur
+  }
+
+  /** The matching DuckDB CTE chain: one linear CTE per descent round over
+    * a `pairs` CTE with (doc_id, text, p1, p2). Ends with `lcp` =
+    * (doc_id, text, p1, p2, k). */
+  private def lcpCtes: String = {
+    val hs = SaOffsets.reverse ++ Seq(4, 2, 1)
+    val rounds = hs.zipWithIndex.map { case (h, i) =>
+      s"""l${i + 1} AS (
+         |  SELECT doc_id, text, p1, p2, k + CASE WHEN
+         |    substr(text, CAST(p1 + k + 1 AS BIGINT), $h) =
+         |    substr(text, CAST(p2 + k + 1 AS BIGINT), $h)
+         |    THEN $h ELSE 0 END AS k FROM l$i)""".stripMargin
+    }.mkString(",\n")
+    s"""l0 AS (SELECT doc_id, text, p1, p2, CAST(0 AS BIGINT) AS k
+       |       FROM pairs),
+       |$rounds,
+       |lcp AS MATERIALIZED (SELECT doc_id, text, p1, p2, k
+       |  FROM l${hs.length})""".stripMargin
+  }
+
+  // LONGEST REPEATED SUBSTRING + distinct-substring count per document —
+  // the suffix-array corollaries (max adjacent LCP in SA order; total
+  // substrings len·(len+1)/2 minus Σ adjacent LCP). The LRS tie-break is
+  // total-ordered (lcp DESC, substring ASC, p1 ASC) so the answer is a
+  // pure function of the text under any layout. The pairs relation joins
+  // the 5000-row docs dimension back by doc_id (broadcast at any scale —
+  // the dimension is per-doc metadata, never fact-sized).
+  private val longestRepeat: Q =
+    Q("q435_longest_repeat",
+      (s, d) => {
+        // ONE corpus pass: the (doc_id, text) projection is persisted and
+        // feeds the rank build, the text join-back, and the final lengths
+        // (uncached this query scans the corpus three times — census-pinned
+        // at scans=1)
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val bySa = Window.partitionBy(col("doc_id")).orderBy(col("r"))
+        val pairs = suffixRanks(docs)
+          .withColumn("p2", lead(col("pos"), 1).over(bySa))
+          .filter(col("p2").isNotNull)
+          .select(col("doc_id"), col("pos").as("p1"), col("p2"))
+          .join(broadcast(docs), Seq("doc_id"))
+        val lcp = withLcp(pairs)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val best = lcp
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("doc_id")).orderBy(col("k").desc,
+              expr("substring(text, CAST(p1 + 1 AS INT), CAST(k AS INT))")
+                .asc, col("p1").asc)))
+          .filter(col("rn") === 1)
+          .select(col("doc_id"), col("k").as("lrs_len"),
+            expr("substring(text, CAST(p1 + 1 AS INT), CAST(k AS INT))")
+              .as("lrs"))
+        val sums = lcp.groupBy(col("doc_id"))
+          .agg(sum(col("k")).as("sum_lcp"))
+        docs.select(col("doc_id"), length(col("text")).cast("long").as("len"))
+          .join(best, Seq("doc_id"), "left")
+          .join(sums, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("len"),
+            coalesce(col("lrs_len"), lit(0L)).as("lrs_len"),
+            coalesce(col("lrs"), lit("")).as("lrs"),
+            expr("CAST(len * (len + 1) DIV 2 - coalesce(sum_lcp, 0) " +
+              "AS BIGINT)").as("n_distinct_substr"))
+      },
+      Some(s"""WITH $saCtes,
+              |pairs AS (
+              |  SELECT p.doc_id, d.text, p.p1, p.p2 FROM (
+              |    SELECT doc_id, pos AS p1,
+              |      lead(pos) OVER (PARTITION BY doc_id ORDER BY r) AS p2
+              |    FROM sa) p
+              |  JOIN documents d ON p.doc_id = d.doc_id
+              |  WHERE p.p2 IS NOT NULL),
+              |$lcpCtes,
+              |best AS (
+              |  SELECT doc_id, k AS lrs_len,
+              |    substr(text, CAST(p1 + 1 AS BIGINT), CAST(k AS BIGINT))
+              |      AS lrs
+              |  FROM (SELECT doc_id, text, p1, k, row_number() OVER (
+              |      PARTITION BY doc_id ORDER BY k DESC,
+              |      substr(text, CAST(p1 + 1 AS BIGINT), CAST(k AS BIGINT))
+              |        ASC, p1 ASC) AS rn
+              |    FROM lcp) WHERE rn = 1),
+              |sums AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS sum_lcp
+              |         FROM lcp GROUP BY doc_id)
+              |SELECT d.doc_id, CAST(len(d.text) AS BIGINT) AS len,
+              |  coalesce(b.lrs_len, 0) AS lrs_len,
+              |  coalesce(b.lrs, '') AS lrs,
+              |  CAST(len(d.text) * (len(d.text) + 1) // 2 -
+              |    coalesce(s.sum_lcp, 0) AS BIGINT) AS n_distinct_substr
+              |FROM documents d
+              |LEFT JOIN best b ON d.doc_id = b.doc_id
+              |LEFT JOIN sums s ON d.doc_id = s.doc_id""".stripMargin))
+
+  // ------------------------------------------------------------------ KN
+
+  // KNESER–NEY BIGRAM LM — train on the hash split's train fold, score the
+  // test fold per source. Same persisted token-pair shape as q300 (one
+  // corpus explode feeds train counts AND test scoring); the probabilities
+  // are exact integer ppm (see TextAnalysis.kneserNeyScore), so the oracle
+  // hash-match certifies the full smoothing formula including the
+  // continuation-count backoff, with no transcendental anywhere.
+  private val kneserNey: Q =
+    Q("q436_kneser_ney",
+      (s, d) => {
+        val sp = graft.ext.TrainPrep.hashSplit(Tables.documents(s, d),
+          "doc_id")
+        val toks = sp
+          .withColumn("w", split(col("text"), " "))
+          .select(col("source"), col("split"),
+            explode(expr(
+              "transform(sequence(1, size(w)), " +
+                "i -> struct(element_at(w, i) AS w1, " +
+                "CASE WHEN i < size(w) THEN element_at(w, i + 1) END " +
+                "AS w2))")).as("bg"))
+          .select(col("source"), col("split"), col("bg.w1"), col("bg.w2"))
+          .filter(col("w2").isNotNull)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        graft.ext.TextAnalysis.kneserNeyScore(
+          toks.filter(col("split") === "train").select(col("w1"), col("w2")),
+          toks.filter(col("split") === "test")
+            .select(col("source").as("grp"), col("w1"), col("w2")))
+          .withColumnRenamed("grp", "source")
+      },
+      Some("""WITH sp AS (
+             |  SELECT doc_id, source, text,
+             |    CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val'
+             |         ELSE 'test' END AS split
+             |  FROM (SELECT *,
+             |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+             |      % 10 AS b FROM documents)),
+             |bg AS (
+             |  SELECT source, split, w[i] AS w1, w[i + 1] AS w2
+             |  FROM (SELECT source, split,
+             |          string_split(text, ' ') AS w FROM sp) d,
+             |       (SELECT unnest(range(1, 1000)) AS i) t
+             |  WHERE i <= len(w) - 1),
+             |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bg
+             |       WHERE split = 'train' GROUP BY 1, 2),
+             |hist AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+             |           CAST(count(*) AS BIGINT) AS n1f FROM c2 GROUP BY 1),
+             |cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1r
+             |         FROM c2 GROUP BY 1),
+             |nbb AS (SELECT CAST(count(*) AS BIGINT) AS nbb FROM c2),
+             |scored AS (
+             |  SELECT bg.source, hist.c1, coalesce(c2.c12, 0) AS c12x,
+             |    CASE WHEN hist.c1 IS NOT NULL THEN CAST(
+             |      (CAST(greatest(4 * coalesce(c2.c12, 0) - 3, 0) AS HUGEINT)
+             |         * nbb.nbb
+             |       + CAST(3 AS HUGEINT) * hist.n1f * coalesce(cont.n1r, 0))
+             |      * 1000000
+             |      // (CAST(4 AS HUGEINT) * hist.c1 * nbb.nbb) AS BIGINT)
+             |    ELSE CAST(CAST(coalesce(cont.n1r, 0) AS HUGEINT) * 1000000
+             |      // nbb.nbb AS BIGINT) END AS p_ppm
+             |  FROM bg CROSS JOIN nbb
+             |  LEFT JOIN c2 ON bg.w1 = c2.w1 AND bg.w2 = c2.w2
+             |  LEFT JOIN hist ON bg.w1 = hist.w1
+             |  LEFT JOIN cont ON bg.w2 = cont.w2
+             |  WHERE bg.split = 'test')
+             |SELECT source, CAST(count(*) AS BIGINT) AS n_bigrams,
+             |  CAST(sum(CASE WHEN c1 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_oov_w1,
+             |  CAST(sum(CASE WHEN c12x > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_hit,
+             |  CAST(sum(CASE WHEN p_ppm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_zero_p,
+             |  CAST(sum(p_ppm) AS BIGINT) AS sum_p_ppm,
+             |  CAST(sum(p_ppm) // count(*) AS BIGINT) AS avg_p_ppm
+             |FROM scored GROUP BY 1""".stripMargin))
+
+  // ------------------------------------------------------------ WordPiece
+
+  // WORDPIECE MERGE TRAINING (6 rounds) — the BPE loop with likelihood-
+  // ratio selection (see BpeTrainer.trainWordPiece). The oracle replays
+  // the full loop: one generated CTE block per round, with the score
+  // argmax on the same exact 1e-18 HUGEINT grid.
+  private val wordPiece: Q =
+    Q("q437_wordpiece_merges",
+      (s, d) => graft.ext.BpeTrainer.trainWordPiece(Tables.documents(s, d), 6),
+      Some(wpOracle(6)))
+
+  /** Generated DuckDB oracle for BpeTrainer.trainWordPiece — the q121
+    * bpeOracle structure plus per-round symbol counts (cs) and the
+    * likelihood-ratio argmax. Every CTE is MATERIALIZED for the same
+    * reason as the BPE oracle: each state fans out to several consumers,
+    * and default inlining duplicates the whole prefix per reference. */
+  private def wpOracle(iters: Int): String = {
+    val rounds = (1 to iters).map { k =>
+      s"""n$k AS MATERIALIZED (SELECT w, freq, pos, sym,
+         |  lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt FROM s$k),
+         |p$k AS MATERIALIZED (
+         |  SELECT sym AS a, nxt AS b, CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM n$k WHERE nxt IS NOT NULL GROUP BY 1, 2),
+         |cs$k AS MATERIALIZED (
+         |  SELECT sym, CAST(sum(freq) AS BIGINT) AS c FROM s$k GROUP BY 1),
+         |sel$k AS MATERIALIZED (
+         |  SELECT a, b, cnt, ca.c AS ca, cb.c AS cb,
+         |    a || CASE WHEN b LIKE '##%' THEN substr(b, 3) ELSE b END AS m,
+         |    CAST(CAST(cnt AS HUGEINT) * 1000000000000000000
+         |      // (CAST(ca.c AS HUGEINT) * cb.c) AS BIGINT) AS score_q
+         |  FROM p$k JOIN cs$k ca ON p$k.a = ca.sym
+         |           JOIN cs$k cb ON p$k.b = cb.sym
+         |  ORDER BY score_q DESC, cnt DESC, a ASC, b ASC LIMIT 1),
+         |mt$k AS MATERIALIZED (SELECT n.w, n.pos,
+         |    n.pos - row_number() OVER (PARTITION BY n.w ORDER BY n.pos)
+         |      AS grp
+         |  FROM n$k n, sel$k WHERE n.sym = sel$k.a AND n.nxt = sel$k.b),
+         |ch$k AS MATERIALIZED (SELECT w, pos FROM (
+         |    SELECT w, pos,
+         |      row_number() OVER (PARTITION BY w, grp ORDER BY pos) AS rk
+         |    FROM mt$k) WHERE rk % 2 = 1),
+         |s${k + 1} AS MATERIALIZED (SELECT w, freq,
+         |    row_number() OVER (PARTITION BY w ORDER BY pos) AS pos, sym
+         |  FROM (
+         |    SELECT s.w, s.freq, s.pos,
+         |      CASE WHEN c.pos IS NOT NULL THEN sel.m
+         |           ELSE s.sym END AS sym
+         |    FROM s$k s CROSS JOIN sel$k sel
+         |    LEFT JOIN ch$k c ON c.w = s.w AND c.pos = s.pos
+         |    LEFT JOIN ch$k cp ON cp.w = s.w AND cp.pos = s.pos - 1
+         |    WHERE cp.pos IS NULL))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH w0 AS MATERIALIZED (
+       |  SELECT w, count(*) AS freq FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE regexp_matches(w, '^[a-z]+${"$"}') GROUP BY w),
+       |s1 AS MATERIALIZED (SELECT w, freq, i AS pos,
+       |    CASE WHEN i = 1 THEN substr(w, 1, 1)
+       |         ELSE '##' || substr(w, i, 1) END AS sym
+       |  FROM w0, (SELECT unnest(range(1, 256)) AS i) t WHERE i <= len(w)),
+       |$rounds
+       |""".stripMargin +
+      (1 to iters).map { k =>
+        s"""SELECT CAST($k AS BIGINT) AS step, a AS left_sym,
+           |  b AS right_sym, m AS merged, cnt AS pair_freq,
+           |  ca AS left_freq, cb AS right_freq, score_q FROM sel$k""".stripMargin
+      }.mkString("\nUNION ALL\n")
+  }
+
+  // ------------------------------------------------------------------ AMS
+
+  /** 48 ±1 sign functions from the bits of the per-key 48-bit content id
+    * (one md5 per row); 3 estimator groups of 16. */
+  private val AmsBits = 48
+  private val AmsGroup = 16
+
+  // AMS / TUG-OF-WAR F2 SKETCH (Alon–Matias–Szegedy 1996) — the join-size
+  // estimator a distributed planner runs BEFORE committing to a join
+  // strategy: E[z²] = F2 for z = Σ s(k) over rows. Two estimates beside
+  // exact answers: the lineitem self-join size on orderkey (F2) and the
+  // lineitem⋈orders equi-join size (sketch inner product, AGMS). Each z_j
+  // is one partial-aggregable SUM; the whole sketch is one aggregation
+  // pass per relation with no shuffle wider than 48 numbers. Estimates
+  // are kept ×16 (the group size) so no division by a possibly-negative
+  // group sum ever happens (Spark DIV truncates toward zero, DuckDB //
+  // floors — they diverge on negatives); the final err_ppm divides only
+  // by the positive exact count. Median of the 3 group sums = sum − max
+  // − min, branch-free.
+  private val amsF2: Q =
+    Q("q438_ams_f2",
+      (s, d) => {
+        // ONE column-pruned pass per relation: the orderkey projection is
+        // persisted and feeds both the sign sums and the exact per-key
+        // counts (uncached, each relation is scanned twice); the 1-row
+        // `wide` sketch relation is checkpointed so the two metric rows of
+        // the union don't each replan the full subtree (the q427 collapse)
+        def keys(df: DataFrame, key: String): DataFrame =
+          df.select(col(key).as("k"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        def zRow(df: DataFrame, pre: String): DataFrame = {
+          val sums = (0 until AmsBits).map(j =>
+            expr(s"sum(1 - 2 * ((h DIV ${1L << j}) % 2))").as(s"$pre$j"))
+          df.select(graft.ext.Dedup.contentId(col("k").cast("string"))
+            .as("h")).agg(sums.head, sums.tail: _*)
+        }
+        val lk = keys(Tables.lineitem(s, d), "l_orderkey")
+        val ok = keys(Tables.orders(s, d), "o_orderkey")
+        val zl = zRow(lk, "l")
+        val zo = zRow(ok, "o")
+        val cl = lk.groupBy(col("k")).agg(count(lit(1)).as("nl"))
+        val co = ok.groupBy(col("k")).agg(count(lit(1)).as("no"))
+        val f2x = cl.agg(expr(
+          "CAST(sum(CAST(nl AS DECIMAL(38,0)) * nl) AS BIGINT)").as("x_self"))
+        val jx = cl.join(co, Seq("k"))
+          .agg(expr("CAST(sum(CAST(nl AS DECIMAL(38,0)) * no) AS BIGINT)")
+            .as("x_join"))
+        def grp(pre1: String, pre2: String, g: Int): String =
+          (g * AmsGroup until (g + 1) * AmsGroup)
+            .map(j => s"CAST($pre1$j AS DECIMAL(38,0)) * $pre2$j")
+            .mkString(" + ")
+        def metric(name: String, exactCol: String, p1: String,
+                   p2: String): Seq[String] =
+          Seq(s"'$name' AS metric", s"$exactCol AS exact",
+            s"CAST(${grp(p1, p2, 0)} AS BIGINT) AS g0",
+            s"CAST(${grp(p1, p2, 1)} AS BIGINT) AS g1",
+            s"CAST(${grp(p1, p2, 2)} AS BIGINT) AS g2")
+        val wide = graft.Explain.localCheckpointWithProvenance(
+          zl.crossJoin(zo).crossJoin(f2x).crossJoin(jx))
+        val out = wide
+          .selectExpr(metric("self_join_f2", "x_self", "l", "l"): _*)
+          .unionByName(wide
+            .selectExpr(metric("join_size", "x_join", "l", "o"): _*))
+        out.selectExpr("metric", "exact", "g0", "g1", "g2",
+          "g0 + g1 + g2 - greatest(g0, g1, g2) - least(g0, g1, g2)" +
+            " AS est16",
+          "CAST(abs(CAST(g0 + g1 + g2 - greatest(g0, g1, g2) - " +
+            s"least(g0, g1, g2) AS DECIMAL(38,0)) - CAST($AmsGroup AS " +
+            "DECIMAL(38,0)) * exact) * 1000000 DIV " +
+            s"(CAST($AmsGroup AS DECIMAL(38,0)) * exact) AS BIGINT)" +
+            " AS err_ppm")
+      },
+      Some(amsOracle))
+
+  private def amsOracle: String = {
+    def zSel(pre: String) = (0 until AmsBits)
+      .map(j => s"CAST(sum(1 - 2 * ((h // ${1L << j}) % 2)) AS BIGINT) " +
+        s"AS $pre$j").mkString(", ")
+    def grp(p1: String, p2: String, g: Int): String =
+      (g * AmsGroup until (g + 1) * AmsGroup)
+        .map(j => s"CAST($p1$j AS HUGEINT) * $p2$j").mkString(" + ")
+    def metricSel(name: String, exactCol: String, p1: String, p2: String) =
+      s"""SELECT '$name' AS metric, $exactCol AS exact,
+         |  CAST(${grp(p1, p2, 0)} AS BIGINT) AS g0,
+         |  CAST(${grp(p1, p2, 1)} AS BIGINT) AS g1,
+         |  CAST(${grp(p1, p2, 2)} AS BIGINT) AS g2
+         |FROM wide""".stripMargin
+    s"""WITH lh AS (SELECT ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)),
+       |    1, 12))::BIGINT AS h FROM lineitem),
+       |oh AS (SELECT ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)),
+       |    1, 12))::BIGINT AS h FROM orders),
+       |zl AS (SELECT ${zSel("l")} FROM lh),
+       |zo AS (SELECT ${zSel("o")} FROM oh),
+       |cl AS (SELECT l_orderkey AS k, count(*) AS n FROM lineitem
+       |       GROUP BY 1),
+       |co AS (SELECT o_orderkey AS k, count(*) AS n FROM orders
+       |       GROUP BY 1),
+       |fx AS (SELECT CAST(sum(CAST(n AS HUGEINT) * n) AS BIGINT) AS x_self
+       |       FROM cl),
+       |jx AS (SELECT CAST(sum(CAST(cl.n AS HUGEINT) * co.n) AS BIGINT)
+       |         AS x_join FROM cl JOIN co USING (k)),
+       |wide AS (SELECT * FROM zl CROSS JOIN zo CROSS JOIN fx
+       |         CROSS JOIN jx),
+       |m AS (
+       |${metricSel("self_join_f2", "x_self", "l", "l")}
+       |UNION ALL
+       |${metricSel("join_size", "x_join", "l", "o")})
+       |SELECT metric, exact, g0, g1, g2,
+       |  g0 + g1 + g2 - greatest(g0, g1, g2) - least(g0, g1, g2) AS est16,
+       |  CAST(abs(CAST(g0 + g1 + g2 - greatest(g0, g1, g2) -
+       |    least(g0, g1, g2) AS HUGEINT) - CAST($AmsGroup AS HUGEINT)
+       |    * exact) * 1000000 // (CAST($AmsGroup AS HUGEINT) * exact)
+       |    AS BIGINT) AS err_ppm
+       |FROM m""".stripMargin
+  }
+
+  // -------------------------------------------------------------- MinHash
+
+  /** Weeks are 7-day epoch buckets (ts_us DIV 604800000000); "months" are
+    * the q424/q433 30-day epoch buckets, NOT calendar months. */
+  private val MinhashRollK = graft.ext.Dedup.NumHashes // 16 permutations
+
+  // MINHASH SIGNATURE ROLLUP — weekly per-permutation minima of the event
+  // user universe, rolled up to 30-day buckets by min(). min is an
+  // idempotent commutative monoid, so unlike KLL/CMS the rollup (and the
+  // streaming sink's replay behavior) is lossless BY ALGEBRA — and the
+  // query EXECUTES that claim: n_rollup_mismatch compares every rolled-up
+  // signature slot against the direct build (always 0). Beside it, the
+  // signature-agreement Jaccard estimate for adjacent weeks vs the exact
+  // Jaccard of the user sets with err_milli — the measured-gate
+  // discipline for the estimator the signatures exist to serve. Batch
+  // twin of streaming/StreamingFeatures.streamMinhashUpsert.
+  private val minhashRollup: Q =
+    Q("q439_minhash_rollup",
+      (s, d) => {
+        import graft.ext.Dedup
+        val hv = Tables.events(s, d)
+          .select(expr("ts_us DIV 604800000000").as("week"),
+            Dedup.contentId(col("user_id").cast("string")).as("hv"))
+          .distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        def mins(src: Column): Seq[Column] = (0 until MinhashRollK).map(j =>
+          min((lit(Dedup.hashA(j)) * src + lit(Dedup.hashB(j))) %
+            lit(Dedup.P)).as(s"m$j"))
+        val weekly = hv.groupBy(col("week"))
+          .agg(mins(col("hv")).head, mins(col("hv")).tail: _*)
+          .withColumn("month", expr("(week * 7) DIV 30"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val rolled = weekly.groupBy(col("month"))
+          .agg((0 until MinhashRollK).map(j => min(col(s"m$j"))
+            .as(s"r$j")).head,
+            (0 until MinhashRollK).map(j => min(col(s"m$j"))
+              .as(s"r$j")).tail: _*)
+        val direct = hv.withColumn("month", expr("(week * 7) DIV 30"))
+          .groupBy(col("month"))
+          .agg(mins(col("hv")).map(c => c).head, mins(col("hv")).tail: _*)
+        val mism = rolled.join(direct, Seq("month"))
+          .selectExpr("month",
+            (0 until MinhashRollK).map(j =>
+              s"CASE WHEN r$j = m$j THEN 0 ELSE 1 END")
+              .mkString("CAST(", " + ", " AS BIGINT) AS n_rollup_mismatch"))
+        val sz = hv.groupBy(col("week")).agg(count(lit(1)).as("n"))
+        val inter = hv.select(col("week"), col("hv"))
+          .join(hv.select((col("week") - 1).as("week"), col("hv")),
+            Seq("week", "hv"))
+          .groupBy(col("week")).agg(count(lit(1)).as("ix"))
+        val adj = weekly.alias("a")
+          .join(weekly.selectExpr(
+            "week - 1 AS week" +: (0 until MinhashRollK)
+              .map(j => s"m$j AS t$j"): _*).alias("b"), Seq("week"))
+          .selectExpr("week", "month",
+            (0 until MinhashRollK).map(j =>
+              s"CASE WHEN m$j = t$j THEN 1 ELSE 0 END")
+              .mkString("CAST(", " + ", " AS BIGINT) AS n_sig_match"))
+        adj
+          .join(sz.select(col("week"), col("n").as("na")), Seq("week"))
+          .join(sz.select((col("week") - 1).as("week"), col("n").as("nb")),
+            Seq("week"))
+          .join(inter, Seq("week"), "left")
+          .join(mism, Seq("month"))
+          .selectExpr("week", "month", "n_sig_match",
+            s"n_sig_match * 1000 DIV $MinhashRollK AS est_milli",
+            "CAST(coalesce(ix, 0) AS BIGINT) AS ix",
+            "na + nb - coalesce(ix, 0) AS un",
+            "coalesce(ix, 0) * 1000 DIV (na + nb - coalesce(ix, 0))" +
+              " AS exact_milli",
+            s"abs(n_sig_match * 1000 DIV $MinhashRollK - coalesce(ix, 0) " +
+              "* 1000 DIV (na + nb - coalesce(ix, 0))) AS err_milli",
+            "n_rollup_mismatch")
+      },
+      Some(minhashRollupOracle))
+
+  // ------------------------------------------------------ repeat coverage
+
+  /** Minimum repeat length for the coverage metric. */
+  private val RepMinLen = 8
+
+  // SELF-REPETITION COVERAGE — the fraction of each document covered by
+  // some repeated substring of length ≥ 8: the text-quality metric behind
+  // boilerplate/templated-document filters, computed EXACTLY from the
+  // suffix array. Correctness of the adjacent-pairs-only formulation: for
+  // any repeat s at positions p≠q, every suffix between p and q in SA
+  // order shares a prefix ≥ |s|, so p's IMMEDIATE SA neighbor on the
+  // q-side has LCP ≥ |s| — the union of [p, p+lcp) over ADJACENT pairs
+  // equals the union over ALL repeats. Interval union per doc is the
+  // q116 linear island sweep (running-max window, doc-partitioned).
+  private val repeatCoverage: Q =
+    Q("q440_repeat_coverage",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val bySa = Window.partitionBy(col("doc_id")).orderBy(col("r"))
+        val pairs = suffixRanks(docs)
+          .withColumn("p2", lead(col("pos"), 1).over(bySa))
+          .filter(col("p2").isNotNull)
+          .select(col("doc_id"), col("pos").as("p1"), col("p2"))
+          .join(docs, Seq("doc_id"))
+        // persist the filtered LCP pairs: the two interval projections of
+        // the union would otherwise each replan the whole rank+LCP chain
+        val lcp = withLcp(pairs).filter(col("k") >= RepMinLen)
+          .select(col("doc_id"), col("p1"), col("p2"), col("k"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val iv = lcp
+          .select(col("doc_id"), col("p1").as("s"),
+            (col("p1") + col("k")).as("e"))
+          .unionByName(lcp
+            .select(col("doc_id"), col("p2").as("s"),
+              (col("p2") + col("k")).as("e")))
+          .distinct()
+        val byIv = Window.partitionBy(col("doc_id"))
+          .orderBy(col("s"), col("e"))
+        val islands = iv
+          .withColumn("prev_max", max(col("e")).over(
+            byIv.rowsBetween(Window.unboundedPreceding, -1)))
+          .withColumn("new_isl",
+            when(col("prev_max").isNull || col("s") > col("prev_max"), 1L)
+              .otherwise(0L))
+          .withColumn("grp", sum(col("new_isl")).over(
+            byIv.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy(col("doc_id"), col("grp"))
+          .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+        val cov = islands.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_repeat_intervals"),
+            sum(col("e") - col("s")).as("covered_chars"))
+        docs.select(col("doc_id"), length(col("text")).cast("long").as("len"))
+          .join(cov, Seq("doc_id"), "left")
+          .selectExpr("doc_id", "len",
+            "coalesce(n_repeat_intervals, 0L) AS n_repeat_intervals",
+            "coalesce(covered_chars, 0L) AS covered_chars",
+            "coalesce(covered_chars, 0L) * 1000000 DIV len AS coverage_ppm")
+      },
+      Some(s"""WITH $saCtes,
+              |pairs AS (
+              |  SELECT p.doc_id, d.text, p.p1, p.p2 FROM (
+              |    SELECT doc_id, pos AS p1,
+              |      lead(pos) OVER (PARTITION BY doc_id ORDER BY r) AS p2
+              |    FROM sa) p
+              |  JOIN documents d ON p.doc_id = d.doc_id
+              |  WHERE p.p2 IS NOT NULL),
+              |$lcpCtes,
+              |iv AS (
+              |  SELECT DISTINCT doc_id, s, e FROM (
+              |    SELECT doc_id, p1 AS s, p1 + k AS e FROM lcp
+              |    WHERE k >= $RepMinLen
+              |    UNION ALL
+              |    SELECT doc_id, p2 AS s, p2 + k AS e FROM lcp
+              |    WHERE k >= $RepMinLen)),
+              |pm AS (
+              |  SELECT doc_id, s, e,
+              |    max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              |      AS prev_max
+              |  FROM iv),
+              |gg AS (
+              |  SELECT doc_id, s, e,
+              |    sum(CASE WHEN prev_max IS NULL OR s > prev_max
+              |        THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id
+              |      ORDER BY s, e
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              |      AS grp
+              |  FROM pm),
+              |islands AS (
+              |  SELECT doc_id, min(s) AS s, max(e) AS e
+              |  FROM gg GROUP BY doc_id, grp),
+              |cov AS (
+              |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_repeat_intervals,
+              |    CAST(sum(e - s) AS BIGINT) AS covered_chars
+              |  FROM islands GROUP BY doc_id)
+              |SELECT d.doc_id, CAST(len(d.text) AS BIGINT) AS len,
+              |  coalesce(c.n_repeat_intervals, 0) AS n_repeat_intervals,
+              |  coalesce(c.covered_chars, 0) AS covered_chars,
+              |  CAST(coalesce(c.covered_chars, 0) * 1000000
+              |    // len(d.text) AS BIGINT) AS coverage_ppm
+              |FROM documents d LEFT JOIN cov c ON d.doc_id = c.doc_id"""
+        .stripMargin))
+
+  // ------------------------------------------------------- Good–Turing
+
+  // GOOD–TURING COUNT-OF-COUNTS — the frequency-of-frequencies table and
+  // the raw Turing estimator r* = (r+1)·N_{r+1}/N_r over the train fold's
+  // unigram counts, with the unseen-mass estimate p0 = N_1/N (Good 1953;
+  // the diagnostic every LM smoothing choice starts from — beside the
+  // suite's add-one q300 and Kneser–Ney q436). The N_{r+1} lookup is a
+  // self-JOIN on r+1, not a window — the count-of-counts relation needs
+  // no global ordering. All integer: milli for r*, ppm for probabilities.
+  private val goodTuring: Q =
+    Q("q441_good_turing",
+      (s, d) => {
+        val sp = graft.ext.TrainPrep.hashSplit(Tables.documents(s, d),
+          "doc_id")
+        val cw = sp.filter(col("split") === "train")
+          .select(explode(split(col("text"), " ")).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("r"))
+        val cc = cw.groupBy(col("r")).agg(count(lit(1)).as("n_r"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val tot = cc.agg(sum(col("r") * col("n_r")).as("n_tokens"),
+          coalesce(max(when(col("r") === 1L, col("n_r"))), lit(0L))
+            .as("n_singletons"))
+        cc.join(cc.select((col("r") - 1L).as("r"), col("n_r").as("n_r1")),
+            Seq("r"), "left")
+          .crossJoin(broadcast(tot))
+          .selectExpr("r", "n_r", "coalesce(n_r1, 0L) AS n_r1", "n_tokens",
+            "(r + 1) * coalesce(n_r1, 0L) * 1000 DIV n_r AS r_star_milli",
+            "CAST(CAST((r + 1) AS DECIMAL(38,0)) * coalesce(n_r1, 0L) * " +
+              "1000000 DIV (CAST(n_r AS DECIMAL(38,0)) * n_tokens) " +
+              "AS BIGINT) AS p_gt_ppm",
+            "n_singletons * 1000000 DIV n_tokens AS p0_ppm")
+      },
+      Some("""WITH sp AS (
+             |  SELECT doc_id, text,
+             |    CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val'
+             |         ELSE 'test' END AS split
+             |  FROM (SELECT *,
+             |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+             |      % 10 AS b FROM documents)),
+             |cw AS (
+             |  SELECT w, CAST(count(*) AS BIGINT) AS r FROM (
+             |    SELECT unnest(string_split(text, ' ')) AS w FROM sp
+             |    WHERE split = 'train') GROUP BY w),
+             |cc AS (SELECT r, CAST(count(*) AS BIGINT) AS n_r FROM cw
+             |       GROUP BY r),
+             |tot AS (SELECT CAST(sum(r * n_r) AS BIGINT) AS n_tokens,
+             |    CAST(coalesce(max(CASE WHEN r = 1 THEN n_r END), 0)
+             |      AS BIGINT) AS n_singletons
+             |  FROM cc)
+             |SELECT cc.r, cc.n_r, coalesce(nx.n_r, 0) AS n_r1, t.n_tokens,
+             |  (cc.r + 1) * coalesce(nx.n_r, 0) * 1000 // cc.n_r
+             |    AS r_star_milli,
+             |  CAST(CAST(cc.r + 1 AS HUGEINT) * coalesce(nx.n_r, 0)
+             |    * 1000000 // (CAST(cc.n_r AS HUGEINT) * t.n_tokens)
+             |    AS BIGINT) AS p_gt_ppm,
+             |  t.n_singletons * 1000000 // t.n_tokens AS p0_ppm
+             |FROM cc CROSS JOIN tot t
+             |LEFT JOIN cc nx ON nx.r = cc.r + 1""".stripMargin))
+
+  private def minhashRollupOracle: String = {
+    import graft.ext.Dedup
+    def mins(pre: String) = (0 until MinhashRollK).map(j =>
+      s"CAST(min((${Dedup.hashA(j)} * hv + ${Dedup.hashB(j)}) % ${Dedup.P})" +
+        s" AS BIGINT) AS $pre$j").mkString(", ")
+    val mism = (0 until MinhashRollK)
+      .map(j => s"CASE WHEN r.r$j = d.m$j THEN 0 ELSE 1 END")
+      .mkString("CAST(", " + ", " AS BIGINT)")
+    val sigm = (0 until MinhashRollK)
+      .map(j => s"CASE WHEN a.m$j = b.m$j THEN 1 ELSE 0 END")
+      .mkString("CAST(", " + ", " AS BIGINT)")
+    s"""WITH hv AS (
+       |  SELECT DISTINCT epoch_us(ts) // 604800000000 AS week,
+       |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT
+       |      AS hv
+       |  FROM events),
+       |weekly AS (SELECT week, (week * 7) // 30 AS month, ${mins("m")}
+       |           FROM hv GROUP BY 1, 2),
+       |rolled AS (SELECT month,
+       |    ${(0 until MinhashRollK).map(j => s"min(m$j) AS r$j")
+         .mkString(", ")}
+       |  FROM weekly GROUP BY 1),
+       |direct AS (SELECT (week * 7) // 30 AS month, ${mins("m")}
+       |           FROM hv GROUP BY 1),
+       |mism AS (SELECT r.month, $mism AS n_rollup_mismatch
+       |         FROM rolled r JOIN direct d ON r.month = d.month),
+       |sz AS (SELECT week, CAST(count(*) AS BIGINT) AS n FROM hv
+       |       GROUP BY 1),
+       |inter AS (SELECT a.week, CAST(count(*) AS BIGINT) AS ix
+       |          FROM hv a JOIN hv b ON a.hv = b.hv
+       |            AND b.week = a.week + 1
+       |          GROUP BY 1),
+       |adj AS (SELECT a.week, a.month, $sigm AS n_sig_match
+       |        FROM weekly a JOIN weekly b ON b.week = a.week + 1)
+       |SELECT adj.week, adj.month, adj.n_sig_match,
+       |  adj.n_sig_match * 1000 // $MinhashRollK AS est_milli,
+       |  CAST(coalesce(i.ix, 0) AS BIGINT) AS ix,
+       |  sa.n + sb.n - coalesce(i.ix, 0) AS un,
+       |  coalesce(i.ix, 0) * 1000 // (sa.n + sb.n - coalesce(i.ix, 0))
+       |    AS exact_milli,
+       |  abs(adj.n_sig_match * 1000 // $MinhashRollK - coalesce(i.ix, 0)
+       |    * 1000 // (sa.n + sb.n - coalesce(i.ix, 0))) AS err_milli,
+       |  m.n_rollup_mismatch
+       |FROM adj
+       |JOIN sz sa ON adj.week = sa.week
+       |JOIN sz sb ON sb.week = adj.week + 1
+       |LEFT JOIN inter i ON adj.week = i.week
+       |JOIN mism m ON adj.month = m.month""".stripMargin
+  }
+}

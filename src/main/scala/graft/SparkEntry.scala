@@ -769,7 +769,8 @@ object SparkEntry {
       Entries72.all.map(q => q.name -> q.fn) ++
       Entries73.all.map(q => q.name -> q.fn) ++
       Entries74.all.map(q => q.name -> q.fn) ++
-      Entries75.all.map(q => q.name -> q.fn)).toMap
+      Entries75.all.map(q => q.name -> q.fn) ++
+      Entries76.all.map(q => q.name -> q.fn)).toMap
 
   def oracleSql: Map[String, String] =
     (all.flatMap(q => q.sql.map(q.name -> _)) ++
@@ -846,5 +847,6 @@ object SparkEntry {
       Entries72.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries73.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries74.all.flatMap(q => q.sql.map(q.name -> _)) ++
-      Entries75.all.flatMap(q => q.sql.map(q.name -> _))).toMap
+      Entries75.all.flatMap(q => q.sql.map(q.name -> _)) ++
+      Entries76.all.flatMap(q => q.sql.map(q.name -> _))).toMap
 }

@@ -82,7 +82,11 @@ object BpeTrainer {
     * position is odd ("aaaa"+(a,a) → pairs at pos 1 and 3). A row is
     * absorbed ⇔ its predecessor was chosen. Surviving rows re-index by
     * row_number on the SAME partitioning (no new exchange). */
-  private def applyMerge(seq: DataFrame, a: String, b: String): DataFrame = {
+  private def applyMerge(seq: DataFrame, a: String, b: String): DataFrame =
+    applyMerge(seq, a, b, a + b)
+
+  private def applyMerge(seq: DataFrame, a: String, b: String,
+                         merged: String): DataFrame = {
     val wOrd = Window.partitionBy(col("w")).orderBy(col("pos"))
     val cum = wOrd.rowsBetween(Window.unboundedPreceding, 0)
     seq
@@ -97,7 +101,7 @@ object BpeTrainer {
         coalesce(lag(col("chosen"), 1).over(wOrd), lit(false)))
       .filter(!col("absorbed"))
       .select(col("w"), col("freq"), col("pos"),
-        when(col("chosen"), lit(a + b)).otherwise(col("sym")).as("sym"))
+        when(col("chosen"), lit(merged)).otherwise(col("sym")).as("sym"))
       .withColumn("pos", row_number().over(
         Window.partitionBy(col("w")).orderBy(col("pos"))))
       .localCheckpoint()
@@ -118,5 +122,76 @@ object BpeTrainer {
       .agg(count(lit(1)).as("n_syms"),
         array_join(transform(array_sort(collect_list(struct(col("pos"),
           col("sym")))), x => x.getField("sym")), "|").as("encoding"))
+  }
+
+  /** WordPiece initial state (Schuster & Nakajima 2012; the BERT
+    * tokenizer): like [[initialSymbols]] but non-initial characters carry
+    * the `##` continuation prefix, so a symbol encodes its word-internal
+    * position class and merges never cross a word start. */
+  def initialSymbolsWordPiece(documents: DataFrame): DataFrame =
+    initialSymbols(documents)
+      .withColumn("sym",
+        when(col("pos") === 1, col("sym"))
+          .otherwise(concat(lit("##"), col("sym"))))
+
+  /** WordPiece merge training: the BPE loop with the selection criterion
+    * changed from raw pair frequency to the LIKELIHOOD RATIO
+    * score(a,b) = count(ab) / (count(a)·count(b)) over the CURRENT
+    * segmentation (the pair whose merge most increases corpus likelihood
+    * under a unigram model). Scores are compared exactly on a 1e-18
+    * integer grid — ⌊cnt·10^18 / (ca·cb)⌋ in DECIMAL(38,0) — with
+    * (cnt DESC, a ASC, b ASC) tie-breaks, so the argmax is a pure
+    * function of the data and the DuckDB oracle replays it bit-for-bit
+    * (HUGEINT). The merged symbol strips the right side's `##`.
+    *
+    * Scale shape identical to [[train]]: per-round state is the word-TYPE
+    * symbol relation (vocabulary-sized, not corpus-sized); the argmax is
+    * a bounded orderBy(1) collect per round — the adjudicated
+    * scalar-per-round pattern, never per-row driver work.
+    *
+    * Returns (step, left_sym, right_sym, merged, pair_freq, left_freq,
+    * right_freq, score_q). */
+  def trainWordPiece(documents: DataFrame, iters: Int): DataFrame = {
+    val spark = documents.sparkSession
+    var seq = initialSymbolsWordPiece(documents).localCheckpoint()
+    val wOrd = Window.partitionBy(col("w")).orderBy(col("pos"))
+    val merges = scala.collection.mutable.ArrayBuffer[Row]()
+
+    for (step <- 1 to iters) {
+      val pairs = seq.withColumn("nxt", lead(col("sym"), 1).over(wOrd))
+        .filter(col("nxt").isNotNull)
+        .groupBy(col("sym"), col("nxt"))
+        .agg(sum(col("freq")).as("cnt"))
+      val symCnt = seq.groupBy(col("sym")).agg(sum(col("freq")).as("c"))
+      val best = pairs
+        .join(symCnt.select(col("sym"), col("c").as("ca")), Seq("sym"))
+        .join(symCnt.select(col("sym").as("nxt"), col("c").as("cb")),
+          Seq("nxt"))
+        .withColumn("score_q", expr("CAST(CAST(cnt AS DECIMAL(38,0)) * " +
+          "1000000000000000000 DIV (CAST(ca AS DECIMAL(38,0)) * cb) " +
+          "AS BIGINT)"))
+        .orderBy(col("score_q").desc, col("cnt").desc,
+          col("sym").asc, col("nxt").asc)
+        .limit(1).collect()
+      if (best.nonEmpty) {
+        val r = best(0)
+        val (a, b) = (r.getAs[String]("sym"), r.getAs[String]("nxt"))
+        val merged = a + b.stripPrefix("##")
+        merges += Row(step.toLong, a, b, merged, r.getAs[Long]("cnt"),
+          r.getAs[Long]("ca"), r.getAs[Long]("cb"), r.getAs[Long]("score_q"))
+        seq = applyMerge(seq, a, b, merged)
+      }
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(merges.toSeq, 1),
+      StructType(Seq(
+        StructField("step", LongType, nullable = false),
+        StructField("left_sym", StringType, nullable = false),
+        StructField("right_sym", StringType, nullable = false),
+        StructField("merged", StringType, nullable = false),
+        StructField("pair_freq", LongType, nullable = false),
+        StructField("left_freq", LongType, nullable = false),
+        StructField("right_freq", LongType, nullable = false),
+        StructField("score_q", LongType, nullable = false))))
   }
 }

@@ -233,4 +233,60 @@ object TextAnalysis {
         sum(col("nw")).as("n_words"),
         sum(col("nt")).as("n_subword_tokens"),
         sum(col("n_chars")).as("n_chars"))
+
+  /** Interpolated Kneser–Ney bigram scoring (Kneser & Ney 1995; Chen &
+    * Goodman 1999 eq. 4.27) with absolute discount D = 3/4, kept EXACT by
+    * clearing denominators — every probability is an integer ppm:
+    *
+    *   P(w2|w1) = (max(c12 − D, 0) + D·N1+(w1·)·Pcont(w2)) / c1
+    *   Pcont(w2) = N1+(·w2) / N1+(··)
+    *
+    * With D = 3/4 the common denominator is 4·c1·N1+(··), so
+    *   p_ppm = ⌊10^6 · (max(4·c12 − 3, 0)·Nbb + 3·N1f(w1)·N1r(w2))
+    *                 / (4·c1·Nbb)⌋
+    * in DECIMAL(38,0) (HUGEINT in the oracle) — no transcendental, no
+    * float, no grid-tie risk. An unseen-history bigram (c1 absent) backs
+    * off to the continuation distribution alone: p_ppm = ⌊10^6·N1r/Nbb⌋,
+    * zero when w2 was never seen as a continuation.
+    *
+    * Inputs: `trainBigrams` (w1, w2) one row per TOKEN bigram instance;
+    * `testBigrams` (grp, w1, w2). Output per grp: n_bigrams, n_oov_w1
+    * (unseen history), n_hit (c12 > 0), n_zero_p, sum_p_ppm, avg_p_ppm.
+    *
+    * Scale shape: the model is three count tables hash-joined against the
+    * test bigrams plus a 1-row broadcast for Nbb — no driver state, all
+    * joins on (w1[,w2]) keys, partial-aggregable final rollup.
+    */
+  def kneserNeyScore(trainBigrams: DataFrame,
+                     testBigrams: DataFrame): DataFrame = {
+    val c2 = trainBigrams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hist = c2.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1f"))
+    val cont = c2.groupBy(col("w2")).agg(count(lit(1)).as("n1r"))
+    val nbb = c2.agg(count(lit(1)).as("nbb"))
+    testBigrams
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(hist, Seq("w1"), "left")
+      .join(cont, Seq("w2"), "left")
+      .crossJoin(broadcast(nbb))
+      .selectExpr("grp", "c1",
+        "coalesce(c12, 0L) AS c12x", "coalesce(n1r, 0L) AS n1rx",
+        "n1f", "nbb")
+      .selectExpr("grp", "c1", "c12x",
+        "CASE WHEN c1 IS NOT NULL THEN CAST((" +
+          "  CAST(greatest(4 * c12x - 3, 0) AS DECIMAL(38,0)) * nbb +" +
+          "  CAST(3 AS DECIMAL(38,0)) * n1f * n1rx) * 1000000 DIV" +
+          " (CAST(4 AS DECIMAL(38,0)) * c1 * nbb) AS BIGINT)" +
+          " ELSE CAST(CAST(n1rx AS DECIMAL(38,0)) * 1000000 DIV nbb" +
+          " AS BIGINT) END AS p_ppm")
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("c1").isNull, 1L).otherwise(0L)).as("n_oov_w1"),
+        sum(when(col("c12x") > 0L, 1L).otherwise(0L)).as("n_hit"),
+        sum(when(col("p_ppm") === 0L, 1L).otherwise(0L)).as("n_zero_p"),
+        sum(col("p_ppm")).as("sum_p_ppm"))
+      .withColumn("avg_p_ppm", expr("sum_p_ppm DIV n_bigrams"))
+  }
 }

@@ -668,6 +668,86 @@ object StreamingFeatures {
           "AS BIGINT) AS est_milli")
   }
 
+  /** INCREMENTAL MINHASH MATERIALIZATION: maintain a parquet store of
+    * per-week MinHash signatures (week, j, minh) of the distinct user-id
+    * universe — the set-similarity member of the streaming sketch face,
+    * stored in the q439 relational long form (no blob): slot j holds
+    * min over users of (A_j·h + B_j) mod P with the Dedup permutation
+    * constants, so the per-batch merge is `groupBy(week, j).min(minh)`
+    * and the store is REPLAY-ABSORBING by algebra — min is an idempotent
+    * commutative monoid, the bitmap-OR/HLL-max/theta class, NOT the
+    * KLL/CMS class — so no batch_id guard is needed and a lost
+    * checkpoint merely re-mins the backlog into a bit-identical store.
+    * Weekly signatures roll up to any coarser grain by min alone and
+    * adjacent-grain Jaccard estimates read the store with the q439
+    * slot-agreement arithmetic ([[minhashWeeklyJaccard]]). */
+  def streamMinhashUpsert(spark: SparkSession, eventsDir: String,
+                          storePath: String,
+                          maxFilesPerTrigger: Int = 0,
+                          checkpointDir: Option[String] = None): StreamingQuery = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(eventsDir).schema
+    val reader = spark.readStream.schema(schema)
+    val raw = (if (maxFilesPerTrigger > 0)
+      reader.option("maxFilesPerTrigger", maxFilesPerTrigger) else reader)
+      .parquet(eventsDir)
+    val writer = raw.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+    checkpointDir.foreach(writer.option("checkpointLocation", _))
+    import graft.ext.Dedup
+    writer
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val h = Dedup.contentId(col("user_id").cast("string"))
+        val part = batch
+          .withColumn("ts_us", tsUsExpr(schema))
+          .select(expr("ts_us DIV 604800000000").as("week"),
+            h.cast("long").as("hv"))
+          .select(col("week"), posexplode(array((0 until Dedup.NumHashes)
+            .map(j => (lit(Dedup.hashA(j)) * col("hv") +
+              lit(Dedup.hashB(j))) % lit(Dedup.P)): _*)))
+          .select(col("week"), col("pos").cast("long").as("j"),
+            col("col").as("mh"))
+          .groupBy(col("week"), col("j")).agg(min(col("mh")).as("minh"))
+          .localCheckpoint() // feeds the touched-weeks semi-join AND merge
+        val hPath = new org.apache.hadoop.fs.Path(storePath)
+        val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+        val merged = (if (fs.exists(hPath)) {
+          spark.read.parquet(storePath)
+            .join(broadcast(part.select(col("week")).distinct()), Seq("week"))
+            .select(col("week"), col("j"), col("minh"))
+            .unionByName(part)
+            .groupBy(col("week"), col("j")).agg(min(col("minh")).as("minh"))
+        } else part)
+          .localCheckpoint() // lineage break before the in-place overwrite
+        merged.sparkSession.conf
+          .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .partitionBy("week").parquet(storePath)
+        spark.catalog.refreshByPath(storePath)
+        ()
+      }
+      .start()
+  }
+
+  /** Adjacent-week Jaccard estimates from a [[streamMinhashUpsert]] store,
+    * with the q439 slot-agreement arithmetic: est = |{j : m_w,j =
+    * m_w+1,j}| · 1000 / 16 milli. Returns (week, n_sig_match, est_milli)
+    * for each week whose successor is also in the store. */
+  def minhashWeeklyJaccard(spark: SparkSession,
+                           storePath: String): org.apache.spark.sql.DataFrame = {
+    val k = graft.ext.Dedup.NumHashes
+    val st = spark.read.parquet(storePath)
+      .selectExpr("CAST(week AS BIGINT) AS week", "j", "minh")
+    st.join(st.selectExpr("week - 1 AS week", "j", "minh AS minh2"),
+        Seq("week", "j"))
+      .groupBy(col("week"))
+      .agg(sum(when(col("minh") === col("minh2"), 1L).otherwise(0L))
+        .as("n_sig_match"))
+      .selectExpr("week", "n_sig_match",
+        s"n_sig_match * 1000 DIV $k AS est_milli")
+  }
+
   /** Open-session state carried between micro-batches. */
   case class OpenSession(startUs: Long, endUs: Long, n: Long, cents: Long)
   /** A closed session — the streaming twin of one Sessions.sessionize row

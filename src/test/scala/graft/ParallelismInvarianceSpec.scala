@@ -97,7 +97,26 @@ class ParallelismInvarianceSpec extends SparkSpec {
     "q430_sql_ivf_recall",
     "q431_sql_split_budget",
     "q432_ivf_trained_sweep",
-    "q433_theta_rollup")
+    "q433_theta_rollup",
+    // r12 continuation batch: the suffix-array rank chain is 15 stacked
+    // windows whose dense_rank ties must resolve identically under any
+    // layout (they do — the orderBy keys are total per partition by
+    // construction); the LRS argmax breaks ties on (lcp, substring, p1);
+    // WordPiece's argmax is a driver-side orderBy(1) whose score grid +
+    // lexicographic tie-break must be layout-free; AMS sign sums and
+    // minhash minima are commutative-monoid merges (layout-free by
+    // algebra — executed here, not argued)
+    "q434_suffix_array",
+    "q435_longest_repeat",
+    "q436_kneser_ney",
+    "q437_wordpiece_merges",
+    "q438_ams_f2",
+    "q439_minhash_rollup",
+    // the interval-island sweep orders by (s, e) over a distinct set —
+    // total per doc; Good–Turing's count-of-counts is pure groupBy/join
+    // but its persisted cc relation must not freeze a layout artifact
+    "q440_repeat_coverage",
+    "q441_good_turing")
 
   private def runAt(name: String, partitions: Int): Seq[String] = {
     val saved = spark.conf.get("spark.sql.shuffle.partitions")

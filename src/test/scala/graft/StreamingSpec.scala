@@ -535,6 +535,87 @@ class StreamingSpec extends SparkSpec {
       "a replayed backlog must be absorbed: register max is idempotent")
   }
 
+  test("minhash materialization restart (r12): the signature store equals " +
+    "a one-pass batch build after chunked ingest, restart, AND checkpoint " +
+    "loss (slot min absorbs replays by algebra); adjacent-week Jaccard " +
+    "estimates reproduce the q439 slot-agreement arithmetic") {
+    // the set-similarity member of the streaming sketch face, same
+    // delivery algebra as bitmap OR / HLL max / theta union: each slot is
+    // a MIN over the week's user hashes — a pure function of the value
+    // set, so any replay or re-chunking converges to the identical store.
+    import java.nio.file.Files
+    import java.nio.file.attribute.FileTime
+    import graft.ext.Dedup
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    val chunked = raw.withColumn("c", ntile(2).over(
+      org.apache.spark.sql.expressions.Window.orderBy($"ts", $"event_id")))
+    val dir = Files.createTempDirectory("events_minhash_restart")
+    val chunkFiles = (1 to 2).map { n =>
+      val tmp = Files.createTempDirectory(s"mhchunk_$n")
+      chunked.filter($"c" === n).drop("c")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      new java.io.File(tmp.toString).listFiles()
+        .filter(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet"))
+        .head.toPath
+    }
+    def stage(n: Int): Unit = {
+      val dst = dir.resolve(f"chunk-$n%03d.parquet")
+      Files.copy(chunkFiles(n - 1), dst)
+      Files.setLastModifiedTime(dst, FileTime.fromMillis(5000000L + n * 60000L))
+    }
+    val ckpt = Files.createTempDirectory("minhash_ckpt").toString
+    val store = Files.createTempDirectory("minhash_store").toString + "/weekly"
+    def storeRows(): Set[(Long, Long, Long)] =
+      spark.read.parquet(store)
+        .select($"week".cast("long"), $"j".cast("long"), $"minh".cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // one-pass truth: per-week per-permutation minima over ALL events
+    val h = Dedup.contentId($"user_id".cast("string"))
+    val truth = Tables.events(spark, sf)
+      .select(expr("ts_us DIV 604800000000").as("week"),
+        h.cast("long").as("hv"))
+      .select($"week", posexplode(array((0 until Dedup.NumHashes).map(j =>
+        (lit(Dedup.hashA(j)) * $"hv" + lit(Dedup.hashB(j))) %
+          lit(Dedup.P)): _*)))
+      .select($"week", $"pos".cast("long").as("j"), $"col".as("mh"))
+      .groupBy($"week", $"j").agg(min($"mh").as("minh"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    stage(1)
+    val run1 = StreamingFeatures.streamMinhashUpsert(spark, dir.toString,
+      store, maxFilesPerTrigger = 1, checkpointDir = Some(ckpt))
+    run1.processAllAvailable(); run1.stop()
+    stage(2)
+    val run2 = StreamingFeatures.streamMinhashUpsert(spark, dir.toString,
+      store, maxFilesPerTrigger = 1, checkpointDir = Some(ckpt))
+    run2.processAllAvailable(); run2.stop()
+    assert(storeRows() == truth,
+      "incremental signature store must equal the one-pass batch build")
+
+    // checkpoint LOSS: the replay re-mins the same slots — absorbed
+    val ckpt2 = Files.createTempDirectory("minhash_ckpt_lost").toString
+    val run3 = StreamingFeatures.streamMinhashUpsert(spark, dir.toString,
+      store, maxFilesPerTrigger = 1, checkpointDir = Some(ckpt2))
+    run3.processAllAvailable(); run3.stop()
+    assert(storeRows() == truth,
+      "a replayed backlog must be absorbed: slot min is idempotent")
+
+    // the Jaccard reader reproduces the q439 arithmetic on the store
+    val ests = StreamingFeatures.minhashWeeklyJaccard(spark, store).collect()
+    assert(ests.nonEmpty)
+    val slots = storeRows().groupBy(_._1)
+      .map { case (w, rows) => w -> rows.map(r => r._2 -> r._3).toMap }
+    ests.foreach { r =>
+      val w = r.getAs[Long]("week")
+      val m = (0 until Dedup.NumHashes)
+        .count(j => slots(w)(j.toLong) == slots(w + 1)(j.toLong)).toLong
+      assert(r.getAs[Long]("n_sig_match") === m)
+      assert(r.getAs[Long]("est_milli") === m * 1000L / Dedup.NumHashes)
+    }
+  }
+
   test("theta materialization restart (r12): the sample store equals a " +
     "one-pass batch build after chunked ingest, restart, AND checkpoint " +
     "loss (k-smallest-of-union absorbs replays by algebra); estimates " +
