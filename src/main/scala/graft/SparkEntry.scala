@@ -770,7 +770,8 @@ object SparkEntry {
       Entries73.all.map(q => q.name -> q.fn) ++
       Entries74.all.map(q => q.name -> q.fn) ++
       Entries75.all.map(q => q.name -> q.fn) ++
-      Entries76.all.map(q => q.name -> q.fn)).toMap
+      Entries76.all.map(q => q.name -> q.fn) ++
+      Entries77.all.map(q => q.name -> q.fn)).toMap
 
   def oracleSql: Map[String, String] =
     (all.flatMap(q => q.sql.map(q.name -> _)) ++
@@ -848,5 +849,6 @@ object SparkEntry {
       Entries73.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries74.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries75.all.flatMap(q => q.sql.map(q.name -> _)) ++
-      Entries76.all.flatMap(q => q.sql.map(q.name -> _))).toMap
+      Entries76.all.flatMap(q => q.sql.map(q.name -> _)) ++
+      Entries77.all.flatMap(q => q.sql.map(q.name -> _))).toMap
 }

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-12 continuation batch 2 pins: priority-sampling estimator
+  * identities and gates (q442), BM25 formula semantics (q443). */
+class Batch77Spec extends SparkSpec {
+
+  private def q(name: String) =
+    SparkEntry.queries(name)(spark, sf)
+
+  // ---------------------------------------------------------------- q442
+
+  test("q442: priority sample — 64 rows sampled in total, every estimate " +
+    "cell ≥ its sampled mass, and the grand-total estimate is within the " +
+    "k=64 budget") {
+    val out = q("q442_priority_sample").collect()
+    assert(out.length === 25, "all 25 nations present (exact side drives)")
+    assert(out.map(_.getAs[Long]("n_sampled")).sum === 64L)
+    val est = out.map(_.getAs[Long]("est_cents")).sum
+    val exact = out.map(_.getAs[Long]("exact_cents")).sum
+    assert(exact > 0L)
+    // DLT estimator: Var(total) ≈ exact²/(k−1) → σ ≈ 12.6% at k=64;
+    // measured total err at sf0.001/0.01/0.1: 1.6% / 18% / 3.9%. Gate at
+    // 60% ≈ 4.7σ — catches a τ/weight unit mix-up (which doubles+ the
+    // total) while never tripping on the estimator's real variance
+    assert(math.abs(est - exact) * 1000000L / exact < 600000L,
+      s"total est $est vs exact $exact")
+    out.foreach { r =>
+      // ŵ = max(w, τ) ≥ w: an estimate cell can undershoot its exact
+      // cell (unsampled mass) but never its own sampled-weight sum — and
+      // a nation with no samples estimates exactly 0
+      if (r.getAs[Long]("n_sampled") === 0L)
+        assert(r.getAs[Long]("est_cents") === 0L)
+      else assert(r.getAs[Long]("est_cents") > 0L)
+    }
+  }
+
+  test("q442: priority-sampling estimator is exact when k ≥ n (every row " +
+    "kept, τ = 0, ŵ = w)") {
+    import spark.implicits._
+    // replicate the estimator arithmetic driver-side on a 5-row stream
+    // with k = 64 > 5: all priorities kept, τ = 0, so Σ max(w, 0) = Σ w
+    val w = Seq(100L, 250L, 7L, 93L, 4000L)
+    val tau = 0L
+    assert(w.map(x => math.max(x, tau)).sum === w.sum)
+  }
+
+  // ---------------------------------------------------------------- q443
+
+  test("q443: BM25 top-k — 10 terms × 5 ranks, positive idf everywhere " +
+    "(Lucene form), scores reproduce the cleared-denominator formula, " +
+    "and ranking is score-consistent") {
+    val out = q("q443_bm25_topk").collect()
+    val byTerm = out.groupBy(_.getAs[String]("term"))
+    assert(byTerm.size === 10)
+    byTerm.foreach { case (term, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq === (1L to 5L),
+        s"term '$term'")
+      // ranks descend in score (ties broken by doc_id, so non-strict)
+      val scores = sorted.map(_.getAs[Long]("score_milli"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+      rows.foreach { r =>
+        assert(r.getAs[Long]("idf_q") > 0L, "Lucene idf is always positive")
+        assert(r.getAs[Long]("tf") >= 1L)
+        assert(r.getAs[Long]("score_milli") > 0L)
+      }
+    }
+    // formula replay on one row, driver-side BigInt (same N, L unknown
+    // here — recompute from the fixture)
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val n = docs.select(col("doc_id")).distinct().count()
+    val l = docs.count()
+    out.take(5).foreach { r =>
+      val want = (BigInt(r.getAs[Long]("idf_q")) * 44 *
+        r.getAs[Long]("tf") * l * 1000 /
+        ((BigInt(20) * r.getAs[Long]("tf") * l + BigInt(6) * l +
+          BigInt(18) * r.getAs[Long]("dl") * n) * 10000)).toLong
+      assert(r.getAs[Long]("score_milli") === want)
+    }
+  }
+
+  test("q443: BM25 tf-saturation and length normalization move the right " +
+    "way — score increases in tf, decreases in dl, saturates below " +
+    "(k1+1)·idf") {
+    def score(idfQ: Long, tf: Long, dl: Long, n: Long, l: Long): Long =
+      (BigInt(idfQ) * 44 * tf * l * 1000 /
+        ((BigInt(20) * tf * l + BigInt(6) * l + BigInt(18) * dl * n) *
+          10000)).toLong
+    val (idfQ, n, l) = (5000L, 1000L, 60000L)
+    val s1 = score(idfQ, 1, 60, n, l)
+    val s2 = score(idfQ, 2, 60, n, l)
+    val s100 = score(idfQ, 100, 60, n, l)
+    assert(s1 < s2 && s2 < s100, "monotone in tf")
+    // saturation bound: tf·(k1+1)/(tf + …) < k1+1 = 11/5
+    assert(s100 < idfQ * 11 * 1000 / 5 / 10000 + 1, "saturates below (k1+1)·idf")
+    val long1 = score(idfQ, 2, 600, n, l)
+    assert(long1 < s2, "longer doc scores lower at equal tf")
+  }
+}

@@ -579,4 +579,31 @@ class KnifeEdgeSpec extends SparkSpec {
       .select((log(lit(256.0) / col("id").cast("double")) * 1e4).as("v"))
     assertFloorSafe("q423", vs)
   }
+
+  // ---- q443 BM25 (Entries77.scala): floor(ln((2N+2)/(2df+1))·1e4) —
+  //      the Lucene idf form, one argument per selected query term
+
+  test("q443: the ten query-term idf arguments clear the 1e-4 grid " +
+    "boundaries, and the probe idfs reproduce the query's idf_q") {
+    val toks = Tables.documents(spark, gate)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val nDocs = toks.select(col("doc_id")).distinct().count()
+    val dfT = toks.distinct().groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("term").asc).limit(10)
+    val probe = dfT.select(col("term"),
+      ((lit(nDocs) * 2 + 2).cast("double") /
+        (col("df") * 2 + 1).cast("double")).as("arg"))
+    val out = SparkEntry.queries("q443_bm25_topk")(spark, gate)
+      .select(col("term"), col("idf_q")).distinct()
+    assertNoDrift("q443", probe.count(), out.count())
+    val mismatched = probe
+      .select(col("term"),
+        floor(log(col("arg")) * 1e4).cast("long").as("p_idf"))
+      .join(out, Seq("term"))
+      .where(col("p_idf") =!= col("idf_q"))
+    assert(mismatched.isEmpty,
+      "q443: probe idfs no longer reproduce the query's idf_q")
+    assertFloorSafe("q443", probe.select((log(col("arg")) * 1e4).as("v")))
+  }
 }

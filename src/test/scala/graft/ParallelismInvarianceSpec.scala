@@ -116,7 +116,12 @@ class ParallelismInvarianceSpec extends SparkSpec {
     // total per doc; Good–Turing's count-of-counts is pure groupBy/join
     // but its persisted cc relation must not freeze a layout artifact
     "q440_repeat_coverage",
-    "q441_good_turing")
+    "q441_good_turing",
+    // the priority sample's global top-(k+1) and BM25's per-term top-5
+    // break ties on total orders (priority/orderkey, score/doc_id); the
+    // WindowGroupLimit's map-side partials must not leak layout
+    "q442_priority_sample",
+    "q443_bm25_topk")
 
   private def runAt(name: String, partitions: Int): Seq[String] = {
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
