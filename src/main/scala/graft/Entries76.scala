@@ -141,13 +141,20 @@ object Entries76 {
               concat(col("pos").cast("string"), lit(":"),
                 col("r").cast("string")))).as("sa_hash"))
       },
-      Some(s"""WITH $saCtes
-              |SELECT doc_id, CAST(count(*) AS BIGINT) AS len,
-              |  max(r) AS n_ranks,
-              |  max(CASE WHEN r = 1 THEN pos END) AS first_sfx_pos,
-              |  CAST(sum(('0x' || substr(md5(pos::VARCHAR || ':' ||
-              |    r::VARCHAR), 1, 12))::BIGINT) AS BIGINT) AS sa_hash
-              |FROM sa GROUP BY doc_id""".stripMargin))
+      Some(saStatsOracleSql))
+
+  /** The q434 oracle, shared with its SQL-text twin q445 (the
+    * graft_suffix_ranks view is the same unevaluated plan). A def, not a
+    * val: the suffixArray Q above initializes first, and a forward val
+    * reference would silently capture null into Some(...). */
+  private[graft] def saStatsOracleSql: String =
+    s"""WITH $saCtes
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS len,
+       |  max(r) AS n_ranks,
+       |  max(CASE WHEN r = 1 THEN pos END) AS first_sfx_pos,
+       |  CAST(sum(('0x' || substr(md5(pos::VARCHAR || ':' ||
+       |    r::VARCHAR), 1, 12))::BIGINT) AS BIGINT) AS sa_hash
+       |FROM sa GROUP BY doc_id""".stripMargin
 
   /** Exact LCP of the suffixes at p1 and p2 of `text`, as a static binary
     * descent: for h = 512..1 (halving), extend k by h iff the next h-char

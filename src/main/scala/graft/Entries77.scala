@@ -29,10 +29,48 @@ import graft.ExtEntries.Q
   */
 object Entries77 {
 
-  def all: Seq[Q] = Seq(prioritySample, bm25TopK)
-
   /** Sample size for q442. */
   private val PriK = 64
+
+  /** BM25 result depth per query term. (Constants live at the top of the
+    * object: the Q vals below interpolate them at INITIALIZATION time,
+    * and a forward reference reads the uninitialized 0 — q444's oracle
+    * shipped `rank <= 0` before this was hoisted.) */
+  private val BmTopK = 5
+
+  def all: Seq[Q] = Seq(prioritySample, bm25TopK, sqlBm25, sqlSuffixStats)
+
+  // SQL-TEXT twins of q443 and q434 over the registerTextIndexViews
+  // surface (the q422/q430 discipline extended to the new families): the
+  // views are unevaluated plans, so the SQL consumer compiles to the
+  // IDENTICAL physical plan — census-pinned, oracle IDENTICAL to the
+  // DataFrame sibling's, and Batch77Spec matches the outputs row-for-row.
+  private val sqlBm25: Q =
+    Q("q444_sql_bm25",
+      (s, d) => {
+        graft.ext.SqlSurface.registerTextIndexViews(s, Tables.documents(s, d))
+        s.sql(s"""SELECT term, rank, doc_id, tf, dl, df, idf_q, score_milli
+                 |FROM (SELECT *, CAST(row_number() OVER (PARTITION BY term
+                 |    ORDER BY score_milli DESC, doc_id ASC) AS BIGINT)
+                 |    AS rank
+                 |  FROM graft_bm25_postings)
+                 |WHERE rank <= $BmTopK""".stripMargin)
+      },
+      Some(bm25OracleSql))
+
+  private val sqlSuffixStats: Q =
+    Q("q445_sql_suffix_stats",
+      (s, d) => {
+        graft.ext.SqlSurface.registerTextIndexViews(s, Tables.documents(s, d))
+        s.sql("""SELECT doc_id, count(*) AS len, max(r) AS n_ranks,
+                |  max(CASE WHEN r = 1 THEN pos END) AS first_sfx_pos,
+                |  sum(CAST(conv(substring(md5(concat(CAST(pos AS STRING),
+                |    ':', CAST(r AS STRING))), 1, 12), 16, 10) AS BIGINT))
+                |    AS sa_hash
+                |FROM graft_suffix_ranks GROUP BY doc_id""".stripMargin)
+      },
+      Some(Entries76.saStatsOracleSql))
+
 
   // PRIORITY SAMPLING — the u ~ U(0,1) draw is the deterministic odd-grid
   // hash the suite uses for every "random" draw (DSIR q421): u_grid =
@@ -135,8 +173,6 @@ object Entries77 {
               |FROM exact x LEFT JOIN est e ON x.n_name = e.n_name"""
         .stripMargin))
 
-  /** BM25 result depth per query term. */
-  private val BmTopK = 5
 
   // BM25 TOP-K — Okapi BM25 with k1 = 6/5 and b = 3/4 CHOSEN dyadic-
   // rational so the tf-saturation and length-normalization parts clear
@@ -159,30 +195,7 @@ object Entries77 {
   private val bm25TopK: Q =
     Q("q443_bm25_topk",
       (s, d) => {
-        val toks = Tables.documents(s, d)
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-        val stats = dl.agg(count(lit(1)).as("n_docs"),
-          sum(col("dl")).as("l_tot"))
-        val dfT = toks.select(col("doc_id"), col("term")).distinct()
-          .groupBy(col("term")).agg(count(lit(1)).as("df"))
-        val qterms = dfT.crossJoin(broadcast(stats))
-          .orderBy(col("df").desc, col("term").asc)
-          .limit(10)
-          .withColumn("idf_q",
-            floor(log((col("n_docs") * 2 + 2).cast("double") /
-              (col("df") * 2 + 1).cast("double")) * 1e4).cast("long"))
-        val tf = toks.groupBy(col("doc_id"), col("term"))
-          .agg(count(lit(1)).as("tf"))
-        val scored = tf
-          .join(broadcast(qterms), Seq("term"))
-          .join(dl, Seq("doc_id"))
-          .withColumn("score_milli", expr(
-            "CAST(CAST(idf_q AS DECIMAL(38,0)) * 44 * tf * l_tot * 1000 " +
-              "DIV ((CAST(20 AS DECIMAL(38,0)) * tf * l_tot + 6 * l_tot + " +
-              "18 * dl * n_docs) * 10000) AS BIGINT)"))
-        scored
+        graft.ext.TextAnalysis.bm25Postings(Tables.documents(s, d), 10)
           .withColumn("rank", row_number().over(
             Window.partitionBy(col("term"))
               .orderBy(col("score_milli").desc, col("doc_id").asc))
@@ -191,7 +204,15 @@ object Entries77 {
           .select(col("term"), col("rank"), col("doc_id"), col("tf"),
             col("dl"), col("df"), col("idf_q"), col("score_milli"))
       },
-      Some(s"""WITH toks AS (
+      Some(bm25OracleSql))
+
+  /** The q443 oracle, shared with its SQL-text twin q444 (identical
+    * semantics — the view is an unevaluated plan, so the SQL consumer must
+    * reproduce the DataFrame pipeline bit-for-bit). A def, not a val:
+    * the Q vals above initialize first, and a forward val reference would
+    * silently capture null into Some(...). */
+  private[graft] def bm25OracleSql: String =
+    s"""WITH toks AS (
               |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
               |  FROM documents),
               |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
@@ -219,5 +240,5 @@ object Entries77 {
               |FROM (SELECT *, row_number() OVER (PARTITION BY term
               |    ORDER BY score_milli DESC, doc_id ASC) AS rank
               |  FROM scored)
-              |WHERE rank <= $BmTopK""".stripMargin))
+              |WHERE rank <= $BmTopK""".stripMargin
 }

@@ -73,4 +73,21 @@ object SqlSurface {
     TextAnalysis.tokenStats(documents)
       .createOrReplaceTempView("graft_doc_tokens")
   }
+
+  /** The text-index relations as temp views (r12 continuation — the
+    * SQL-text reach extended to the suffix-array and retrieval families):
+    *  - graft_suffix_ranks    per-doc suffix ranks by prefix doubling
+    *                          (q434 semantics — 15 stacked doc-partitioned
+    *                          windows, inlined intact through the view)
+    *  - graft_bm25_postings   BM25-scored postings for the top-10-df
+    *                          query terms (q443 semantics)
+    * Lazy, like everything above: a SQL consumer gets the identical
+    * physical plan the DataFrame pipeline compiles to. */
+  def registerTextIndexViews(spark: SparkSession,
+                             documents: DataFrame): Unit = {
+    graft.Entries76.suffixRanks(documents)
+      .createOrReplaceTempView("graft_suffix_ranks")
+    TextAnalysis.bm25Postings(documents, 10)
+      .createOrReplaceTempView("graft_bm25_postings")
+  }
 }

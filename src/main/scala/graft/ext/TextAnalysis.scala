@@ -234,6 +234,43 @@ object TextAnalysis {
         sum(col("nt")).as("n_subword_tokens"),
         sum(col("n_chars")).as("n_chars"))
 
+  /** BM25 scored postings for the top-`nTerms` document-frequency terms
+    * (Okapi; k1 = 6/5, b = 3/4 — dyadic by choice so the tf-saturation
+    * and length-normalization parts clear denominators exactly; see the
+    * q443 scaladoc in Entries77 for the derivation). The idf is the
+    * always-positive Lucene form ln((2N+2)/(2df+1)) on the established
+    * floor(ln·1e4) grid (knife-edge-audited in KnifeEdgeSpec).
+    * Returns (term, doc_id, tf, dl, df, idf_q, score_milli) — the
+    * rank-ready postings relation q443 and the graft_bm25_postings SQL
+    * view both consume. ONE persisted token explode feeds dl, df and tf.
+    */
+  def bm25Postings(documents: DataFrame, nTerms: Int = 10): DataFrame = {
+    val toks = documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("l_tot"))
+    val dfT = toks.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val qterms = dfT.crossJoin(broadcast(stats))
+      .orderBy(col("df").desc, col("term").asc)
+      .limit(nTerms)
+      .withColumn("idf_q",
+        floor(log((col("n_docs") * 2 + 2).cast("double") /
+          (col("df") * 2 + 1).cast("double")) * 1e4).cast("long"))
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    tf.join(broadcast(qterms), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .withColumn("score_milli", expr(
+        "CAST(CAST(idf_q AS DECIMAL(38,0)) * 44 * tf * l_tot * 1000 " +
+          "DIV ((CAST(20 AS DECIMAL(38,0)) * tf * l_tot + 6 * l_tot + " +
+          "18 * dl * n_docs) * 10000) AS BIGINT)"))
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"), col("df"),
+        col("idf_q"), col("score_milli"))
+  }
+
   /** Interpolated Kneser–Ney bigram scoring (Kneser & Ney 1995; Chen &
     * Goodman 1999 eq. 4.27) with absolute discount D = 3/4, kept EXACT by
     * clearing denominators — every probability is an integer ppm:

@@ -82,6 +82,19 @@ class Batch77Spec extends SparkSpec {
     }
   }
 
+  // ---------------------------------------------------------- q444/q445
+
+  test("q444/q445: the SQL-text twins match their DataFrame siblings " +
+    "row-for-row (the view is the same unevaluated plan)") {
+    def canon(rows: Array[org.apache.spark.sql.Row]): Set[String] =
+      rows.map(r => r.schema.fieldNames.sorted
+        .map(f => s"$f=${r.getAs[Any](f)}").mkString("")).toSet
+    assert(canon(q("q444_sql_bm25").collect()) ===
+      canon(q("q443_bm25_topk").collect()))
+    assert(canon(q("q445_sql_suffix_stats").collect()) ===
+      canon(q("q434_suffix_array").collect()))
+  }
+
   test("q443: BM25 tf-saturation and length normalization move the right " +
     "way — score increases in tf, decreases in dl, saturates below " +
     "(k1+1)·idf") {

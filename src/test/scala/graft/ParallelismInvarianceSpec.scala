@@ -121,7 +121,11 @@ class ParallelismInvarianceSpec extends SparkSpec {
     // break ties on total orders (priority/orderkey, score/doc_id); the
     // WindowGroupLimit's map-side partials must not leak layout
     "q442_priority_sample",
-    "q443_bm25_topk")
+    "q443_bm25_topk",
+    // SQL-text twins must agree with their DataFrame siblings under any
+    // layout (same inlined plan, same total-order tie-breaks)
+    "q444_sql_bm25",
+    "q445_sql_suffix_stats")
 
   private def runAt(name: String, partitions: Int): Seq[String] = {
     val saved = spark.conf.get("spark.sql.shuffle.partitions")

@@ -333,4 +333,30 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("prefix-doubling suffix ranks equal brute-force suffix sort on " +
+    "random low-alphabet strings (worst case for rank ties)") {
+    // alphabet {a, b} maximizes seed-rank collisions — every doubling
+    // round has real work to do; lengths cross the 8-char seed boundary
+    // and several doubling thresholds
+    val gen: Gen[List[String]] = Gen.listOfN(6, for {
+      len <- Gen.choose(1, 120)
+      cs <- Gen.listOfN(len, Gen.oneOf('a', 'b'))
+    } yield cs.mkString)
+    forAll(gen) { texts =>
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = Entries76.suffixRanks(docs).collect()
+        .groupBy(_.getAs[Long]("doc_id"))
+        .map { case (id, rows) =>
+          id -> rows.sortBy(_.getAs[Long]("pos"))
+            .map(_.getAs[Long]("r")).toSeq }
+      texts.zipWithIndex.foreach { case (t, i) =>
+        val rank = t.indices.map(p => t.substring(p) -> p).sorted
+          .zipWithIndex.map { case ((_, p), j) => p -> (j + 1L) }.toMap
+        assert(got(i.toLong) === t.indices.map(rank),
+          s"doc $i ('$t')")
+      }
+    }
+  }
 }
