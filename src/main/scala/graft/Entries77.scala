@@ -38,7 +38,140 @@ object Entries77 {
     * shipped `rank <= 0` before this was hoisted.) */
   private val BmTopK = 5
 
-  def all: Seq[Q] = Seq(prioritySample, bm25TopK, sqlBm25, sqlSuffixStats)
+  def all: Seq[Q] = Seq(prioritySample, bm25TopK, sqlBm25, sqlSuffixStats,
+    imageAhash)
+
+  // IMAGE AVERAGE-HASH — the perceptual-dedup member of the multimodal
+  // family: aHash = the 64-bit "is this cell brighter than the image
+  // mean" signature (the classic pHash-family baseline), computed on the
+  // deterministic FAKE decode the multimodal stubs establish (payload =
+  // text bytes standing in for pixels — swap ascii(byte) for a real
+  // decoder's luma and NOTHING else changes). Cell means vs global mean
+  // compare by CROSS-MULTIPLICATION (cell_sum·len > total_sum·cell_n) —
+  // exact integers, no division. Candidate pairs come from 8 bands of
+  // 8 bits (an exact-band equi join, the q25 SimHash shape — pigeonhole
+  // guarantees recall for any pair at Hamming ≤ 7), and the exact Hamming
+  // verify runs ONLY on candidates — never all-pairs, at any scale.
+  // Output: one row per eligible doc with the full signature (8 band
+  // bytes), its popcount, and its banded-candidate stats (n_cand,
+  // min_hamming; −1 when no other doc shares a band) — the fixture
+  // corpus has NO true near-dups (closest pair: Hamming 9 at sf0.001),
+  // which the min_hamming column states instead of an empty pair list.
+  private val imageAhash: Q =
+    Q("q446_image_ahash",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .filter(length(col("text")) >= 64)
+        val cells = docs
+          .selectExpr("doc_id", "length(text) AS len",
+            "posexplode(transform(sequence(1, length(text)), " +
+              "i -> ascii(substring(text, i, 1))))")
+          .selectExpr("doc_id", "len", "pos * 64 DIV len AS cell",
+            "CAST(col AS BIGINT) AS b")
+        // persisted: consumed by the per-doc totals AND the signature
+        // build — uncached, the corpus explode replans per consumer
+        val byCell = cells.groupBy(col("doc_id"), col("len"), col("cell"))
+          .agg(sum(col("b")).as("cs"), count(lit(1)).as("cn"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val byDoc = byCell.groupBy(col("doc_id"))
+          .agg(sum(col("cs")).as("ts"))
+        val sig = byCell.join(byDoc, Seq("doc_id"))
+          .selectExpr("doc_id", "cell DIV 8 AS band",
+            // bit = cell mean > doc mean, exactly: cs/cn > ts/len
+            "CASE WHEN cs * len > ts * cn THEN " +
+              "CAST(pow(2, cell % 8) AS BIGINT) ELSE 0L END AS bit")
+          .groupBy(col("doc_id"), col("band"))
+          .agg(sum(col("bit")).as("v"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val ham = sig.select(col("doc_id").as("d1"), col("band"), col("v"))
+          .join(sig.select(col("doc_id").as("d2"), col("band"), col("v")),
+            Seq("band", "v"))
+          .filter(col("d1") < col("d2"))
+          .select(col("d1"), col("d2")).distinct()
+          .join(sig.selectExpr("doc_id AS d1", "band", "v AS v1"), Seq("d1"))
+          .join(sig.selectExpr("doc_id AS d2", "band", "v AS v2"),
+            Seq("d2", "band"))
+          .groupBy(col("d1"), col("d2"))
+          .agg(sum(expr("bit_count(CAST(v1 AS BIGINT) ^ v2)")).cast("long")
+            .as("hamming"))
+        val perDoc = ham.select(col("d1").as("doc_id"), col("hamming"))
+          .unionByName(ham.select(col("d2").as("doc_id"), col("hamming")))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_cand"), min(col("hamming")).as("min_ham"))
+        val bandCols = (0 until 8).map(j =>
+          coalesce(max(when(col("band") === j, col("v"))), lit(0L))
+            .as(s"b$j"))
+        val wide = sig.groupBy(col("doc_id"))
+          .agg(bandCols.head, bandCols.tail: _*)
+        wide
+          .withColumn("popcnt", expr(
+            (0 until 8).map(j => s"bit_count(b$j)").mkString(
+              "CAST(", " + ", " AS BIGINT)")))
+          .join(perDoc, Seq("doc_id"), "left")
+          .selectExpr(Seq("doc_id") ++ (0 until 8).map(j => s"b$j") ++ Seq(
+            "popcnt",
+            "coalesce(n_cand, 0L) AS n_cand",
+            "coalesce(min_ham, -1L) AS min_hamming"): _*)
+      },
+      Some("""WITH docs AS (
+              |  SELECT doc_id, text, len(text) AS len FROM documents
+              |  WHERE len(text) >= 64),
+              |cells AS (
+              |  SELECT doc_id, len, (i - 1) * 64 // len AS cell,
+              |    CAST(ascii(substr(text, CAST(i AS BIGINT), 1)) AS BIGINT)
+              |      AS b
+              |  FROM docs, (SELECT unnest(range(1, 1024)) AS i) t
+              |  WHERE i <= len),
+              |bycell AS (
+              |  SELECT doc_id, len, cell, CAST(sum(b) AS BIGINT) AS cs,
+              |    CAST(count(*) AS BIGINT) AS cn
+              |  FROM cells GROUP BY 1, 2, 3),
+              |bydoc AS (
+              |  SELECT doc_id, CAST(sum(cs) AS BIGINT) AS ts
+              |  FROM bycell GROUP BY 1),
+              |sig AS MATERIALIZED (
+              |  SELECT doc_id, cell // 8 AS band,
+              |    CAST(sum(CASE WHEN cs * len > ts * cn
+              |      THEN CAST(pow(2, cell % 8) AS BIGINT) ELSE 0 END)
+              |      AS BIGINT) AS v
+              |  FROM bycell JOIN bydoc USING (doc_id)
+              |  GROUP BY 1, 2),
+              |cand AS (
+              |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+              |  FROM sig a JOIN sig b
+              |    ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id),
+              |ham AS (
+              |  SELECT c.d1, c.d2,
+              |    CAST(sum(bit_count(xor(s1.v, s2.v))) AS BIGINT) AS hamming
+              |  FROM cand c
+              |  JOIN sig s1 ON s1.doc_id = c.d1
+              |  JOIN sig s2 ON s2.doc_id = c.d2 AND s2.band = s1.band
+              |  GROUP BY 1, 2),
+              |perdoc AS (
+              |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_cand,
+              |    CAST(min(hamming) AS BIGINT) AS min_ham
+              |  FROM (SELECT d1 AS doc_id, hamming FROM ham
+              |        UNION ALL SELECT d2 AS doc_id, hamming FROM ham)
+              |  GROUP BY 1),
+              |wide AS (
+              |  SELECT doc_id,
+              |    coalesce(max(CASE WHEN band = 0 THEN v END), 0) AS b0,
+              |    coalesce(max(CASE WHEN band = 1 THEN v END), 0) AS b1,
+              |    coalesce(max(CASE WHEN band = 2 THEN v END), 0) AS b2,
+              |    coalesce(max(CASE WHEN band = 3 THEN v END), 0) AS b3,
+              |    coalesce(max(CASE WHEN band = 4 THEN v END), 0) AS b4,
+              |    coalesce(max(CASE WHEN band = 5 THEN v END), 0) AS b5,
+              |    coalesce(max(CASE WHEN band = 6 THEN v END), 0) AS b6,
+              |    coalesce(max(CASE WHEN band = 7 THEN v END), 0) AS b7
+              |  FROM sig GROUP BY 1)
+              |SELECT w.doc_id, b0, b1, b2, b3, b4, b5, b6, b7,
+              |  CAST(bit_count(b0) + bit_count(b1) + bit_count(b2) +
+              |    bit_count(b3) + bit_count(b4) + bit_count(b5) +
+              |    bit_count(b6) + bit_count(b7) AS BIGINT) AS popcnt,
+              |  coalesce(p.n_cand, 0) AS n_cand,
+              |  coalesce(p.min_ham, -1) AS min_hamming
+              |FROM wide w LEFT JOIN perdoc p ON w.doc_id = p.doc_id"""
+        .stripMargin))
 
   // SQL-TEXT twins of q443 and q434 over the registerTextIndexViews
   // surface (the q422/q430 discipline extended to the new families): the

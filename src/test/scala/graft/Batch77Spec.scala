@@ -95,6 +95,58 @@ class Batch77Spec extends SparkSpec {
       canon(q("q434_suffix_array").collect()))
   }
 
+  // ---------------------------------------------------------------- q446
+
+  test("q446: aHash signatures — band bytes bounded, popcount consistent, " +
+    "and candidate stats honest (no self-pairs, min ≥ 0 when present)") {
+    val out = q("q446_image_ahash").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val bands = (0 until 8).map(j => r.getAs[Long](s"b$j"))
+      bands.foreach(b => assert(b >= 0L && b < 256L))
+      assert(r.getAs[Long]("popcnt") ===
+        bands.map(java.lang.Long.bitCount(_).toLong).sum)
+      val mh = r.getAs[Long]("min_hamming")
+      if (r.getAs[Long]("n_cand") === 0L) assert(mh === -1L)
+      else assert(mh >= 0L && mh <= 64L)
+    }
+    // the fixture has no true near-dups: closest banded pair is > 7
+    // (Hamming 9 at sf0.001, measured) — the min_hamming column states
+    // that instead of an empty pair list
+    assert(out.filter(_.getAs[Long]("min_hamming") >= 0L)
+      .forall(_.getAs[Long]("min_hamming") > 7L))
+  }
+
+  test("q446: exact-duplicate payloads collide at Hamming 0 through the " +
+    "banded path (hand corpus via the same signature pipeline)") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and then " +
+      "naps in the warm afternoon sun beside the quiet barn"
+    val docs = Seq((1L, base), (2L, base),
+      (3L, base.replace("quick", "slow").replace("sun", "rain")))
+      .toDF("doc_id", "text")
+    val cells = docs.filter(length(col("text")) >= 64)
+      .selectExpr("doc_id", "length(text) AS len",
+        "posexplode(transform(sequence(1, length(text)), " +
+          "i -> ascii(substring(text, i, 1))))")
+      .selectExpr("doc_id", "len", "pos * 64 DIV len AS cell",
+        "CAST(col AS BIGINT) AS b")
+    val byCell = cells.groupBy(col("doc_id"), col("len"), col("cell"))
+      .agg(sum(col("b")).as("cs"), count(lit(1)).as("cn"))
+    val byDoc = byCell.groupBy(col("doc_id")).agg(sum(col("cs")).as("ts"))
+    val sig = byCell.join(byDoc, Seq("doc_id"))
+      .selectExpr("doc_id", "cell DIV 8 AS band",
+        "CASE WHEN cs * len > ts * cn THEN " +
+          "CAST(pow(2, cell % 8) AS BIGINT) ELSE 0L END AS bit")
+      .groupBy(col("doc_id"), col("band")).agg(sum(col("bit")).as("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    // identical payloads → identical 8-band signatures
+    (0L until 8L).foreach(b => assert(sig((1L, b)) === sig((2L, b))))
+    // the edited doc differs in at least one band
+    assert((0L until 8L).exists(b => sig((3L, b)) !== sig((1L, b))))
+  }
+
   test("q443: BM25 tf-saturation and length normalization move the right " +
     "way — score increases in tf, decreases in dl, saturates below " +
     "(k1+1)·idf") {

@@ -125,7 +125,10 @@ class ParallelismInvarianceSpec extends SparkSpec {
     // SQL-text twins must agree with their DataFrame siblings under any
     // layout (same inlined plan, same total-order tie-breaks)
     "q444_sql_bm25",
-    "q445_sql_suffix_stats")
+    "q445_sql_suffix_stats",
+    // aHash band values are order-free sums over cell bits; the
+    // candidate stats come from a distinct banded self-join
+    "q446_image_ahash")
 
   private def runAt(name: String, partitions: Int): Seq[String] = {
     val saved = spark.conf.get("spark.sql.shuffle.partitions")

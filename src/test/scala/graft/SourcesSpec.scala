@@ -42,4 +42,32 @@ class SourcesSpec extends SparkSpec {
     assert(rows(0).getInt(1) == 5)
     assert(rows(1).isNullAt(1) && rows(2).isNullAt(1))
   }
+
+  test("ORC interchange (r12): a gold-shaped frame roundtrips through the " +
+    "native ORC source value- and schema-exact, with predicate pushdown " +
+    "reaching the scan") {
+    // Spark ships ORC natively (orc-core in the unmanaged classpath);
+    // spark-avro is an external module and is NOT in /opt/spark/jars
+    // (re-checked 2026-08-16 r12), so ORC is the second columnar
+    // interchange format beside parquet. Integer/string/double columns —
+    // the gold-feature shapes — must survive bit-exactly.
+    val dir = java.nio.file.Files.createTempDirectory("orc_gold").toString
+    val src = Tables.orders(spark, sf)
+      .select($"o_orderkey", $"o_custkey", $"o_orderpriority",
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+    src.write.mode("overwrite").orc(s"$dir/gold")
+    val back = spark.read.orc(s"$dir/gold")
+    assert(back.schema === src.schema)
+    assert(back.count() === src.count())
+    val a = src.agg(sum($"cents"), sum($"o_orderkey")).collect()(0)
+    val b = back.agg(sum($"cents"), sum($"o_orderkey")).collect()(0)
+    assert(a === b)
+    // pushdown parity with the parquet path: an equality filter must
+    // reach the ORC scan as a pushed filter, not a post-scan Filter only
+    val plan = back.filter($"o_orderkey" === 7L).queryExecution
+      .executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderkey), " +
+      "EqualTo(o_orderkey,7)]") || plan.contains("EqualTo(o_orderkey,7)"),
+      s"ORC scan did not receive the pushed filter:\n$plan")
+  }
 }
