@@ -39,7 +39,73 @@ object Entries77 {
   private val BmTopK = 5
 
   def all: Seq[Q] = Seq(prioritySample, bm25TopK, sqlBm25, sqlSuffixStats,
-    imageAhash)
+    imageAhash, pplFilter)
+
+  // PERPLEXITY-BASED QUALITY FILTER (the CCNet-family selection step,
+  // Wenzek et al. 2020 — here with the suite's own q419 unigram LM as the
+  // scoring model instead of an external KenLM): per-word-type code
+  // length comes from the trained Viterbi DP (UnigramLm.encodeScored, on
+  // the established 1e-4 nats grid), documents aggregate the code length
+  // of their eligible tokens, and the filter keeps the best-compressing
+  // 80% by per-token nats — ranked with ops/Ranks distributed global rank
+  // (bucket = the score itself, domain-bounded), NOT a fact-sized
+  // unpartitioned window. The keep rule is rank-based (rank·10 ≤ n·8), so
+  // no threshold value crosses engines. The oracle replays the full EM +
+  // encode unroll (the q420 machinery) plus the doc aggregation and rank.
+  private val pplFilter: Q =
+    Q("q447_ppl_filter",
+      (s, d) => {
+        import graft.ext.UnigramLm
+        val docs = Tables.documents(s, d)
+        val wcode = UnigramLm.encodeScored(docs)
+          .select(col("w"), col("code_q"))
+        val docw = docs
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+          .filter(col("w").rlike("^[a-z]+$") &&
+            length(col("w")) <= UnigramLm.MaxLen)
+        val perDoc = docw.join(broadcast(wcode), Seq("w"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(col("code_q")).as("code_len_q"))
+          .withColumn("natsq_per_tok", expr("code_len_q DIV n_tokens"))
+        graft.ops.Ranks.withGlobalRank(perDoc, col("natsq_per_tok"),
+            Seq(col("natsq_per_tok").asc, col("doc_id").asc),
+            "rank", "n_docs")
+          .selectExpr("doc_id", "n_tokens", "code_len_q", "natsq_per_tok",
+            "rank", "n_docs",
+            "CASE WHEN rank * 10 <= n_docs * 8 THEN 1L ELSE 0L END AS keep")
+      },
+      Some(pplOracle))
+
+  private def pplOracle: String =
+    Entries74.unigramCtes(graft.ext.UnigramLm.Iters) + ",\n" +
+      Entries74.dpBlock("e", s"lp${graft.ext.UnigramLm.Iters}") +
+      s""",
+         |wcode AS (
+         |  SELECT f.w, -f.score_q AS code_q
+         |  FROM fe_${graft.ext.UnigramLm.MaxLen} f
+         |  JOIN w0 ON f.w = w0.w AND f.pos = w0.len),
+         |docw AS (
+         |  SELECT doc_id, w FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |    FROM documents)
+         |  WHERE regexp_matches(w, '^[a-z]+${"$"}')
+         |    AND len(w) <= ${graft.ext.UnigramLm.MaxLen}),
+         |perdoc AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |    CAST(sum(c.code_q) AS BIGINT) AS code_len_q
+         |  FROM docw d JOIN wcode c ON d.w = c.w GROUP BY 1),
+         |scoredd AS (
+         |  SELECT *, code_len_q // n_tokens AS natsq_per_tok FROM perdoc),
+         |rr AS (
+         |  SELECT *, CAST(row_number() OVER (ORDER BY natsq_per_tok ASC,
+         |    doc_id ASC) AS BIGINT) AS rank,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM scoredd) AS n_docs
+         |  FROM scoredd)
+         |SELECT doc_id, n_tokens, code_len_q, natsq_per_tok, rank, n_docs,
+         |  CAST(CASE WHEN rank * 10 <= n_docs * 8 THEN 1 ELSE 0 END
+         |    AS BIGINT) AS keep
+         |FROM rr""".stripMargin
 
   // IMAGE AVERAGE-HASH — the perceptual-dedup member of the multimodal
   // family: aHash = the 64-bit "is this cell brighter than the image

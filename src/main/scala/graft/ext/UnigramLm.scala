@@ -245,6 +245,18 @@ object UnigramLm {
         col("path").as("encoding"))
   }
 
+  /** Encode with the Viterbi code length exposed: (w, freq, path, code_q)
+    * where code_q = −(best path score) in 1e-4 nats — the per-word-type
+    * compression cost under the trained model, i.e. the LM-perplexity
+    * ingredient the q447 document filter aggregates. */
+  def encodeScored(documents: DataFrame, iters: Int = Iters): DataFrame = {
+    val (types, cand, lp, _) = trained(documents, iters)
+    viterbi(types, cand, lp)
+      .join(types.select(col("w"), col("freq")), Seq("w"))
+      .select(col("w"), col("freq"), col("path"),
+        (-col("score_q")).cast("long").as("code_q"))
+  }
+
   /** Percent of prunable (used, multi-char) pieces dropped by the prune
     * round — smallest likelihood-loss first, Kudo 2018 §3.2 step 3. */
   val PrunePct = 20

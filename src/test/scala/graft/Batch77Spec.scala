@@ -147,6 +147,31 @@ class Batch77Spec extends SparkSpec {
     assert((0L until 8L).exists(b => sig((3L, b)) !== sig((1L, b))))
   }
 
+  // ---------------------------------------------------------------- q447
+
+  test("q447: perplexity filter — keep rate is the rank-based 80%, ranks " +
+    "are a permutation, and kept docs compress no worse than dropped ones") {
+    val out = q("q447_ppl_filter").collect()
+    assert(out.nonEmpty)
+    val n = out.head.getAs[Long]("n_docs")
+    assert(out.length.toLong === n)
+    assert(out.map(_.getAs[Long]("rank")).sorted.toSeq === (1L to n))
+    val kept = out.filter(_.getAs[Long]("keep") === 1L)
+    assert(kept.length.toLong === out.count(r =>
+      r.getAs[Long]("rank") * 10 <= n * 8).toLong)
+    // every kept doc's per-token nats <= every dropped doc's (the rank
+    // orders by the score, so the cut is a clean threshold up to ties)
+    val maxKept = kept.map(_.getAs[Long]("natsq_per_tok")).max
+    val dropped = out.filter(_.getAs[Long]("keep") === 0L)
+    if (dropped.nonEmpty)
+      assert(dropped.map(_.getAs[Long]("natsq_per_tok")).min >= maxKept)
+    out.foreach { r =>
+      assert(r.getAs[Long]("code_len_q") > 0L)
+      assert(r.getAs[Long]("natsq_per_tok") ===
+        r.getAs[Long]("code_len_q") / r.getAs[Long]("n_tokens"))
+    }
+  }
+
   test("q443: BM25 tf-saturation and length normalization move the right " +
     "way — score increases in tf, decreases in dl, saturates below " +
     "(k1+1)·idf") {

@@ -128,7 +128,10 @@ class ParallelismInvarianceSpec extends SparkSpec {
     "q445_sql_suffix_stats",
     // aHash band values are order-free sums over cell bits; the
     // candidate stats come from a distinct banded self-join
-    "q446_image_ahash")
+    "q446_image_ahash",
+    // the perplexity filter's keep flag rides the distributed global
+    // rank with (natsq, doc_id) total-order ties
+    "q447_ppl_filter")
 
   private def runAt(name: String, partitions: Int): Seq[String] = {
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
