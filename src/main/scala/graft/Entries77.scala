@@ -145,7 +145,7 @@ object Entries77 {
           .selectExpr("doc_id", "cell DIV 8 AS band",
             // bit = cell mean > doc mean, exactly: cs/cn > ts/len
             "CASE WHEN cs * len > ts * cn THEN " +
-              "CAST(pow(2, cell % 8) AS BIGINT) ELSE 0L END AS bit")
+              "shiftleft(1L, CAST(cell % 8 AS INT)) ELSE 0L END AS bit")
           .groupBy(col("doc_id"), col("band"))
           .agg(sum(col("bit")).as("v"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -198,8 +198,8 @@ object Entries77 {
               |sig AS MATERIALIZED (
               |  SELECT doc_id, cell // 8 AS band,
               |    CAST(sum(CASE WHEN cs * len > ts * cn
-              |      THEN CAST(pow(2, cell % 8) AS BIGINT) ELSE 0 END)
-              |      AS BIGINT) AS v
+              |      THEN CAST(1 AS BIGINT) << CAST(cell % 8 AS INT)
+              |      ELSE 0 END) AS BIGINT) AS v
               |  FROM bycell JOIN bydoc USING (doc_id)
               |  GROUP BY 1, 2),
               |cand AS (

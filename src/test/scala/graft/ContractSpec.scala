@@ -46,7 +46,13 @@ class ContractSpec extends SparkSpec {
       // r12: q427's ln is the q423 HLL linear-counting branch (audited
       // EXHAUSTIVELY over its 255-value domain); q428's is the post-prune
       // M-step re-score (KnifeEdgeSpec probe via pruneLnArgsForAudit)
-      "q427_theta_sketch", "q428_unigram_prune")
+      "q427_theta_sketch", "q428_unigram_prune",
+      // r12 continuation: q443/q444 share the Lucene-idf ln on the 1e-4
+      // grid (KnifeEdgeSpec probe over the ten query-term args, plus a
+      // probe-vs-query idf_q bitwise pin); q447's oracle replays the
+      // unigram EM template whose ln sites are the q419/q420 probes'
+      // (lnArgsForAudit) — no new argument domain
+      "q443_bm25_topk", "q444_sql_bm25", "q447_ppl_filter")
     val offenders = SparkEntry.oracleSql.collect {
       case (name, sql) if !vetted(name) &&
         ("""(?i)\b(ln|exp|pow|power|log|log2|log10|sin|cos|tan|asin|acos""" +
@@ -82,7 +88,9 @@ class ContractSpec extends SparkSpec {
                                // estimate template + oracle branches)
       "Entries75.scala" -> 2,  // q427 oracle linear-counting ln() +
                                // q428 oracle post-prune re-score ln()
-      "UnigramLm.scala" -> 2)  // lp0 + smoothed re-score log()
+      "UnigramLm.scala" -> 2,  // lp0 + smoothed re-score log()
+      "Entries77.scala" -> 1,  // q443/q444 shared oracle Lucene-idf ln()
+      "TextAnalysis.scala" -> 1) // bm25Postings idf log() (q443 probe)
     val root = new java.io.File("src/main/scala/graft")
     assert(root.isDirectory, s"source root not found from ${new java.io.File(".").getAbsolutePath}")
     def walk(f: java.io.File): Seq[java.io.File] =
