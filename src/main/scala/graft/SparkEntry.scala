@@ -771,7 +771,9 @@ object SparkEntry {
       Entries74.all.map(q => q.name -> q.fn) ++
       Entries75.all.map(q => q.name -> q.fn) ++
       Entries76.all.map(q => q.name -> q.fn) ++
-      Entries77.all.map(q => q.name -> q.fn)).toMap
+      Entries77.all.map(q => q.name -> q.fn) ++
+      Entries78.all.map(q => q.name -> q.fn) ++
+      Entries79.all.map(q => q.name -> q.fn)).toMap
 
   def oracleSql: Map[String, String] =
     (all.flatMap(q => q.sql.map(q.name -> _)) ++
@@ -850,5 +852,7 @@ object SparkEntry {
       Entries74.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries75.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries76.all.flatMap(q => q.sql.map(q.name -> _)) ++
-      Entries77.all.flatMap(q => q.sql.map(q.name -> _))).toMap
+      Entries77.all.flatMap(q => q.sql.map(q.name -> _)) ++
+      Entries78.all.flatMap(q => q.sql.map(q.name -> _)) ++
+      Entries79.all.flatMap(q => q.sql.map(q.name -> _))).toMap
 }

@@ -131,7 +131,25 @@ class ParallelismInvarianceSpec extends SparkSpec {
     "q446_image_ahash",
     // the perplexity filter's keep flag rides the distributed global
     // rank with (natsq, doc_id) total-order ties
-    "q447_ppl_filter")
+    "q447_ppl_filter",
+    // theta A-not-B: per-set k+1-smallest via WindowGroupLimit with a
+    // total order on hv (distinct 48-bit hashes — collision-free on the
+    // fixture keys), anti-join + one-row pivots are order-free
+    "q448_theta_anotb",
+    // HDR histogram: bucket counts are commutative-monoid merges; the
+    // exact side rides the distributed global rank on (v) whose value at
+    // a given rank is layout-free even under v-ties
+    "q449_hdr_histogram",
+    // ROUGE overlaps are order-free clipped-count sums over a distinct
+    // banded candidate set
+    "q450_rouge_pairs",
+    // dHash band values are order-free sums over local-gradient bits
+    "q451_image_dhash",
+    // WL colors: sort_array(collect_list) canonicalizes the neighbor
+    // multiset, so the md5 is layout-free; LPA's argmax breaks ties on
+    // (count, label) — total per node
+    "q452_wl_colors",
+    "q453_label_prop")
 
   private def runAt(name: String, partitions: Int): Seq[String] = {
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
