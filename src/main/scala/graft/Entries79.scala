@@ -41,7 +41,7 @@ object Entries79 {
 
   /** Symmetrized co-engagement edges (v, u) — both directions of the q192
     * pair list (top-10 recency cap per user, support ≥ 2 users). */
-  private def symEdges(s: org.apache.spark.sql.SparkSession,
+  private[graft] def symEdges(s: org.apache.spark.sql.SparkSession,
                        d: String): DataFrame = {
     val edges = graft.ext.Curation
       .coengagementPairs(Tables.events(s, d), 10, 2L)
@@ -52,7 +52,7 @@ object Entries79 {
   }
 
   /** The q192 edge list + symmetrization as oracle CTEs. */
-  private val symCte =
+  private[graft] val symCte =
     """ui AS (
       |  SELECT user_id, props AS item, max(epoch_us(ts)) AS last_ts
       |  FROM events WHERE props IS NOT NULL GROUP BY 1, 2),
@@ -253,48 +253,57 @@ object Entries79 {
   // ---------------------------------------------------------------- q453
 
   /** Rounds of synchronous label propagation. */
-  private val LpaRounds = 3
+  private[graft] val LpaRounds = 3
+
+  /** The q453 synchronous-LPA label assignment after [[LpaRounds]] rounds
+    * — shared with q456's modularity report. `sym` must be the
+    * symmetrized edge list (persisted by the caller). */
+  private[graft] def lpaLabels(sym: DataFrame): DataFrame = {
+    val labels0 = sym.select(col("v")).distinct()
+      .select(col("v"), col("v").as("lbl"))
+    def round(labels: DataFrame): DataFrame =
+      sym
+        .join(labels.select(col("v").as("u"), col("lbl")), Seq("u"))
+        .groupBy(col("v"), col("lbl"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("v"))
+            .orderBy(col("n").desc, col("lbl").asc)))
+        .filter(col("rn") === 1)
+        .select(col("v"), col("lbl"))
+    (1 to LpaRounds).foldLeft(labels0)((l, _) => round(l))
+  }
+
+  /** The q453 round-unroll as oracle CTEs (l0 … l`LpaRounds`). */
+  private[graft] def lpaCtes: String = {
+    val rounds = (1 to LpaRounds).map { t =>
+      s"""l$t AS (
+         |  SELECT v, lbl FROM (
+         |    SELECT s.v, l.lbl, count(*) AS n,
+         |      row_number() OVER (PARTITION BY s.v
+         |        ORDER BY count(*) DESC, l.lbl ASC) AS rn
+         |    FROM sym s JOIN l${t - 1} l ON l.v = s.u
+         |    GROUP BY s.v, l.lbl)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"l0 AS (SELECT DISTINCT v, v AS lbl FROM sym),\n$rounds"
+  }
 
   private val labelProp: Q =
     Q("q453_label_prop",
       (s, d) => {
         val sym = symEdges(s, d)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val labels0 = sym.select(col("v")).distinct()
-          .select(col("v"), col("v").as("lbl"))
-        // one synchronous round: every node adopts the most frequent
+        // each synchronous round: every node adopts the most frequent
         // label among its neighbors, ties to the smallest label — a
         // per-node partitioned argmax window (never global)
-        def round(labels: DataFrame): DataFrame =
-          sym
-            .join(labels.select(col("v").as("u"), col("lbl")), Seq("u"))
-            .groupBy(col("v"), col("lbl"))
-            .agg(count(lit(1)).as("n"))
-            .withColumn("rn", row_number().over(
-              Window.partitionBy(col("v"))
-                .orderBy(col("n").desc, col("lbl").asc)))
-            .filter(col("rn") === 1)
-            .select(col("v"), col("lbl"))
-        val fin = (1 to LpaRounds).foldLeft(labels0)((l, _) => round(l))
-        fin.groupBy(col("lbl").as("community"))
+        lpaLabels(sym).groupBy(col("lbl").as("community"))
           .agg(count(lit(1)).as("n_members"), min(col("v")).as("min_item"))
       },
-      Some {
-        val rounds = (1 to LpaRounds).map { t =>
-          s"""l$t AS (
-             |  SELECT v, lbl FROM (
-             |    SELECT s.v, l.lbl, count(*) AS n,
-             |      row_number() OVER (PARTITION BY s.v
-             |        ORDER BY count(*) DESC, l.lbl ASC) AS rn
-             |    FROM sym s JOIN l${t - 1} l ON l.v = s.u
-             |    GROUP BY s.v, l.lbl)
-             |  WHERE rn = 1)""".stripMargin
-        }.mkString(",\n")
+      Some(
         s"""WITH $symCte,
-           |l0 AS (SELECT DISTINCT v, v AS lbl FROM sym),
-           |$rounds
+           |$lpaCtes
            |SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_members,
            |  min(v) AS min_item
-           |FROM l$LpaRounds GROUP BY 1""".stripMargin
-      })
+           |FROM l$LpaRounds GROUP BY 1""".stripMargin))
 }

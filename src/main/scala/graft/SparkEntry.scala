@@ -773,7 +773,8 @@ object SparkEntry {
       Entries76.all.map(q => q.name -> q.fn) ++
       Entries77.all.map(q => q.name -> q.fn) ++
       Entries78.all.map(q => q.name -> q.fn) ++
-      Entries79.all.map(q => q.name -> q.fn)).toMap
+      Entries79.all.map(q => q.name -> q.fn) ++
+      Entries80.all.map(q => q.name -> q.fn)).toMap
 
   def oracleSql: Map[String, String] =
     (all.flatMap(q => q.sql.map(q.name -> _)) ++
@@ -854,5 +855,6 @@ object SparkEntry {
       Entries76.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries77.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries78.all.flatMap(q => q.sql.map(q.name -> _)) ++
-      Entries79.all.flatMap(q => q.sql.map(q.name -> _))).toMap
+      Entries79.all.flatMap(q => q.sql.map(q.name -> _)) ++
+      Entries80.all.flatMap(q => q.sql.map(q.name -> _))).toMap
 }

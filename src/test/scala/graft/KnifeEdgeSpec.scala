@@ -606,4 +606,21 @@ class KnifeEdgeSpec extends SparkSpec {
       "q443: probe idfs no longer reproduce the query's idf_q")
     assertFloorSafe("q443", probe.select((log(col("arg")) * 1e4).as("v")))
   }
+
+  test("q454: every modified-precision ln argument clears the 1e-4 grid " +
+    "boundaries (probe reads the query's own clip/len output — no " +
+    "pipeline duplication, no drift)") {
+    // p_n = clip_n / (c_len − n + 1); audit rows with 0 < clip_n < tot_n
+    // (clip = 0 is the sentinel branch, clip = tot is ln(1) = 0 — exact
+    // in every libm, the spec-documented excluded class)
+    val out = SparkEntry.queries("q454_bleu_pairs")(spark, gate)
+      .select(col("c_len"), col("clip1"), col("clip2"), col("clip3"),
+        col("clip4"))
+    val terms = (1 to 4).map { n =>
+      out.selectExpr(s"clip$n AS clip", s"c_len - ${n - 1} AS tot")
+        .where(col("clip") > 0 && col("clip") < col("tot"))
+        .selectExpr("ln(CAST(clip AS DOUBLE) / tot) * 1e4 AS v")
+    }.reduce(_ unionByName _)
+    assertFloorSafe("q454", terms)
+  }
 }

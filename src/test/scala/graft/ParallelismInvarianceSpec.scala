@@ -149,7 +149,17 @@ class ParallelismInvarianceSpec extends SparkSpec {
     // multiset, so the md5 is layout-free; LPA's argmax breaks ties on
     // (count, label) — total per node
     "q452_wl_colors",
-    "q453_label_prop")
+    "q453_label_prop",
+    // BLEU clips are order-free least-sums over a distinct candidate
+    // set; the lead() n-gram windows are doc-partitioned with total
+    // (doc, pos) order
+    "q454_bleu_pairs",
+    // the largest-remainder rank runs over the source DOMAIN with a
+    // (rem, source) total order; isqrt is a pure row function
+    "q455_temperature_mix",
+    // modularity terms are sums over the LPA labels, whose ties are
+    // total per node
+    "q456_modularity_report")
 
   private def runAt(name: String, partitions: Int): Seq[String] = {
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
