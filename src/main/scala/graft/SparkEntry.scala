@@ -774,7 +774,8 @@ object SparkEntry {
       Entries77.all.map(q => q.name -> q.fn) ++
       Entries78.all.map(q => q.name -> q.fn) ++
       Entries79.all.map(q => q.name -> q.fn) ++
-      Entries80.all.map(q => q.name -> q.fn)).toMap
+      Entries80.all.map(q => q.name -> q.fn) ++
+      Entries81.all.map(q => q.name -> q.fn)).toMap
 
   def oracleSql: Map[String, String] =
     (all.flatMap(q => q.sql.map(q.name -> _)) ++
@@ -856,5 +857,6 @@ object SparkEntry {
       Entries77.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries78.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries79.all.flatMap(q => q.sql.map(q.name -> _)) ++
-      Entries80.all.flatMap(q => q.sql.map(q.name -> _))).toMap
+      Entries80.all.flatMap(q => q.sql.map(q.name -> _)) ++
+      Entries81.all.flatMap(q => q.sql.map(q.name -> _))).toMap
 }

@@ -90,4 +90,29 @@ object SqlSurface {
     TextAnalysis.bm25Postings(documents, 10)
       .createOrReplaceTempView("graft_bm25_postings")
   }
+
+  /** The graph relations as temp views (r12 continuation — the q452/q453
+    * family joins the SQL-text surface):
+    *  - graft_coe_edges    co-engagement item pairs, i1 < i2 (q192
+    *                       semantics: top-10 recency cap, support ≥ 2)
+    *  - graft_lpa_labels   synchronous label-propagation assignment
+    *                       after Entries79.LpaRounds rounds (q453)
+    * The label chain is persisted at registration (lazily — no action
+    * runs here): a SQL consumer referencing graft_lpa_labels several
+    * times (the modularity pattern joins it three ways) shares ONE
+    * InMemoryRelation instead of replanning the whole LPA chain per
+    * reference. */
+  def registerGraphViews(spark: SparkSession, events: DataFrame): Unit = {
+    val edges = Curation.coengagementPairs(events, 10, 2L)
+      .select(org.apache.spark.sql.functions.col("i1"),
+        org.apache.spark.sql.functions.col("i2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sym = edges.selectExpr("i1 AS v", "i2 AS u")
+      .unionByName(edges.selectExpr("i2 AS v", "i1 AS u"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    edges.createOrReplaceTempView("graft_coe_edges")
+    graft.Entries79.lpaLabels(sym)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .createOrReplaceTempView("graft_lpa_labels")
+  }
 }

@@ -159,7 +159,16 @@ class ParallelismInvarianceSpec extends SparkSpec {
     "q455_temperature_mix",
     // modularity terms are sums over the LPA labels, whose ties are
     // total per node
-    "q456_modularity_report")
+    "q456_modularity_report",
+    // MG counters are exact per-week counts minus a rank-derived
+    // threshold with (f, item) total-order ties; the merge rank runs
+    // over the bounded candidate set with (cm, item) ties
+    "q457_mg_rollup",
+    // the DKW band is pure integer arithmetic off one count; value
+    // bounds ride the distributed global rank
+    "q458_dkw_band",
+    // SQL-text twin must agree with q456 under any layout
+    "q459_sql_modularity")
 
   private def runAt(name: String, partitions: Int): Seq[String] = {
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
