@@ -775,7 +775,8 @@ object SparkEntry {
       Entries78.all.map(q => q.name -> q.fn) ++
       Entries79.all.map(q => q.name -> q.fn) ++
       Entries80.all.map(q => q.name -> q.fn) ++
-      Entries81.all.map(q => q.name -> q.fn)).toMap
+      Entries81.all.map(q => q.name -> q.fn) ++
+      Entries82.all.map(q => q.name -> q.fn)).toMap
 
   def oracleSql: Map[String, String] =
     (all.flatMap(q => q.sql.map(q.name -> _)) ++
@@ -858,5 +859,6 @@ object SparkEntry {
       Entries78.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries79.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries80.all.flatMap(q => q.sql.map(q.name -> _)) ++
-      Entries81.all.flatMap(q => q.sql.map(q.name -> _))).toMap
+      Entries81.all.flatMap(q => q.sql.map(q.name -> _)) ++
+      Entries82.all.flatMap(q => q.sql.map(q.name -> _))).toMap
 }

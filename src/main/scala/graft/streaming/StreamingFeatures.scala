@@ -1099,4 +1099,110 @@ object StreamingFeatures {
       .transformWithState(new SessionProcessor, TimeMode.EventTime(),
         OutputMode.Append())
   }
+
+  /** INCREMENTAL HDR-HISTOGRAM MATERIALIZATION (the q449 log-linear
+    * quantile sketch as a streaming sink): maintain a parquet store of
+    * per-week bucket counts (week, b_id, lb, c) over event VALUE cents.
+    * Bucket counts are an additive commutative monoid — merge = per-bucket
+    * sum — which is NOT replay-idempotent, so the store carries the
+    * per-week `batch_id` high-water mark and the merge REFUSES any batch
+    * whose id does not exceed a touched week's mark (the
+    * [[streamCmsUpsert]]/[[kllApplyBatch]] crash-window discipline).
+    * Values below 8 cents get exact singleton buckets (b_id = v < 24 —
+    * still monotone below the log-linear lane, which starts at
+    * b_id = 24); values ≥ 8 use the q449 mapping: e = len(bin(v))−1,
+    * sub = (v−2^e)·8/2^e, b_id = 8e+sub, lb = (8+sub)·2^(e−3). Weekly
+    * quantiles read off the merged CDF via [[hdrWeeklyQuantiles]]. */
+  def streamHdrUpsert(spark: SparkSession, eventsDir: String,
+                      storePath: String,
+                      maxFilesPerTrigger: Int = 0,
+                      checkpointDir: Option[String] = None): StreamingQuery = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(eventsDir).schema
+    val reader = spark.readStream.schema(schema)
+    val raw = (if (maxFilesPerTrigger > 0)
+      reader.option("maxFilesPerTrigger", maxFilesPerTrigger) else reader)
+      .parquet(eventsDir)
+    val writer = raw.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+    checkpointDir.foreach(writer.option("checkpointLocation", _))
+    writer
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        hdrApplyBatch(spark, batch.toDF(), schema, storePath, batchId)
+      }
+      .start()
+  }
+
+  /** One micro-batch of [[streamHdrUpsert]] — the [[cmsApplyBatch]] shape
+    * with per-bucket counter addition (full-outer within touched weeks:
+    * store buckets absent from the batch must survive the merge). */
+  private[graft] def hdrApplyBatch(spark: SparkSession, batch: DataFrame,
+      schema: org.apache.spark.sql.types.StructType, storePath: String,
+      batchId: Long): Unit = {
+    val part = batch
+      .withColumn("ts_us", tsUsExpr(schema))
+      .selectExpr("ts_us DIV 604800000000 AS week",
+        "CAST(round(value * 100) AS BIGINT) AS v")
+      .filter(col("v") >= 1L)
+      .selectExpr("week", "v",
+        "CAST(length(bin(v)) - 1 AS INT) AS e")
+      .selectExpr("week",
+        "CASE WHEN v < 8 THEN v ELSE CAST(e AS BIGINT) * 8 + " +
+          "(v - shiftleft(CAST(1 AS BIGINT), e)) * 8 DIV " +
+          "shiftleft(CAST(1 AS BIGINT), e) END AS b_id",
+        "CASE WHEN v < 8 THEN v ELSE shiftleft(CAST(8 + " +
+          "(v - shiftleft(CAST(1 AS BIGINT), e)) * 8 DIV " +
+          "shiftleft(CAST(1 AS BIGINT), e) AS BIGINT), e - 3) END AS lb")
+      .groupBy(col("week"), col("b_id"), col("lb"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint() // feeds the touched-weeks semi-join AND merge
+    val hPath = new org.apache.hadoop.fs.Path(storePath)
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val merged = (if (fs.exists(hPath)) {
+      val touched = spark.read.parquet(storePath)
+        .join(broadcast(part.select(col("week")).distinct()), Seq("week"))
+        .localCheckpoint()
+      val replayedWeeks = touched
+        .filter(col("batch_id") >= batchId).select(col("week")).distinct()
+      val fresh = part.join(broadcast(replayedWeeks), Seq("week"),
+        "left_anti")
+      val old = touched.filter(col("batch_id") < batchId)
+        .join(broadcast(fresh.select(col("week")).distinct()), Seq("week"))
+        .select(col("week"), col("b_id"), col("lb"), col("c"))
+      fresh.select(col("week"), col("b_id"), col("lb"), col("c"))
+        .unionByName(old)
+        .groupBy(col("week"), col("b_id"), col("lb"))
+        .agg(sum(col("c")).as("c"))
+    } else part)
+      .withColumn("batch_id", lit(batchId))
+      .localCheckpoint() // lineage break before the in-place overwrite
+    merged.sparkSession.conf
+      .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("week").parquet(storePath)
+    spark.catalog.refreshByPath(storePath)
+    ()
+  }
+
+  /** Weekly quantile estimates from a [[streamHdrUpsert]] store: for each
+    * requested percentile, rank r = ⌈n·q/100⌉ and the estimate is the
+    * lower bound of the first bucket whose CDF reaches r — ≤ 12.5%
+    * relative error in the log-linear lane, exact below 8 cents. The CDF
+    * window is per-week over the bucket domain (never fact-sized). */
+  def hdrWeeklyQuantiles(spark: SparkSession, storePath: String,
+                         qs: Seq[Long] = Seq(50L, 90L, 99L)): DataFrame = {
+    val store = spark.read.parquet(storePath)
+    val cum = store.withColumn("cum", sum(col("c")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("week"))
+          .orderBy(col("b_id"))))
+      .join(store.groupBy(col("week")).agg(sum(col("c")).as("n")), Seq("week"))
+    val targets = cum.select(col("week"), col("n")).distinct()
+      .withColumn("q_pct", explode(lit(qs.toArray)))
+      .withColumn("r", expr("(n * q_pct + 99) DIV 100"))
+    targets.join(cum.select(col("week"), col("lb"), col("cum")), Seq("week"))
+      .filter(col("cum") >= col("r"))
+      .groupBy(col("week"), col("q_pct"), col("n"), col("r"))
+      .agg(min(col("lb")).as("est_lb"))
+  }
 }

@@ -168,7 +168,13 @@ class ParallelismInvarianceSpec extends SparkSpec {
     // bounds ride the distributed global rank
     "q458_dkw_band",
     // SQL-text twin must agree with q456 under any layout
-    "q459_sql_modularity")
+    "q459_sql_modularity",
+    // ZCR/energy frames ride a doc-partitioned lag with total (doc, pos)
+    // order; the fingerprint canonicalizes frame order via array_sort
+    "q460_audio_zcr",
+    // tiers ride the distributed global rank + exact ntile formula with
+    // (n_chars, doc_id) total-order ties
+    "q461_curriculum_tiers")
 
   private def runAt(name: String, partitions: Int): Seq[String] = {
     val saved = spark.conf.get("spark.sql.shuffle.partitions")

@@ -1113,4 +1113,100 @@ class StreamingSpec extends SparkSpec {
       }
     }
   }
+
+  test("HDR materialization: chunked ingest + checkpointed restart equals " +
+    "a one-pass build bucket-for-bucket; replays are refused by the " +
+    "batch_id guard; weekly quantile reads respect the 12.5% bound") {
+    import java.nio.file.Files
+    import java.nio.file.attribute.FileTime
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    val chunked = raw.withColumn("c", ntile(2).over(
+      org.apache.spark.sql.expressions.Window.orderBy($"ts", $"event_id")))
+    val dir = Files.createTempDirectory("events_hdr_restart")
+    val chunkFiles = (1 to 2).map { k =>
+      val tmp = Files.createTempDirectory(s"hdrchunk_$k")
+      chunked.filter($"c" === k).drop("c")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      new java.io.File(tmp.toString).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .head.toPath
+    }
+    def stage(k: Int): Unit = {
+      val dst = dir.resolve(f"chunk-$k%03d.parquet")
+      Files.copy(chunkFiles(k - 1), dst)
+      Files.setLastModifiedTime(dst, FileTime.fromMillis(3000000L + k * 60000L))
+    }
+    val ckpt = Files.createTempDirectory("hdr_ckpt").toString
+    val store = Files.createTempDirectory("hdr_store").toString + "/weekly"
+    def snapshot(path: String): Seq[(Long, Long, Long, Long)] =
+      spark.read.parquet(path)
+        .select($"week".cast("long"), $"b_id", $"lb", $"c")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSeq.sorted
+
+    stage(1)
+    val run1 = StreamingFeatures.streamHdrUpsert(spark, dir.toString,
+      store, maxFilesPerTrigger = 1, checkpointDir = Some(ckpt))
+    run1.processAllAvailable(); run1.stop()
+    stage(2)
+    val run2 = StreamingFeatures.streamHdrUpsert(spark, dir.toString,
+      store, maxFilesPerTrigger = 1, checkpointDir = Some(ckpt))
+    run2.processAllAvailable(); run2.stop()
+
+    // one-pass reference build (single batch over the full backlog)
+    val store1 = Files.createTempDirectory("hdr_store_1p").toString + "/w"
+    StreamingFeatures.hdrApplyBatch(spark, raw, raw.schema, store1, 0L)
+    assert(snapshot(store) == snapshot(store1),
+      "additive bucket counts must be batching-invariant (chunked + " +
+        "restart == one pass), ignoring the batch_id watermark column")
+
+    // counter mass conservation vs the exact event count (v ≥ 1 cent)
+    val exactN = Tables.events(spark, sf)
+      .select(expr("ts_us DIV 604800000000").as("week"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+      .filter($"v" >= 1L)
+      .groupBy($"week").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val massed = spark.read.parquet(store)
+      .groupBy($"week").agg(sum($"c").as("n"))
+      .collect().map(r => r.getAs[Long]("week") -> r.getAs[Long]("n")).toMap
+    assert(massed == exactN, "bucket mass must conserve the event count")
+
+    // lost checkpoint: replayed batchIds are dominated by the stored
+    // high-water marks — refused, store unchanged
+    val before = snapshot(store)
+    val ckpt2 = Files.createTempDirectory("hdr_ckpt_lost").toString
+    val run3 = StreamingFeatures.streamHdrUpsert(spark, dir.toString,
+      store, maxFilesPerTrigger = 1, checkpointDir = Some(ckpt2))
+    run3.processAllAvailable(); run3.stop()
+    assert(snapshot(store) == before,
+      "a replayed backlog must be refused by the per-week batch_id guard")
+    // crash-window shape, driven directly: same content, same batchId
+    StreamingFeatures.hdrApplyBatch(spark,
+      spark.read.parquet(chunkFiles(1).toString), raw.schema, store, 1L)
+    assert(snapshot(store) == before,
+      "re-applying an already-applied (content, batchId) must be a no-op")
+
+    // reader: estimates are lower bounds within 12.5% of the exact
+    // per-week order statistics (exact below 8 cents)
+    val perWeek = Tables.events(spark, sf)
+      .select(expr("ts_us DIV 604800000000").as("week"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+      .filter($"v" >= 1L)
+      .collect().groupBy(_.getAs[Long]("week"))
+      .map { case (w, rs) => w -> rs.map(_.getAs[Long]("v")).sorted }
+    StreamingFeatures.hdrWeeklyQuantiles(spark, store).collect()
+      .foreach { r =>
+        val vs = perWeek(r.getAs[Long]("week"))
+        assert(r.getAs[Long]("n") === vs.length.toLong)
+        val exact = vs((r.getAs[Long]("r") - 1).toInt)
+        val est = r.getAs[Long]("est_lb")
+        assert(est <= exact, s"week ${r.getAs[Long]("week")} " +
+          s"q${r.getAs[Long]("q_pct")}: $est above exact $exact")
+        assert(exact - est <= (if (exact < 8) 0L else exact / 9 + 1),
+          s"week ${r.getAs[Long]("week")} q${r.getAs[Long]("q_pct")}: " +
+            s"est $est misses the 1/9 relative bound vs $exact")
+      }
+  }
 }
