@@ -776,7 +776,8 @@ object SparkEntry {
       Entries79.all.map(q => q.name -> q.fn) ++
       Entries80.all.map(q => q.name -> q.fn) ++
       Entries81.all.map(q => q.name -> q.fn) ++
-      Entries82.all.map(q => q.name -> q.fn)).toMap
+      Entries82.all.map(q => q.name -> q.fn) ++
+      Entries83.all.map(q => q.name -> q.fn)).toMap
 
   def oracleSql: Map[String, String] =
     (all.flatMap(q => q.sql.map(q.name -> _)) ++
@@ -860,5 +861,6 @@ object SparkEntry {
       Entries79.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries80.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries81.all.flatMap(q => q.sql.map(q.name -> _)) ++
-      Entries82.all.flatMap(q => q.sql.map(q.name -> _))).toMap
+      Entries82.all.flatMap(q => q.sql.map(q.name -> _)) ++
+      Entries83.all.flatMap(q => q.sql.map(q.name -> _))).toMap
 }

@@ -174,7 +174,13 @@ class ParallelismInvarianceSpec extends SparkSpec {
     "q460_audio_zcr",
     // tiers ride the distributed global rank + exact ntile formula with
     // (n_chars, doc_id) total-order ties
-    "q461_curriculum_tiers")
+    "q461_curriculum_tiers",
+    // triangle enumeration and supports are order-free joins/sums over
+    // ordered edge lists; the survivorship argmax breaks ties on
+    // (n_chars, doc_id) — total per cluster
+    "q462_clustering_coeff",
+    "q463_ktruss",
+    "q464_cluster_canon")
 
   private def runAt(name: String, partitions: Int): Seq[String] = {
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
