@@ -411,6 +411,16 @@ object Entries77 {
     * the Q vals above initialize first, and a forward val reference would
     * silently capture null into Some(...). */
   private[graft] def bm25OracleSql: String =
+    s"""$bm25CtesSql
+              |SELECT term, rank, doc_id, tf, dl, df, idf_q, score_milli
+              |FROM (SELECT *, row_number() OVER (PARTITION BY term
+              |    ORDER BY score_milli DESC, doc_id ASC) AS rank
+              |  FROM scored)
+              |WHERE rank <= $BmTopK""".stripMargin
+
+  /** The q443 posting-construction CTE chain (toks…scored) alone —
+    * shared with q465's RM3 expansion oracle. */
+  private[graft] def bm25CtesSql: String =
     s"""WITH toks AS (
               |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
               |  FROM documents),
@@ -434,10 +444,5 @@ object Entries77 {
               |      // ((CAST(20 AS HUGEINT) * t.tf * q.l_tot + 6 * q.l_tot +
               |      18 * d.dl * q.n_docs) * 10000) AS BIGINT) AS score_milli
               |  FROM tf t JOIN qterms q ON t.term = q.term
-              |  JOIN dl d ON t.doc_id = d.doc_id)
-              |SELECT term, rank, doc_id, tf, dl, df, idf_q, score_milli
-              |FROM (SELECT *, row_number() OVER (PARTITION BY term
-              |    ORDER BY score_milli DESC, doc_id ASC) AS rank
-              |  FROM scored)
-              |WHERE rank <= $BmTopK""".stripMargin
+              |  JOIN dl d ON t.doc_id = d.doc_id)""".stripMargin
 }

@@ -777,7 +777,8 @@ object SparkEntry {
       Entries80.all.map(q => q.name -> q.fn) ++
       Entries81.all.map(q => q.name -> q.fn) ++
       Entries82.all.map(q => q.name -> q.fn) ++
-      Entries83.all.map(q => q.name -> q.fn)).toMap
+      Entries83.all.map(q => q.name -> q.fn) ++
+      Entries84.all.map(q => q.name -> q.fn)).toMap
 
   def oracleSql: Map[String, String] =
     (all.flatMap(q => q.sql.map(q.name -> _)) ++
@@ -862,5 +863,6 @@ object SparkEntry {
       Entries80.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries81.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries82.all.flatMap(q => q.sql.map(q.name -> _)) ++
-      Entries83.all.flatMap(q => q.sql.map(q.name -> _))).toMap
+      Entries83.all.flatMap(q => q.sql.map(q.name -> _)) ++
+      Entries84.all.flatMap(q => q.sql.map(q.name -> _))).toMap
 }

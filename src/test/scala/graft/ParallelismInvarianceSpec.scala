@@ -180,7 +180,10 @@ class ParallelismInvarianceSpec extends SparkSpec {
     // (n_chars, doc_id) — total per cluster
     "q462_clustering_coeff",
     "q463_ktruss",
-    "q464_cluster_canon")
+    "q464_cluster_canon",
+    // feedback sets and expansion ranks break ties on total orders
+    // (score/doc_id, weight/term); the grid weight is a per-row floor
+    "q465_rm3_expansion")
 
   private def runAt(name: String, partitions: Int): Seq[String] = {
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
