@@ -30,9 +30,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 16g default: the bench/verify suites persist shared subtrees per the
-  // plan-census discipline and share one JVM across 417 queries — at 8g
-  // the accumulated storage blocks evict/GC-thrash in the suite tail
-  // (measured +30 s at sf0.1, r8); the container has 128 GiB
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // 24g default: the bench/verify suites persist shared subtrees per the
+  // plan-census discipline and share one JVM across the whole query set —
+  // at 8g the accumulated storage blocks evict/GC-thrash in the suite
+  // tail (measured +30 s at sf0.1 over 417 queries, r8); at 16g the SAME
+  // pressure returned when the suite grew to 465 queries (r12 cont.:
+  // mid-suite q275 0.6 → 27 s purely in-suite, 1.2 s isolated — eviction
+  // thrash, not code). The container has 128 GiB; 24g restores headroom.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -52,7 +52,13 @@ class ContractSpec extends SparkSpec {
       // probe-vs-query idf_q bitwise pin); q447's oracle replays the
       // unigram EM template whose ln sites are the q419/q420 probes'
       // (lnArgsForAudit) — no new argument domain
-      "q443_bm25_topk", "q444_sql_bm25", "q447_ppl_filter")
+      "q443_bm25_topk", "q444_sql_bm25", "q447_ppl_filter",
+      // r12 continuation 2: q454's four ln(p_n) terms have their own
+      // KnifeEdgeSpec probe reading clip/len from the query's OWN output
+      // (no probe drift possible); q465's oracle only inherits the q443
+      // Lucene-idf ln through the shared bm25CtesSql prefix — the same
+      // ten audited arguments, no new site
+      "q454_bleu_pairs", "q465_rm3_expansion")
     val offenders = SparkEntry.oracleSql.collect {
       case (name, sql) if !vetted(name) &&
         ("""(?i)\b(ln|exp|pow|power|log|log2|log10|sin|cos|tan|asin|acos""" +
@@ -90,6 +96,10 @@ class ContractSpec extends SparkSpec {
                                // q428 oracle post-prune re-score ln()
       "UnigramLm.scala" -> 2,  // lp0 + smoothed re-score log()
       "Entries77.scala" -> 1,  // q443/q444 shared oracle Lucene-idf ln()
+      "Entries80.scala" -> 2,  // q454 ln(p_n): Spark selectExpr + oracle
+                               // (KnifeEdgeSpec probe off the query output)
+      "Entries81.scala" -> 1,  // q458 build-time math.log(40) literal
+                               // (Batch81Spec pins the embedded constant)
       "TextAnalysis.scala" -> 1) // bm25Postings idf log() (q443 probe)
     val root = new java.io.File("src/main/scala/graft")
     assert(root.isDirectory, s"source root not found from ${new java.io.File(".").getAbsolutePath}")
