@@ -40,10 +40,11 @@ import graft.ExtEntries.Q
   *    estimates beside the exact Jaccard with err_ppm. The batch twin of
   *    streaming/StreamingFeatures.streamMinhashUpsert.
   *
-  * Reference semantics anchor: the reference's feature pipelines dedup on
-  * exact string keys only (/root/reference/jobs/build_user_features.py:
-  * drop_duplicates) — these queries are the 100 TB generalizations the
-  * north-star inventory mandates. Everything replays in DuckDB.
+  * Reference semantics anchor: the reference's own distinct-value analysis
+  * is exact and key-based only (/root/reference/jobs/build_feature_views
+  * .py:44-46, pandas nunique over sku codes) — these queries are the
+  * 100 TB generalizations the north-star inventory mandates. Everything
+  * replays in DuckDB.
   */
 object Entries76 {
 
@@ -631,11 +632,32 @@ object Entries76 {
           .filter(col("p2").isNotNull)
           .select(col("doc_id"), col("pos").as("p1"), col("p2"))
           .join(docs, Seq("doc_id"))
-        // persist the filtered LCP pairs: the two interval projections of
-        // the union would otherwise each replan the whole rank+LCP chain
-        val lcp = withLcp(pairs).filter(col("k") >= RepMinLen)
-          .select(col("doc_id"), col("p1"), col("p2"), col("k"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          // candidate pre-filter BEFORE the descent: LCP >= 8 requires the
+          // two 8-char heads to match (the converse can fail near the doc
+          // end, where substring truncates — a strict-prefix pair can pass
+          // here with k < 8, so the exact k-filter below still runs). One
+          // single-round expression over raw attributes: pushes down
+          // cleanly, and at 100 TB the 10-round descent + the checkpoint
+          // materialization below run on true-repeat candidates only, not
+          // every adjacent suffix pair.
+          .filter(expr("substring(text, CAST(p1 + 1 AS INT), 8)") ===
+            expr("substring(text, CAST(p2 + 1 AS INT), 8)"))
+        // CHECKPOINT, not persist, at the LCP boundary (r12 postmortem —
+        // the round's scale-killer): with a persist here the k >= 8
+        // predicate is OPTIMIZED INTO the cached fragment, and
+        // PushDownPredicates substitutes the non-cheap `k` alias through
+        // all 10 descent Projects until the Filter's condition tree has
+        // 3^10 paths — whose codegen pinned the driver single-threaded for
+        // ~13 minutes (Expression.genCode/reduceCodeSize, 34 MiB task
+        // binaries) every time the cache was cold. A localCheckpoint is a
+        // plan LEAF: nothing composes across it in either direction, so
+        // the descent always executes as the 10 chained codegen'd
+        // projections it was written as (the q463/q438 lineage-truncation
+        // discipline; provenance registered for the window audit).
+        val lcp = graft.Explain.localCheckpointWithProvenance(
+            withLcp(pairs)
+              .select(col("doc_id"), col("p1"), col("p2"), col("k")))
+          .filter(col("k") >= RepMinLen)
         val iv = lcp
           .select(col("doc_id"), col("p1").as("s"),
             (col("p1") + col("k")).as("e"))

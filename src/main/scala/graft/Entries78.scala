@@ -112,9 +112,13 @@ object Entries78 {
           .selectExpr("stack(2, " +
             "'a_not_b', xa, eab, " +
             "'b_not_a', xb, eba) AS (set_name, n_exact, theta_milli)")
+          // sentinel -99999999 for n_exact = 0, NOT nullif->NULL: a NULL
+          // would flip this int64 column to float64 in the driver's pandas
+          // compare (the q454 convention; ADVICE r12)
           .selectExpr("set_name", "n_exact", "theta_milli",
-            "abs(theta_milli - n_exact * 1000) * 1000000 DIV " +
-              "nullif(n_exact * 1000, 0) AS err_ppm")
+            "CASE WHEN n_exact = 0 THEN -99999999L ELSE " +
+              "abs(theta_milli - n_exact * 1000) * 1000000 DIV " +
+              "(n_exact * 1000) END AS err_ppm")
       },
       Some(s"""WITH ord AS MATERIALIZED (
               |  SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 'a'
@@ -173,8 +177,9 @@ object Entries78 {
               |      AS eba
               |  FROM tw CROSS JOIN nab CROSS JOIN nba CROSS JOIN xc)
               |SELECT set_name, n_exact, theta_milli,
-              |  CAST(abs(theta_milli - n_exact * 1000) * 1000000 //
-              |    nullif(n_exact * 1000, 0) AS BIGINT) AS err_ppm
+              |  CAST(CASE WHEN n_exact = 0 THEN -99999999 ELSE
+              |    abs(theta_milli - n_exact * 1000) * 1000000 //
+              |    (n_exact * 1000) END AS BIGINT) AS err_ppm
               |FROM (
               |  SELECT 'a_not_b' AS set_name, xa AS n_exact,
               |    eab AS theta_milli FROM wide

@@ -233,19 +233,92 @@ object Explain {
     censusRow(df)
   }
 
+  /** Bailout for [[planWeight]]: counting stops here — any plan that
+    * reaches it is already far beyond the census ceiling. */
+  val PlanWeightCap: Long = 10_000_000L
+
+  /** COLD-PLAN WEIGHT: physical-plan node count and the DAG-EXPANDED
+    * expression-tree PATH count of the un-cached plan — the quantity that
+    * blew up in r12's q440. Mechanism (measured): an alias of a non-cheap
+    * expression consumed k times per composition round stays a compact
+    * object DAG in memory, but Catalyst's optimizer (predicate pushdown /
+    * project collapse substituting the alias per reference) and then
+    * codegen + toString all walk it as a TREE — once per PATH — so a
+    * 10-round 3-reference chain costs 3^10 visits. q440's pre-fix lcp
+    * fragment weighed 561,641 paths here (17 s just to OPTIMIZE at any sf;
+    * ~13 min to codegen at execution), vs ≤ a few thousand for every
+    * healthy query. The count itself walks paths too, so it carries a
+    * bailout cap ([[PlanWeightCap]]) — a pathological plan returns the cap,
+    * it never hangs the gate.
+    *
+    * Recurses through the two plan-severing wrappers the naive walk
+    * misses: InMemoryTableScanExec re-weighs the CACHED child plan (a
+    * persist() marker substitutes an IMR leaf even before materialization,
+    * and the first action pays the cached plan's full cost — pre-fix q440's
+    * monster lived exactly there), and AQE wrappers (leaf-like, children =
+    * Nil) are unwrapped explicitly. A localCheckpoint RDD leaf is NOT
+    * recursed: its cost was paid at build time by an already-gated plan.
+    * PlanCensusSpec asserts a hard ceiling per query with the cache
+    * cleared, so the q440 class cannot ship again. */
+  def planWeight(df: DataFrame, cap: Long = PlanWeightCap): (Long, Long) = {
+    var nodes = 0L
+    var exprs = 0L
+    def walkExpr(e: org.apache.spark.sql.catalyst.trees.TreeNode[_]): Unit = {
+      if (exprs > cap) return
+      exprs += 1
+      e.children.foreach(c =>
+        walkExpr(c.asInstanceOf[org.apache.spark.sql.catalyst.trees.TreeNode[_]]))
+    }
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit =
+      p.foreach { n =>
+        nodes += 1
+        n.expressions.foreach(walkExpr)
+        n match {
+          case i: org.apache.spark.sql.execution.columnar
+                    .InMemoryTableScanExec =>
+            walk(i.relation.cachedPlan)
+          case a: org.apache.spark.sql.execution.adaptive
+                    .AdaptiveSparkPlanExec =>
+            walk(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            walk(q.plan)
+          case _ => ()
+        }
+      }
+    walk(df.queryExecution.sparkPlan)
+    (nodes, exprs min cap)
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkEnv.session(cores = 4, appName = "graft-explain")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val census = args.headOption.contains("--census")
     val winAudit = args.headOption.contains("--windows")
+    val planTime = args.headOption.contains("--plantime")
     val names =
-      if ((census || winAudit) && args.length > 1) args.drop(1).toSeq
-      else if (args.nonEmpty && !census && !winAudit) args.toSeq
+      if ((census || winAudit || planTime) && args.length > 1) args.drop(1).toSeq
+      else if (args.nonEmpty && !census && !winAudit && !planTime) args.toSeq
       else SparkEntry.queries.keys.toSeq.sorted
     if (census)
       println("query\tscans\texchanges\tgenerates\timr\tlambda\twindows")
+    if (planTime)
+      println("query\tbuild_ms\tplan_ms\tnodes\texprs")
     for (n <- names) {
-      if (winAudit) {
+      if (planTime) {
+        // cold-plan phase timing: query construction (which may itself run
+        // checkpoint jobs) vs analysis+optimization+physical planning,
+        // plus the planWeight counters the census gate pins
+        try {
+          spark.sharedState.cacheManager.clearCache()
+          val t0 = System.nanoTime()
+          val df = SparkEntry.queries(n)(spark, dir)
+          val t1 = System.nanoTime()
+          val (nodes, exprs) = planWeight(df)
+          val t2 = System.nanoTime()
+          println(s"$n\t${(t1 - t0) / 1000000}\t${(t2 - t1) / 1000000}" +
+            s"\t$nodes\t$exprs")
+        } catch { case e: Throwable => println(s"$n\tERR\t$e") }
+      } else if (winAudit) {
         try {
           spark.sharedState.cacheManager.clearCache()
           val lines = windowAudit(SparkEntry.queries(n)(spark, dir))

@@ -102,7 +102,17 @@ object SqlSurface {
     * times (the modularity pattern joins it three ways) shares ONE
     * InMemoryRelation instead of replanning the whole LPA chain per
     * reference. */
+  /** The relations the LAST registerGraphViews call persisted — unpersisted
+    * on the next call so repeated registration (q459 re-registers per
+    * execution) can't accumulate pinned session-lifetime blocks across
+    * dataset dirs (ADVICE r12). One entry set at a time, a few refs. */
+  private var graphViewPersists: Seq[DataFrame] = Nil
+
   def registerGraphViews(spark: SparkSession, events: DataFrame): Unit = {
+    // drop the previous registration's pins first: same-dataset re-runs
+    // rebuild the (lazy) caches on next use; cross-dataset re-runs no
+    // longer leak the old dir's blocks for the session lifetime
+    graphViewPersists.foreach(_.unpersist())
     val edges = Curation.coengagementPairs(events, 10, 2L)
       .select(org.apache.spark.sql.functions.col("i1"),
         org.apache.spark.sql.functions.col("i2"))
@@ -111,8 +121,9 @@ object SqlSurface {
       .unionByName(edges.selectExpr("i2 AS v", "i1 AS u"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     edges.createOrReplaceTempView("graft_coe_edges")
-    graft.Entries79.lpaLabels(sym)
+    val labels = graft.Entries79.lpaLabels(sym)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      .createOrReplaceTempView("graft_lpa_labels")
+    labels.createOrReplaceTempView("graft_lpa_labels")
+    graphViewPersists = Seq(edges, sym, labels)
   }
 }

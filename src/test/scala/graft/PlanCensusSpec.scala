@@ -29,6 +29,10 @@ class PlanCensusSpec extends SparkSpec {
 
   private val baselinePath = "tools/census_baseline.tsv"
 
+  /** Hard ceiling for [[Explain.planWeight]]'s expression-path count —
+    * ~5× the heaviest healthy query, ~9× under the pre-fix q440. */
+  private val PlanWeightCeiling = 120000L
+
   test("no query scans, generates, or globally-windows more than its " +
     "adjudicated census baseline") {
     val src = Source.fromFile(baselinePath)
@@ -105,13 +109,58 @@ class PlanCensusSpec extends SparkSpec {
           if (got.windows == 0) Nil
           else Explain.windowAudit(df).filter(_.contains("RAW"))
             .map(l => s"$n: unpartitioned window over an unproven input — $l")
-        scanRow.toSeq ++ genRow.toSeq ++ winRow.toSeq ++ hoistRows ++ rawRows
+        // COLD-PLAN WEIGHT ceiling (r13, the q440 class): the DAG-expanded
+        // expression-path count of the un-cached plan, through IMR/AQE
+        // boundaries. Pre-fix q440 weighed 1,123,645 paths here and cost
+        // 13 min of single-threaded codegen per cold run; the healthy
+        // suite tops out around 20k (q437 WordPiece round unrolls). A plan
+        // over the ceiling WILL hang driver-side at execution — sever the
+        // composition with a provenance-registered localCheckpoint at the
+        // reused-subtree boundary (the q440/q463/q438 discipline).
+        val (_, w) = Explain.planWeight(df)
+        val weightRow =
+          if (w > PlanWeightCeiling)
+            Some(s"$n: cold-plan weight $w > ceiling $PlanWeightCeiling — " +
+              "a non-cheap alias is being substituted per reference " +
+              "(pushdown/collapse); checkpoint the boundary")
+          else None
+        scanRow.toSeq ++ genRow.toSeq ++ winRow.toSeq ++ hoistRows ++
+          rawRows ++ weightRow.toSeq
       }
       finally spark.sharedState.cacheManager.clearCache()
     assert(regressions.isEmpty,
       "plan-census regressions (a shared subtree is being replanned per " +
         "consumer — persist it or re-adjudicate the baseline):\n  " +
         regressions.mkString("\n  "))
+  }
+
+  test("the cold-plan weight gate fires on a q440-shaped alias blowup, " +
+    "stays quiet on a checkpoint-severed equivalent, and never hangs") {
+    import org.apache.spark.sql.functions._
+    // BUG shape (the r12 q440 class, distilled): a non-cheap alias
+    // consumed 3× per composition round builds a compact object DAG whose
+    // every TREE walk — optimizer substitution, codegen, toString — costs
+    // 3^rounds visits. 13 rounds = 1.59M paths, comfortably over the
+    // ceiling yet cheap to COUNT (the cap bounds the walk).
+    var e: org.apache.spark.sql.Column = col("id")
+    for (_ <- 1 to 13) { val c = e; e = c + c + c }
+    val bad = spark.range(0, 10).select(e.as("v"))
+    val (_, badW) = Explain.planWeight(bad)
+    assert(badW > PlanWeightCeiling,
+      s"the distilled q440 shape must exceed the ceiling (got $badW)")
+    // and the cap bounds the WALK itself — a plan past the cap reports
+    // the cap (still a gate failure) instead of hanging the measurement
+    val (_, cappedW) = Explain.planWeight(bad, cap = 1000L)
+    assert(cappedW == 1000L,
+      s"a capped walk must report the cap, not undercount (got $cappedW)")
+    // FIXED shape: the same composition severed by a localCheckpoint is a
+    // leaf — the monster's cost was paid once at build, the plan is tiny
+    val sev = Explain.localCheckpointWithProvenance(
+      spark.range(0, 10).select((col("id") + col("id") + col("id")).as("v")))
+    val good = sev.select((col("v") + col("v") + col("v")).as("w"))
+    val (_, goodW) = Explain.planWeight(good)
+    assert(goodW < 1000L,
+      s"a checkpoint-severed plan must weigh almost nothing (got $goodW)")
   }
 
   test("the hoist detector fires on the q296 bug shape and stays quiet " +
