@@ -778,7 +778,9 @@ object SparkEntry {
       Entries81.all.map(q => q.name -> q.fn) ++
       Entries82.all.map(q => q.name -> q.fn) ++
       Entries83.all.map(q => q.name -> q.fn) ++
-      Entries84.all.map(q => q.name -> q.fn)).toMap
+      Entries84.all.map(q => q.name -> q.fn) ++
+      Entries85.all.map(q => q.name -> q.fn) ++
+      Entries86.all.map(q => q.name -> q.fn)).toMap
 
   def oracleSql: Map[String, String] =
     (all.flatMap(q => q.sql.map(q.name -> _)) ++
@@ -864,5 +866,7 @@ object SparkEntry {
       Entries81.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries82.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries83.all.flatMap(q => q.sql.map(q.name -> _)) ++
-      Entries84.all.flatMap(q => q.sql.map(q.name -> _))).toMap
+      Entries84.all.flatMap(q => q.sql.map(q.name -> _)) ++
+      Entries85.all.flatMap(q => q.sql.map(q.name -> _)) ++
+      Entries86.all.flatMap(q => q.sql.map(q.name -> _))).toMap
 }

@@ -183,7 +183,33 @@ class ParallelismInvarianceSpec extends SparkSpec {
     "q464_cluster_canon",
     // feedback sets and expansion ranks break ties on total orders
     // (score/doc_id, weight/term); the grid weight is a per-row floor
-    "q465_rm3_expansion")
+    "q465_rm3_expansion",
+    // HITS half-steps are order-free long sums; normalization is a
+    // single-row broadcast total
+    "q466_hits_scores",
+    // counters are signed long sums per (row, bucket); median-of-3 is
+    // sum−max−min, order-free
+    "q467_count_sketch",
+    // every ranked list breaks ties on (cos, n_id) total order; the
+    // candidate union is DISTINCT before re-rank
+    "q468_nn_descent",
+    // risk sets are suffix sums over the bounded duration domain; the
+    // last-event pick breaks ties on (ts_us, event_id)
+    "q469_logrank_test",
+    // PAV max-min runs over domain-bounded prefix sums — pure integer
+    // joins/aggregates
+    "q470_isotonic_pav",
+    // the co-occurrence edge set is DISTINCT; PageRank masses are the
+    // q107 exact fixed-point; rank ties on (mass, word)
+    "q471_textrank_keywords",
+    // per-nation distance sums are order-free; the profile argmin breaks
+    // ties on (dist, j); positions ride a per-nation week order (unique)
+    "q472_matrix_profile",
+    // bitmaps are bit_or monoids — commutative and idempotent
+    "q473_fm_sketch",
+    // boundary detection is stateless per position; chunk census is
+    // order-free counts/sums over content hashes
+    "q474_cdc_chunks")
 
   private def runAt(name: String, partitions: Int): Seq[String] = {
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
