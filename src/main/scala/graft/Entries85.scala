@@ -431,24 +431,34 @@ object Entries85 {
 
   // ---------------------------------------------------------------- q470
 
+  /** The calibration-bin prefix-sum relation (q470's working set, shared
+    * with the SQL-text twin q476 via SqlSurface.registerCalibrationViews):
+    * $10 price bins of events, purchase-rate numerators, and the running
+    * (cs, cw) / exclusive (psp, pwp) prefix sums the PAV max-min form
+    * consumes. Unpersisted — callers pin it for their own fan-out. */
+  private[graft] def calibPre(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val bins = events
+      .select(expr("CAST(round(coalesce(value, 0.0) * 100) AS BIGINT)" +
+        " DIV 1000").as("bin"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("s"))
+    // prefix sums over the ≤34-bin price domain (domain-bounded
+    // unpartitioned window); psp/pwp are the j−1 prefixes
+    val wc = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bins
+      .withColumn("cs", sum(col("s")).over(wc))
+      .withColumn("cw", sum(col("n")).over(wc))
+      .withColumn("psp", col("cs") - col("s"))
+      .withColumn("pwp", col("cw") - col("n"))
+  }
+
   private val isotonicPav: Q =
     Q("q470_isotonic_pav",
       (s, d) => {
-        val bins = Tables.events(s, d)
-          .select(expr("CAST(round(coalesce(value, 0.0) * 100) AS BIGINT)" +
-            " DIV 1000").as("bin"),
-            when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
-          .groupBy(col("bin"))
-          .agg(count(lit(1)).as("n"), sum(col("y")).as("s"))
-        // prefix sums over the ≤34-bin price domain (domain-bounded
-        // unpartitioned window); Sp/Wp are the j−1 prefixes
-        val wc = Window.orderBy(col("bin"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val pre = bins
-          .withColumn("cs", sum(col("s")).over(wc))
-          .withColumn("cw", sum(col("n")).over(wc))
-          .withColumn("psp", col("cs") - col("s"))
-          .withColumn("pwp", col("cw") - col("n"))
+        val pre = calibPre(Tables.events(s, d))
           .persist(StorageLevel.MEMORY_AND_DISK) // j, k and i roles
         val pairs = pre.select(col("bin").as("jb"), col("psp").as("sj"),
             col("pwp").as("wj"))

@@ -780,7 +780,8 @@ object SparkEntry {
       Entries83.all.map(q => q.name -> q.fn) ++
       Entries84.all.map(q => q.name -> q.fn) ++
       Entries85.all.map(q => q.name -> q.fn) ++
-      Entries86.all.map(q => q.name -> q.fn)).toMap
+      Entries86.all.map(q => q.name -> q.fn) ++
+      Entries87.all.map(q => q.name -> q.fn)).toMap
 
   def oracleSql: Map[String, String] =
     (all.flatMap(q => q.sql.map(q.name -> _)) ++
@@ -868,5 +869,6 @@ object SparkEntry {
       Entries83.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries84.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries85.all.flatMap(q => q.sql.map(q.name -> _)) ++
-      Entries86.all.flatMap(q => q.sql.map(q.name -> _))).toMap
+      Entries86.all.flatMap(q => q.sql.map(q.name -> _)) ++
+      Entries87.all.flatMap(q => q.sql.map(q.name -> _))).toMap
 }

@@ -108,6 +108,24 @@ object SqlSurface {
     * dataset dirs (ADVICE r12). One entry set at a time, a few refs. */
   private var graphViewPersists: Seq[DataFrame] = Nil
 
+  /** The calibration relation as a temp view (r13 — the SQL-text reach
+    * extended to the train-prep calibration family):
+    *  - graft_calib_bins   q470's $10-price-bin prefix-sum relation
+    *                       (bin, n, s, cs, cw, psp, pwp)
+    * Persisted at registration (lazily) because the PAV max-min SQL
+    * consumes it in three roles (j, k, i) — the same pin q470's DataFrame
+    * form holds; unpersist-on-re-register per the graph-view discipline. */
+  private var calibViewPersists: Seq[DataFrame] = Nil
+
+  def registerCalibrationViews(spark: SparkSession,
+                               events: DataFrame): Unit = {
+    calibViewPersists.foreach(_.unpersist())
+    val pre = graft.Entries85.calibPre(events)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pre.createOrReplaceTempView("graft_calib_bins")
+    calibViewPersists = Seq(pre)
+  }
+
   def registerGraphViews(spark: SparkSession, events: DataFrame): Unit = {
     // drop the previous registration's pins first: same-dataset re-runs
     // rebuild the (lazy) caches on next use; cross-dataset re-runs no

@@ -209,7 +209,16 @@ class ParallelismInvarianceSpec extends SparkSpec {
     "q473_fm_sketch",
     // boundary detection is stateless per position; chunk census is
     // order-free counts/sums over content hashes
-    "q474_cdc_chunks")
+    "q474_cdc_chunks",
+    // register max-merge is a commutative-idempotent monoid (the
+    // HyperBall theorem itself); exact-ball pairs go through DISTINCT
+    "q475_hyperball",
+    // the SQL-text twin must agree with q470 under any layout; the view
+    // is persisted — the cache must not freeze a layout artifact
+    "q476_sql_pav_twin",
+    // phrase assembly sorts (pos, w) inside each doc-local group; the
+    // top-20 rank breaks ties on (score, phrase) total order
+    "q477_rake_keyphrases")
 
   private def runAt(name: String, partitions: Int): Seq[String] = {
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
