@@ -781,7 +781,8 @@ object SparkEntry {
       Entries84.all.map(q => q.name -> q.fn) ++
       Entries85.all.map(q => q.name -> q.fn) ++
       Entries86.all.map(q => q.name -> q.fn) ++
-      Entries87.all.map(q => q.name -> q.fn)).toMap
+      Entries87.all.map(q => q.name -> q.fn) ++
+      Entries88.all.map(q => q.name -> q.fn)).toMap
 
   def oracleSql: Map[String, String] =
     (all.flatMap(q => q.sql.map(q.name -> _)) ++
@@ -870,5 +871,6 @@ object SparkEntry {
       Entries84.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries85.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries86.all.flatMap(q => q.sql.map(q.name -> _)) ++
-      Entries87.all.flatMap(q => q.sql.map(q.name -> _))).toMap
+      Entries87.all.flatMap(q => q.sql.map(q.name -> _)) ++
+      Entries88.all.flatMap(q => q.sql.map(q.name -> _))).toMap
 }

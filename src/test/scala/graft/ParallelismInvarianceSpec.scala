@@ -218,7 +218,15 @@ class ParallelismInvarianceSpec extends SparkSpec {
     "q476_sql_pav_twin",
     // phrase assembly sorts (pos, w) inside each doc-local group; the
     // top-20 rank breaks ties on (score, phrase) total order
-    "q477_rake_keyphrases")
+    "q477_rake_keyphrases",
+    // window minima are order-free; the fingerprint SET goes through
+    // DISTINCT and the md5-sum pin is an order-free sum
+    "q478_winnowing_fps",
+    // two aggregates + a 10-row cross join — all order-free sums/counts
+    "q479_loo_target_enc",
+    // prefix sums/minima ride the (nation, week) total order — unique
+    // keys, no ties for the layout to break
+    "q480_cusum_alarms")
 
   private def runAt(name: String, partitions: Int): Seq[String] = {
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
