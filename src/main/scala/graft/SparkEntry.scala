@@ -782,7 +782,8 @@ object SparkEntry {
       Entries85.all.map(q => q.name -> q.fn) ++
       Entries86.all.map(q => q.name -> q.fn) ++
       Entries87.all.map(q => q.name -> q.fn) ++
-      Entries88.all.map(q => q.name -> q.fn)).toMap
+      Entries88.all.map(q => q.name -> q.fn) ++
+      Entries89.all.map(q => q.name -> q.fn)).toMap
 
   def oracleSql: Map[String, String] =
     (all.flatMap(q => q.sql.map(q.name -> _)) ++
@@ -872,5 +873,6 @@ object SparkEntry {
       Entries85.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries86.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries87.all.flatMap(q => q.sql.map(q.name -> _)) ++
-      Entries88.all.flatMap(q => q.sql.map(q.name -> _))).toMap
+      Entries88.all.flatMap(q => q.sql.map(q.name -> _)) ++
+      Entries89.all.flatMap(q => q.sql.map(q.name -> _))).toMap
 }

@@ -226,7 +226,13 @@ class ParallelismInvarianceSpec extends SparkSpec {
     "q479_loo_target_enc",
     // prefix sums/minima ride the (nation, week) total order — unique
     // keys, no ties for the layout to break
-    "q480_cusum_alarms")
+    "q480_cusum_alarms",
+    // RA terms are order-free integer sums; top-20 ties on (ra, s1, s2)
+    "q481_ra_linkpred",
+    // moments are order-free sums; the sentinel branch is value-driven
+    "q482_acf_weekly",
+    // per-part top-3 ties on (cos2, c12, p2) total order
+    "q483_item_item_top3")
 
   private def runAt(name: String, partitions: Int): Seq[String] = {
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
