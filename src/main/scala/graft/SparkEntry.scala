@@ -783,7 +783,8 @@ object SparkEntry {
       Entries86.all.map(q => q.name -> q.fn) ++
       Entries87.all.map(q => q.name -> q.fn) ++
       Entries88.all.map(q => q.name -> q.fn) ++
-      Entries89.all.map(q => q.name -> q.fn)).toMap
+      Entries89.all.map(q => q.name -> q.fn) ++
+      Entries90.all.map(q => q.name -> q.fn)).toMap
 
   def oracleSql: Map[String, String] =
     (all.flatMap(q => q.sql.map(q.name -> _)) ++
@@ -874,5 +875,6 @@ object SparkEntry {
       Entries86.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries87.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries88.all.flatMap(q => q.sql.map(q.name -> _)) ++
-      Entries89.all.flatMap(q => q.sql.map(q.name -> _))).toMap
+      Entries89.all.flatMap(q => q.sql.map(q.name -> _)) ++
+      Entries90.all.flatMap(q => q.sql.map(q.name -> _))).toMap
 }

@@ -232,7 +232,14 @@ class ParallelismInvarianceSpec extends SparkSpec {
     // moments are order-free sums; the sentinel branch is value-driven
     "q482_acf_weekly",
     // per-part top-3 ties on (cos2, c12, p2) total order
-    "q483_item_item_top3")
+    "q483_item_item_top3",
+    // contingency cells are order-free counts; top-20 ties on
+    // (chi2_milli, w1, w2) — the emitted grain, same key both engines
+    "q484_chi2_collocations",
+    // parity split is value-driven (event_id % 2), bins are grid cells
+    "q485_ece_report",
+    // one row of order-free cell counts
+    "q486_cohens_kappa")
 
   private def runAt(name: String, partitions: Int): Seq[String] = {
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
