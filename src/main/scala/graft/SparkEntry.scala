@@ -784,7 +784,8 @@ object SparkEntry {
       Entries87.all.map(q => q.name -> q.fn) ++
       Entries88.all.map(q => q.name -> q.fn) ++
       Entries89.all.map(q => q.name -> q.fn) ++
-      Entries90.all.map(q => q.name -> q.fn)).toMap
+      Entries90.all.map(q => q.name -> q.fn) ++
+      Entries91.all.map(q => q.name -> q.fn)).toMap
 
   def oracleSql: Map[String, String] =
     (all.flatMap(q => q.sql.map(q.name -> _)) ++
@@ -876,5 +877,6 @@ object SparkEntry {
       Entries87.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries88.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries89.all.flatMap(q => q.sql.map(q.name -> _)) ++
-      Entries90.all.flatMap(q => q.sql.map(q.name -> _))).toMap
+      Entries90.all.flatMap(q => q.sql.map(q.name -> _)) ++
+      Entries91.all.flatMap(q => q.sql.map(q.name -> _))).toMap
 }

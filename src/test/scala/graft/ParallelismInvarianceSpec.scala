@@ -239,7 +239,15 @@ class ParallelismInvarianceSpec extends SparkSpec {
     // parity split is value-driven (event_id % 2), bins are grid cells
     "q485_ece_report",
     // one row of order-free cell counts
-    "q486_cohens_kappa")
+    "q486_cohens_kappa",
+    // first-doc is a min (order-free); checkpoint joins are counts
+    "q487_heaps_census",
+    // cell counts and aged sums are order-free; min-of-rows is a pure
+    // function of the merged cells
+    "q488_decayed_cms",
+    // spread terms are order-free integer sums; the full-outer restart
+    // is keyed; top-20 ties on (mass, node)
+    "q489_personalized_pr")
 
   private def runAt(name: String, partitions: Int): Seq[String] = {
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
