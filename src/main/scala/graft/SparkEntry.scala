@@ -785,7 +785,8 @@ object SparkEntry {
       Entries88.all.map(q => q.name -> q.fn) ++
       Entries89.all.map(q => q.name -> q.fn) ++
       Entries90.all.map(q => q.name -> q.fn) ++
-      Entries91.all.map(q => q.name -> q.fn)).toMap
+      Entries91.all.map(q => q.name -> q.fn) ++
+      Entries92.all.map(q => q.name -> q.fn)).toMap
 
   def oracleSql: Map[String, String] =
     (all.flatMap(q => q.sql.map(q.name -> _)) ++
@@ -878,5 +879,6 @@ object SparkEntry {
       Entries88.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries89.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries90.all.flatMap(q => q.sql.map(q.name -> _)) ++
-      Entries91.all.flatMap(q => q.sql.map(q.name -> _))).toMap
+      Entries91.all.flatMap(q => q.sql.map(q.name -> _)) ++
+      Entries92.all.flatMap(q => q.sql.map(q.name -> _))).toMap
 }

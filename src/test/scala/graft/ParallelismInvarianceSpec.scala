@@ -247,7 +247,16 @@ class ParallelismInvarianceSpec extends SparkSpec {
     "q488_decayed_cms",
     // spread terms are order-free integer sums; the full-outer restart
     // is keyed; top-20 ties on (mass, node)
-    "q489_personalized_pr")
+    "q489_personalized_pr",
+    // three distributed global ranks (the ops/Ranks layout contract)
+    // fused by an order-free sum; top-20 ties on (borda, doc_id)
+    "q490_borda_fusion",
+    // pair concordance counts are order-free sums over a DISTINCT-total-
+    // order top-50; the top-50 itself rides the borda total order
+    "q491_kendall_tau",
+    // in-sums are order-free; the edge set is DISTINCT; rank ties on
+    // (katz, word)
+    "q492_katz_centrality")
 
   private def runAt(name: String, partitions: Int): Seq[String] = {
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
