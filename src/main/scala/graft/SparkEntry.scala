@@ -786,7 +786,8 @@ object SparkEntry {
       Entries89.all.map(q => q.name -> q.fn) ++
       Entries90.all.map(q => q.name -> q.fn) ++
       Entries91.all.map(q => q.name -> q.fn) ++
-      Entries92.all.map(q => q.name -> q.fn)).toMap
+      Entries92.all.map(q => q.name -> q.fn) ++
+      Entries93.all.map(q => q.name -> q.fn)).toMap
 
   def oracleSql: Map[String, String] =
     (all.flatMap(q => q.sql.map(q.name -> _)) ++
@@ -880,5 +881,6 @@ object SparkEntry {
       Entries89.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries90.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries91.all.flatMap(q => q.sql.map(q.name -> _)) ++
-      Entries92.all.flatMap(q => q.sql.map(q.name -> _))).toMap
+      Entries92.all.flatMap(q => q.sql.map(q.name -> _)) ++
+      Entries93.all.flatMap(q => q.sql.map(q.name -> _))).toMap
 }

@@ -643,6 +643,103 @@ object StreamingFeatures {
       .start()
   }
 
+  /** INCREMENTAL PRIORITY-SAMPLE MATERIALIZATION (Duffield–Lund–Thorup
+    * 2007, the q442 operator's streaming twin): maintain a parquet store
+    * of per-week weighted samples (week, event_id, w, pq) — the k+1
+    * HIGHEST-priority rows per week, priority pq = w·2e6 DIV ug on the
+    * deterministic odd-grid hash uniform (ug = 2·(md5(event_id) mod 1e6)
+    * + 1, so pq sits on the same cent scale as w). The per-batch merge is
+    * set-union + order statistic — top-(k+1) of (prev ∪ batch's own
+    * top-(k+1)) by (pq desc, event_id asc): any member of the union's
+    * top-(k+1) is within the top-(k+1) of its source set, so trimming the
+    * batch first loses nothing. REPLAY-ABSORBING by algebra (the theta/
+    * bitmap/HLL-max class — the sample is a pure function of the row SET,
+    * rows are keyed by event_id so a replay dedups in the DISTINCT): no
+    * batch_id guard; a lost checkpoint re-unions the backlog into a
+    * bit-identical store. ONE stored sample answers ANY later subset-sum
+    * query over the week ([[priorityWeeklyEstimates]] reads the total). */
+  def streamPriorityUpsert(spark: SparkSession, eventsDir: String,
+                           storePath: String, k: Int = 32,
+                           maxFilesPerTrigger: Int = 0,
+                           checkpointDir: Option[String] = None): StreamingQuery = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(eventsDir).schema
+    val reader = spark.readStream.schema(schema)
+    val raw = (if (maxFilesPerTrigger > 0)
+      reader.option("maxFilesPerTrigger", maxFilesPerTrigger) else reader)
+      .parquet(eventsDir)
+    val writer = raw.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+    checkpointDir.foreach(writer.option("checkpointLocation", _))
+    def topK(df: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame =
+      df.withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("week"))
+            .orderBy(col("pq").desc, col("event_id").asc)))
+        .filter(col("rn") <= k + 1)
+        .select(col("week"), col("event_id"), col("w"), col("pq"))
+    writer
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val part = topK(batch
+          .withColumn("ts_us", tsUsExpr(schema))
+          .select(expr("ts_us DIV 604800000000").as("week"),
+            col("event_id"),
+            expr("CAST(round(coalesce(value, 0.0) * 100) AS BIGINT)")
+              .as("w"))
+          .withColumn("ug",
+            (graft.ext.Dedup.contentId(col("event_id").cast("string"))
+              % 1000000L) * 2L + 1L)
+          .withColumn("pq", expr(
+            "CAST(CAST(w AS DECIMAL(38,0)) * 2000000 DIV ug AS BIGINT)"))
+          .distinct())
+          .localCheckpoint() // feeds the touched-weeks semi-join AND merge
+        val hPath = new org.apache.hadoop.fs.Path(storePath)
+        val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+        val merged = (if (fs.exists(hPath)) {
+          topK(spark.read.parquet(storePath)
+            .join(broadcast(part.select(col("week")).distinct()), Seq("week"))
+            .select(col("week"), col("event_id"), col("w"), col("pq"))
+            .unionByName(part)
+            .distinct())
+        } else part)
+          .localCheckpoint() // lineage break before the in-place overwrite
+        merged.sparkSession.conf
+          .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .partitionBy("week").parquet(storePath)
+        spark.catalog.refreshByPath(storePath)
+        ()
+      }
+      .start()
+  }
+
+  /** Weekly subset-sum estimates from a [[streamPriorityUpsert]] store,
+    * with the q442 integer arithmetic: τ = the (k+1)-th priority (0 when
+    * the sample holds the whole week), ŵ = max(w, τ) over the k kept
+    * rows, est = Σ ŵ. Returns (week, n_kept, tau, est_cents). */
+  def priorityWeeklyEstimates(spark: SparkSession, storePath: String,
+                              k: Int = 32): org.apache.spark.sql.DataFrame = {
+    val st = spark.read.parquet(storePath)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("week"))
+          .orderBy(col("pq").desc, col("event_id").asc)))
+    st.groupBy(col("week").as("tw"))
+      .agg(coalesce(max(when(col("rn") === k + 1, col("pq"))), lit(0L))
+        .as("tau"))
+      .join(st.filter(col("rn") <= k),
+        col("tw") === col("week"))
+      .groupBy(col("week"), col("tau"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(greatest(col("w"), col("tau"))).as("est_cents"))
+      // week is a partition column on disk and reads back as INT — pin
+      // the contract to BIGINT regardless of directory-name inference
+      .selectExpr("CAST(week AS BIGINT) AS week", "n_kept", "tau",
+        "est_cents")
+  }
+
   /** Weekly distinct-count estimates from a [[streamThetaUpsert]] store,
     * with the q427 integer arithmetic: θ = (k+1)-th smallest (2^48 when
     * the sample is the whole set), est = |{hv < θ}| · 2^48 · 1000 / θ

@@ -256,7 +256,10 @@ class ParallelismInvarianceSpec extends SparkSpec {
     "q491_kendall_tau",
     // in-sums are order-free; the edge set is DISTINCT; rank ties on
     // (katz, word)
-    "q492_katz_centrality")
+    "q492_katz_centrality",
+    // the per-week top-(k+1) is an order statistic on the (pq, event_id)
+    // total order — the map-side WindowGroupLimit must not leak layout
+    "q493_priority_weekly")
 
   private def runAt(name: String, partitions: Int): Seq[String] = {
     val saved = spark.conf.get("spark.sql.shuffle.partitions")

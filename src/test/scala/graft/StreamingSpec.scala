@@ -1209,4 +1209,103 @@ class StreamingSpec extends SparkSpec {
             s"est $est misses the 1/9 relative bound vs $exact")
       }
   }
+
+  test("priority-sample materialization (r13): the weekly sample store " +
+    "equals a one-pass batch build after chunked ingest, restart, AND " +
+    "checkpoint loss (top-k-of-union absorbs replays by algebra); " +
+    "estimates reproduce the q442/q493 arithmetic") {
+    // the weighted-sampling member of the streaming sketch face, same
+    // delivery algebra as theta/bitmap/HLL-max: the per-week sample is
+    // the k+1 HIGHEST-priority keyed rows - an order statistic of the
+    // row set, so any replay or re-chunking converges to the identical
+    // store. k = 8 keeps the trim path exercised.
+    import java.nio.file.Files
+    import java.nio.file.attribute.FileTime
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val k = 8
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    val chunked = raw.withColumn("c", ntile(2).over(
+      org.apache.spark.sql.expressions.Window.orderBy($"ts", $"event_id")))
+    val dir = Files.createTempDirectory("events_pri_restart")
+    val chunkFiles = (1 to 2).map { n =>
+      val tmp = Files.createTempDirectory(s"prichunk_$n")
+      chunked.filter($"c" === n).drop("c")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      new java.io.File(tmp.toString).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .head.toPath
+    }
+    def stage(n: Int): Unit = {
+      val dst = dir.resolve(f"chunk-$n%03d.parquet")
+      Files.copy(chunkFiles(n - 1), dst)
+      Files.setLastModifiedTime(dst, FileTime.fromMillis(5000000L + n * 60000L))
+    }
+    val ckpt = Files.createTempDirectory("pri_ckpt").toString
+    val store = Files.createTempDirectory("pri_store").toString + "/weekly"
+    def storeRows(): Set[(Long, Long, Long, Long)] =
+      spark.read.parquet(store)
+        .select($"week".cast("long"), $"event_id".cast("long"),
+          $"w".cast("long"), $"pq".cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+    // one-pass truth: k+1 highest-priority rows per week over ALL events
+    val truth = Tables.events(spark, sf)
+      .select(expr("ts_us DIV 604800000000").as("week"), $"event_id",
+        expr("CAST(round(coalesce(value, 0.0) * 100) AS BIGINT)").as("w"))
+      .withColumn("ug",
+        (graft.ext.Dedup.contentId($"event_id".cast("string"))
+          % 1000000L) * 2L + 1L)
+      .withColumn("pq", expr(
+        "CAST(CAST(w AS DECIMAL(38,0)) * 2000000 DIV ug AS BIGINT)"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"week").orderBy($"pq".desc, $"event_id".asc)))
+      .filter($"rn" <= k + 1)
+      .select($"week", $"event_id", $"w", $"pq")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+
+    stage(1)
+    val run1 = StreamingFeatures.streamPriorityUpsert(spark, dir.toString,
+      store, k = k, maxFilesPerTrigger = 1, checkpointDir = Some(ckpt))
+    run1.processAllAvailable(); run1.stop()
+    stage(2)
+    val run2 = StreamingFeatures.streamPriorityUpsert(spark, dir.toString,
+      store, k = k, maxFilesPerTrigger = 1, checkpointDir = Some(ckpt))
+    run2.processAllAvailable(); run2.stop()
+    assert(storeRows() == truth,
+      "incremental sample store must equal the one-pass batch build")
+
+    // checkpoint LOSS: the replay re-unions the same keyed rows - absorbed
+    val ckpt2 = Files.createTempDirectory("pri_ckpt_lost").toString
+    val run3 = StreamingFeatures.streamPriorityUpsert(spark, dir.toString,
+      store, k = k, maxFilesPerTrigger = 1, checkpointDir = Some(ckpt2))
+    run3.processAllAvailable(); run3.stop()
+    assert(storeRows() == truth,
+      "a replayed backlog must be absorbed: top-k-of-union is a " +
+        "function of the keyed row set")
+
+    // the estimate reader: exhaustive weeks (tau = 0) estimate EXACTLY;
+    // sampling weeks land within a loose 4-sigma-class band
+    val exact = Tables.events(spark, sf)
+      .select(expr("ts_us DIV 604800000000").as("week"),
+        expr("CAST(round(coalesce(value, 0.0) * 100) AS BIGINT)").as("w"))
+      .groupBy($"week").agg(sum($"w").as("t"))
+      .collect().map(r => r.getAs[Long]("week") -> r.getAs[Long]("t")).toMap
+    val ests = StreamingFeatures.priorityWeeklyEstimates(spark, store, k)
+      .collect()
+    assert(ests.nonEmpty)
+    ests.foreach { r =>
+      val week = r.getAs[Long]("week")
+      val est = r.getAs[Long]("est_cents")
+      val ex = exact(week)
+      if (r.getAs[Long]("tau") == 0L) {
+        assert(est === ex,
+          s"week $week: an exhaustive sample must estimate exactly")
+      } else {
+        assert(est > 0L && math.abs(est - ex) <= ex,
+          s"week $week estimate $est too far from exact $ex")
+      }
+    }
+  }
 }
