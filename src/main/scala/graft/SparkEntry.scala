@@ -787,7 +787,8 @@ object SparkEntry {
       Entries90.all.map(q => q.name -> q.fn) ++
       Entries91.all.map(q => q.name -> q.fn) ++
       Entries92.all.map(q => q.name -> q.fn) ++
-      Entries93.all.map(q => q.name -> q.fn)).toMap
+      Entries93.all.map(q => q.name -> q.fn) ++
+      Entries94.all.map(q => q.name -> q.fn)).toMap
 
   def oracleSql: Map[String, String] =
     (all.flatMap(q => q.sql.map(q.name -> _)) ++
@@ -882,5 +883,6 @@ object SparkEntry {
       Entries90.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries91.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries92.all.flatMap(q => q.sql.map(q.name -> _)) ++
-      Entries93.all.flatMap(q => q.sql.map(q.name -> _))).toMap
+      Entries93.all.flatMap(q => q.sql.map(q.name -> _)) ++
+      Entries94.all.flatMap(q => q.sql.map(q.name -> _))).toMap
 }

@@ -259,7 +259,16 @@ class ParallelismInvarianceSpec extends SparkSpec {
     "q492_katz_centrality",
     // the per-week top-(k+1) is an order statistic on the (pq, event_id)
     // total order — the map-side WindowGroupLimit must not leak layout
-    "q493_priority_weekly")
+    "q493_priority_weekly",
+    // the one global sample rides the same order statistic; subset
+    // aggregation is an order-free sum over kept rows
+    "q494_priority_subsets",
+    // rank/cumshare ride the (freq, word) total order on the bounded
+    // vocabulary domain
+    "q495_zipf_census",
+    // in-nation ranks ride the (x, custkey) total order; moments are
+    // order-free sums
+    "q496_gini_nations")
 
   private def runAt(name: String, partitions: Int): Seq[String] = {
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
