@@ -101,7 +101,7 @@ object Entries76 {
     * multiply — q440's un-materialized form never finished PLANNING at
     * sf0.001 (the BPE-oracle lesson, measured again). Ends with `sa` =
     * (doc_id, pos, r). */
-  private def saCtes: String = {
+  private[graft] def saCtes: String = {
     val rounds = SaOffsets.zipWithIndex.map { case (off, i) =>
       s"""r${i + 1} AS (
          |  SELECT doc_id, pos, CAST(dense_rank() OVER (

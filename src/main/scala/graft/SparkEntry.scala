@@ -788,7 +788,8 @@ object SparkEntry {
       Entries91.all.map(q => q.name -> q.fn) ++
       Entries92.all.map(q => q.name -> q.fn) ++
       Entries93.all.map(q => q.name -> q.fn) ++
-      Entries94.all.map(q => q.name -> q.fn)).toMap
+      Entries94.all.map(q => q.name -> q.fn) ++
+      Entries95.all.map(q => q.name -> q.fn)).toMap
 
   def oracleSql: Map[String, String] =
     (all.flatMap(q => q.sql.map(q.name -> _)) ++
@@ -884,5 +885,6 @@ object SparkEntry {
       Entries91.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries92.all.flatMap(q => q.sql.map(q.name -> _)) ++
       Entries93.all.flatMap(q => q.sql.map(q.name -> _)) ++
-      Entries94.all.flatMap(q => q.sql.map(q.name -> _))).toMap
+      Entries94.all.flatMap(q => q.sql.map(q.name -> _)) ++
+      Entries95.all.flatMap(q => q.sql.map(q.name -> _))).toMap
 }

@@ -268,7 +268,16 @@ class ParallelismInvarianceSpec extends SparkSpec {
     "q495_zipf_census",
     // in-nation ranks ride the (x, custkey) total order; moments are
     // order-free sums
-    "q496_gini_nations")
+    "q496_gini_nations",
+    // r13 batch 11: the BWT rides the SA rank chain (total per doc) and
+    // canonicalizes the run string via array_sort(collect_list)
+    "q497_bwt_runs",
+    // pairwise votes are order-free sums over a DISTINCT head; the head
+    // and the final rank break ties on (borda, doc_id)/(copeland, doc_id)
+    "q498_copeland",
+    // the CDF sweep orders on distinct merged support values (total per
+    // pair); the persisted week relation must not freeze a layout
+    "q499_wasserstein_weekly")
 
   private def runAt(name: String, partitions: Int): Seq[String] = {
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
