@@ -125,10 +125,18 @@ object Entries33 {
           // on a real cluster a lost executor recomputes the partition
           // instead of failing the job.
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // dims PERSISTED since r13: each dim is referenced three times
+        // (fact build, roundtrip re-join, count), and un-cached the whole
+        // distinct+global-rank machinery re-executed per reference — the
+        // formatted plan showed 36 Exchanges / 56 HashAggregates for five
+        // scalar outputs (plans/r13/q250_snowflake_build_before.txt).
+        // Domain-bounded (distinct keys), tiny at any SF.
         val dimCust = graft.ops.Relational.surrogateKeys(
           li.select(col("o_custkey")).distinct(), "o_custkey", "cust_sk")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val dimPart = graft.ops.Relational.surrogateKeys(
           li.select(col("l_partkey")).distinct(), "l_partkey", "part_sk")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val fact = li
           .join(dimCust, Seq("o_custkey")).join(dimPart, Seq("l_partkey"))
           .select(col("cust_sk"), col("part_sk"), col("rev"))

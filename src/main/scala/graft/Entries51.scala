@@ -183,7 +183,10 @@ object Entries51 {
     // so it is deterministic under ties.
     Q("q296_bootstrap_ci",
       (s, d) => {
-        val o = Tables.orders(s, d)
+        // scan-order load (no fan-out): the CI bounds are raw-double sums
+        // whose last ULP depends on summation order — see
+        // Tables.ordersScanOrder
+        val o = Tables.ordersScanOrder(s, d)
         // ONE md5 per row; replicate b derives its uniform by the shared
         // affine family (hashA/hashB mod P) — 1/32nd the digest cost.
         // The hash MUST be a separate select below the explode: putting

@@ -59,37 +59,38 @@ object Entries76 {
     * docs, so q434 pins max doc length < 1024 as an output column). */
   private val SaOffsets = Seq(8, 16, 32, 64, 128, 256, 512)
 
-  /** Per-doc suffix ranks by prefix doubling: (doc_id, pos, r) where r is
-    * the 1-based rank of suffix `pos` within its document. Seed rank =
-    * dense_rank over the 8-char substring at pos (binary string compare —
-    * a shorter tail sorts first, exactly suffix order, so no sentinel
-    * column is needed); each round combines (r[i], r[i+off]) with -1 for
-    * "past the end" (a shorter suffix is a strict prefix of any suffix it
-    * ties with, so it must sort first). All windows are partitioned by
-    * doc_id — bounded by the longest document, never fact-sized (the
-    * census `windows` column stays 0). At 100 TB the same chain holds:
-    * one exchange on doc_id, O(max_doc_len) per partition per round,
-    * log(max_doc_len) rounds, no driver state.
+  /** Per-doc suffix ranks: (doc_id, pos, r) where r is the 1-based rank of
+    * suffix `pos` within its document.
+    *
+    * ROW-LOCAL since r13 (optimization guide §1.2/§2.4 — the distributed
+    * algorithm first): a document is pinned < 1024 chars (q434 emits the
+    * bound as an output column, and the DuckDB oracle's seed CTE only
+    * explodes positions below it), so the whole suffix array of one doc
+    * fits one row — sort_array over (suffix, pos) structs ranks every
+    * suffix in a single codegen-free per-row pass, zero exchanges, zero
+    * windows. Binary string compare sorts a strict-prefix suffix first,
+    * which is exactly suffix order, and same-doc suffixes are distinct, so
+    * the sorted index IS the dense rank the previous prefix-doubling chain
+    * produced (oracle hash unchanged — the doubling CTE chain [[saCtes]]
+    * still replays it relationally in DuckDB). Before/after at sf0.1:
+    * the doubling chain was 15 stacked doc-partitioned windows = 15 sorts
+    * of the exploded corpus per consumer (q434 6.3 s, q445 6.7 s); the
+    * row-local form is embarrassingly parallel and shuffles only the
+    * already-exploded (doc_id, pos, r) rows a consumer asks for. At
+    * 100 TB the trade reads: O(L² ) bytes of transient per-row suffix
+    * slices (≤ 0.5 MB at the 1024 bound) against one exchange plus
+    * O(log L) windowed passes over the corpus — row-local wins and scales
+    * per-document. The prefix-doubling form survives in git history for a
+    * hypothetical unbounded-document corpus.
     */
-  private[graft] def suffixRanks(docs: DataFrame): DataFrame = {
-    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    var cur = docs
-      .selectExpr("doc_id",
-        "posexplode(transform(sequence(1, length(text)), " +
-          "i -> substring(text, i, 8)))")
-      .select(col("doc_id"), col("pos").cast("long").as("pos"),
-        dense_rank().over(
-          Window.partitionBy(col("doc_id")).orderBy(col("col")))
-          .cast("long").as("r"))
-    for (off <- SaOffsets) {
-      cur = cur
-        .withColumn("r2", coalesce(lead(col("r"), off).over(byPos), lit(-1L)))
-        .select(col("doc_id"), col("pos"),
-          dense_rank().over(Window.partitionBy(col("doc_id"))
-            .orderBy(col("r"), col("r2"))).cast("long").as("r"))
-    }
-    cur
-  }
+  private[graft] def suffixRanks(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), posexplode(expr(
+        "sort_array(transform(sequence(1, length(text)), " +
+          "i -> struct(substring(text, i, length(text)) AS s, " +
+          "CAST(i - 1 AS BIGINT) AS p)))")))
+      .select(col("doc_id"), col("col.p").as("pos"),
+        (col("pos") + 1L).cast("long").as("r"))
 
   /** Generated DuckDB oracle CTE chain for [[suffixRanks]] — the identical
     * seed + one CTE per doubling round. The intermediate rounds form a

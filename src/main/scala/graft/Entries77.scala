@@ -126,29 +126,42 @@ object Entries77 {
   private val imageAhash: Q =
     Q("q446_image_ahash",
       (s, d) => {
-        val docs = Tables.documents(s, d)
+        // ROW-LOCAL signature build (r13, optimization guide §1.2/§2.4):
+        // the 64 cell sums, the doc total, and the 8 band bytes are all
+        // functions of ONE document's bytes — HOF folds per row replace
+        // the 2.4M-row char explode + two exchanges + a 64-rows-per-doc
+        // self-join the previous form paid (sf0.1: cold 10.4 s → ~2 s).
+        // cell c covers 0-based positions [⌈c·len/64⌉, ⌈(c+1)·len/64⌉);
+        // len ≥ 64 keeps every cell non-empty. cs64/ts live in their own
+        // projections (a multi-referenced non-cheap alias is never
+        // collapsed), so each evaluates once per row. Per-row state is
+        // O(len + 64) longs — bounded by the 1024-char doc pin.
+        val wide = Tables.documents(s, d)
           .filter(length(col("text")) >= 64)
-        val cells = docs
-          .selectExpr("doc_id", "length(text) AS len",
-            "posexplode(transform(sequence(1, length(text)), " +
-              "i -> ascii(substring(text, i, 1))))")
-          .selectExpr("doc_id", "len", "pos * 64 DIV len AS cell",
-            "CAST(col AS BIGINT) AS b")
-        // persisted: consumed by the per-doc totals AND the signature
-        // build — uncached, the corpus explode replans per consumer
-        val byCell = cells.groupBy(col("doc_id"), col("len"), col("cell"))
-          .agg(sum(col("b")).as("cs"), count(lit(1)).as("cn"))
+          .select(col("doc_id"), col("text"),
+            length(col("text")).cast("long").as("len"))
+          .withColumn("cs64", expr(
+            "transform(sequence(0L, 63L), c -> aggregate(" +
+              "sequence(1 + (c * len + 63) DIV 64, " +
+              "((c + 1) * len + 63) DIV 64), 0L, " +
+              "(a, i) -> a + ascii(substring(text, CAST(i AS INT), 1))))"))
+          .withColumn("ts", expr("aggregate(cs64, 0L, (a, x) -> a + x)"))
+          .select(Seq(col("doc_id")) ++ (0 until 8).map(j =>
+            // bit c = cell mean > doc mean, exactly: cs·len > ts·cn
+            expr(s"aggregate(sequence(${8 * j}L, ${8 * j + 7}L), 0L, " +
+              "(a, c) -> a + CASE WHEN element_at(cs64, CAST(c + 1 AS INT))" +
+              " * len > ts * (((c + 1) * len + 63) DIV 64 " +
+              "- (c * len + 63) DIV 64) " +
+              "THEN shiftleft(1L, CAST(c % 8 AS INT)) ELSE 0L END)")
+              .as(s"b$j")): _*)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val byDoc = byCell.groupBy(col("doc_id"))
-          .agg(sum(col("cs")).as("ts"))
-        val sig = byCell.join(byDoc, Seq("doc_id"))
-          .selectExpr("doc_id", "cell DIV 8 AS band",
-            // bit = cell mean > doc mean, exactly: cs/cn > ts/len
-            "CASE WHEN cs * len > ts * cn THEN " +
-              "shiftleft(1L, CAST(cell % 8 AS INT)) ELSE 0L END AS bit")
-          .groupBy(col("doc_id"), col("band"))
-          .agg(sum(col("bit")).as("v"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // (doc_id, band, v) for the banded-candidate machinery — a cheap
+        // 8-way explode of the cached 1-row-per-doc signature table
+        val sig = wide
+          .select(col("doc_id"), posexplode(array(
+            (0 until 8).map(j => col(s"b$j")): _*)))
+          .select(col("doc_id"), col("pos").cast("long").as("band"),
+            col("col").as("v"))
         val ham = sig.select(col("doc_id").as("d1"), col("band"), col("v"))
           .join(sig.select(col("doc_id").as("d2"), col("band"), col("v")),
             Seq("band", "v"))
@@ -164,11 +177,6 @@ object Entries77 {
           .unionByName(ham.select(col("d2").as("doc_id"), col("hamming")))
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_cand"), min(col("hamming")).as("min_ham"))
-        val bandCols = (0 until 8).map(j =>
-          coalesce(max(when(col("band") === j, col("v"))), lit(0L))
-            .as(s"b$j"))
-        val wide = sig.groupBy(col("doc_id"))
-          .agg(bandCols.head, bandCols.tail: _*)
         wide
           .withColumn("popcnt", expr(
             (0 until 8).map(j => s"bit_count(b$j)").mkString(

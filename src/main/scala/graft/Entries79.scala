@@ -82,30 +82,37 @@ object Entries79 {
         // bytes as pixels — the q446/q29 stub contract: swap ascii() for
         // a real decoder's luma and nothing else changes). len ≥ 72
         // guarantees every cell is non-empty.
-        val docs = Tables.documents(s, d)
+        // ROW-LOCAL since r13 (the q446 rewrite, optimization guide
+        // §1.2/§2.4): the 72 cell sums and the 8 adjacent-cell-gradient
+        // band bytes are functions of one document's bytes — HOF folds
+        // per row replace the char explode + exchange + cell self-join
+        // (sf0.1 cold 10.1 s → ~2 s). Cell g covers 0-based positions
+        // [⌈g·len/72⌉, ⌈(g+1)·len/72⌉); bit (g, g%9<8) compares cell g
+        // vs g+1 means by exact cross-multiplication.
+        val wide = Tables.documents(s, d)
           .filter(length(col("text")) >= 72)
-        val cells = docs
-          .selectExpr("doc_id", "length(text) AS len",
-            "posexplode(transform(sequence(1, length(text)), " +
-              "i -> ascii(substring(text, i, 1))))")
-          .selectExpr("doc_id", "pos * 72 DIV len AS g",
-            "CAST(col AS BIGINT) AS b")
-        val byCell = cells.groupBy(col("doc_id"), col("g"))
-          .agg(sum(col("b")).as("cs"), count(lit(1)).as("cn"))
+          .select(col("doc_id"), col("text"),
+            length(col("text")).cast("long").as("len"))
+          .withColumn("cs72", expr(
+            "transform(sequence(0L, 71L), g -> aggregate(" +
+              "sequence(1 + (g * len + 71) DIV 72, " +
+              "((g + 1) * len + 71) DIV 72), 0L, " +
+              "(a, i) -> a + ascii(substring(text, CAST(i AS INT), 1))))"))
+          .select(Seq(col("doc_id")) ++ (0 until 8).map(j =>
+            expr(s"aggregate(sequence(${9 * j}L, ${9 * j + 7}L), 0L, " +
+              "(a, g) -> a + CASE WHEN " +
+              "element_at(cs72, CAST(g + 1 AS INT)) * " +
+              "(((g + 2) * len + 71) DIV 72 - ((g + 1) * len + 71) DIV 72)" +
+              " > element_at(cs72, CAST(g + 2 AS INT)) * " +
+              "(((g + 1) * len + 71) DIV 72 - (g * len + 71) DIV 72) " +
+              "THEN shiftleft(1L, CAST(g % 9 AS INT)) ELSE 0L END)")
+              .as(s"b$j")): _*)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        // bit (row r, col c): cell (r,c) mean > cell (r,c+1) mean —
-        // exact cross-multiplication, grid index g = r·9 + c, c ≤ 7
-        val sig = byCell.as("l")
-          .join(byCell.as("r"),
-            col("l.doc_id") === col("r.doc_id") &&
-              col("r.g") === col("l.g") + 1)
-          .filter(col("l.g") % 9 < 8)
-          .selectExpr("l.doc_id AS doc_id", "l.g DIV 9 AS band",
-            "CASE WHEN l.cs * r.cn > r.cs * l.cn THEN " +
-              "shiftleft(1L, CAST(l.g % 9 AS INT)) ELSE 0L END AS bit")
-          .groupBy(col("doc_id"), col("band"))
-          .agg(sum(col("bit")).as("v"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val sig = wide
+          .select(col("doc_id"), posexplode(array(
+            (0 until 8).map(j => col(s"b$j")): _*)))
+          .select(col("doc_id"), col("pos").cast("long").as("band"),
+            col("col").as("v"))
         // the q446 banded-candidate + exact-Hamming machinery
         val ham = sig.select(col("doc_id").as("d1"), col("band"), col("v"))
           .join(sig.select(col("doc_id").as("d2"), col("band"), col("v")),
@@ -122,11 +129,7 @@ object Entries79 {
           .unionByName(ham.select(col("d2").as("doc_id"), col("hamming")))
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_cand"), min(col("hamming")).as("min_ham"))
-        val bandCols = (0 until 8).map(j =>
-          coalesce(max(when(col("band") === j, col("v"))), lit(0L))
-            .as(s"b$j"))
-        sig.groupBy(col("doc_id"))
-          .agg(bandCols.head, bandCols.tail: _*)
+        wide
           .withColumn("popcnt", expr(
             (0 until 8).map(j => s"bit_count(b$j)").mkString(
               "CAST(", " + ", " AS BIGINT)")))

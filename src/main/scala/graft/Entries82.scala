@@ -36,45 +36,50 @@ object Entries82 {
   private val audioZcr: Q =
     Q("q460_audio_zcr",
       (s, d) => {
-        val docs = Tables.documents(s, d)
+        // ROW-LOCAL since r13 (the q446/q451 rewrite, optimization guide
+        // §1.2/§2.4): samples, the doc mean, per-frame ZCR/energy, the
+        // 4-symbol coding and the order-pinned fingerprint are all
+        // functions of one document's bytes — HOF folds per row replace
+        // the persisted char explode + lag window + three exchanges
+        // (sf0.1 cold 8.8 s → ~1 s). Frame f covers 0-based positions
+        // [16f, 16f+16); transitions at frame starts (pos % 16 = 0) are
+        // excluded from ZCR exactly as the windowed form did. Per-row
+        // state is O(len) longs — bounded by the 1024-char doc pin.
+        val sigs = Tables.documents(s, d)
           .filter(length(col("text")) >= 64)
-        // full 16-sample frames only; pos is 0-based
-        val cells = docs
-          .selectExpr("doc_id", "(length(text) DIV 16) * 16 AS nu",
-            "posexplode(transform(sequence(1, (length(text) DIV 16) * 16)," +
-              " i -> ascii(substring(text, i, 1))))")
-          .selectExpr("doc_id", "nu", "pos", "CAST(col AS BIGINT) AS b")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val tot = cells.groupBy(col("doc_id"), col("nu"))
-          .agg(sum(col("b")).as("tt"))
-        // mean-centered sign and per-frame ZCR/energy: the lag window is
-        // doc-partitioned; transitions at frame boundaries are excluded
-        val frames = cells.join(tot, Seq("doc_id", "nu"))
-          .withColumn("sgn", col("b") * col("nu") > col("tt"))
-          .withColumn("psgn", lag(col("sgn"), 1).over(
-            Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
-          .groupBy(col("doc_id"), expr("pos DIV 16").as("fr"))
-          .agg(
-            sum(when(col("pos") % 16 =!= 0 && col("psgn") =!= col("sgn"),
-              1L).otherwise(0L)).as("zcr"),
-            sum(expr("(b * nu - tt) * (b * nu - tt)")).as("en"))
-        val perDoc = frames.groupBy(col("doc_id"))
-          .agg(sum(col("en")).as("se"), count(lit(1)).as("nf"))
-        val syms = frames.join(perDoc, Seq("doc_id"))
-          .selectExpr("doc_id", "fr", "nf",
-            "CAST(CASE WHEN en * nf >= se THEN 2 ELSE 0 END + " +
-              "CASE WHEN zcr >= 8 THEN 1 ELSE 0 END AS INT) AS sym")
-        val sigs = syms
-          .groupBy(col("doc_id"), col("nf"))
-          .agg(
-            sum(when(col("sym") === 0, 1L).otherwise(0L)).as("c0"),
-            sum(when(col("sym") === 1, 1L).otherwise(0L)).as("c1"),
-            sum(when(col("sym") === 2, 1L).otherwise(0L)).as("c2"),
-            sum(when(col("sym") === 3, 1L).otherwise(0L)).as("c3"),
-            md5(concat_ws("", expr(
-              "transform(array_sort(collect_list(named_struct(" +
-                "'f', fr, 'sc', CAST(sym AS STRING)))), x -> x.sc)")))
-              .as("fp"))
+          // full 16-sample frames only
+          .select(col("doc_id"), col("text"),
+            expr("CAST((length(text) DIV 16) * 16 AS BIGINT)").as("nu"))
+          .withColumn("bs", expr(
+            "transform(sequence(1L, nu), i -> " +
+              "CAST(ascii(substring(text, CAST(i AS INT), 1)) AS BIGINT))"))
+          .withColumn("tt", expr("aggregate(bs, 0L, (a, x) -> a + x)"))
+          // mean-centered: sample sign = b·nu > tt, exactly
+          .withColumn("ens", expr(
+            "transform(sequence(0L, nu DIV 16 - 1), f -> " +
+              "aggregate(sequence(16 * f + 1, 16 * f + 16), 0L, (a, i) -> " +
+              "a + (element_at(bs, CAST(i AS INT)) * nu - tt) * " +
+              "(element_at(bs, CAST(i AS INT)) * nu - tt)))"))
+          .withColumn("zcrs", expr(
+            "transform(sequence(0L, nu DIV 16 - 1), f -> " +
+              "aggregate(sequence(16 * f + 2, 16 * f + 16), 0L, (a, i) -> " +
+              "a + CASE WHEN (element_at(bs, CAST(i AS INT)) * nu > tt) = " +
+              "(element_at(bs, CAST(i - 1 AS INT)) * nu > tt) " +
+              "THEN 0L ELSE 1L END))"))
+          .withColumn("se", expr("aggregate(ens, 0L, (a, x) -> a + x)"))
+          .withColumn("nf", expr("nu DIV 16"))
+          .withColumn("syms", expr(
+            "transform(sequence(1L, nf), f -> CAST(" +
+              "CASE WHEN element_at(ens, CAST(f AS INT)) * nf >= se " +
+              "THEN 2 ELSE 0 END + " +
+              "CASE WHEN element_at(zcrs, CAST(f AS INT)) >= 8 " +
+              "THEN 1 ELSE 0 END AS INT))"))
+          .select(Seq(col("doc_id"), col("nf")) ++
+            (0 to 3).map(k => expr(
+              s"aggregate(syms, 0L, (a, x) -> a + " +
+                s"CASE WHEN x = $k THEN 1L ELSE 0L END)").as(s"c$k")) :+
+            md5(expr("concat_ws('', transform(syms, " +
+              "x -> CAST(x AS STRING)))")).as("fp"): _*)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         sigs.join(sigs.groupBy(col("fp")).agg(count(lit(1)).as("n_same_fp")),
             Seq("fp"))

@@ -52,9 +52,12 @@ object Entries89 {
   private val raLinkPred: Q =
     Q("q481_ra_linkpred",
       (s, d) => {
+        // persisted (r13): three consumers (pdeg + both pair sides) —
+        // uncached, the fact-scan+distinct re-executed per reference
         val e = Tables.lineitem(s, d)
           .select(col("l_partkey").as("p"), col("l_suppkey").as("sk"))
           .distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val pdeg = e.groupBy(col("p")).agg(count(lit(1)).as("deg"))
         val a = e.select(col("p"), col("sk").as("s1"))
         val b = e.select(col("p").as("pb"), col("sk").as("s2"))

@@ -48,9 +48,86 @@ object Tables {
           .withColumn("ts_us", unix_micros(col("ts")))
     }
   }
-  def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
+  def documents(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "documents", fanout = true)
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 
-  private def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Scan-order orders load — NO fan-out, deliberately. q296's bootstrap
+    * CI is the suite's one output computed as a raw-double sum (every
+    * other money column is integerized to cents first, per the
+    * determinism policy), so its last ULP depends on the partial-sum
+    * grouping: the single-row-group fixture scan always fed the
+    * aggregation in file order, and the DuckDB oracle sums in the same
+    * order. The r13 fan-out would split that into per-partition partial
+    * sums and move the CI bounds by ~1 ulp (measured: 4/5 rows off at
+    * sf0.01) — so the one order-sensitive consumer keeps the serial scan. */
+  private[graft] def ordersScanOrder(spark: SparkSession,
+                                     dir: String): DataFrame =
+    spark.read.parquet(s"$dir/orders.parquet")
+
+  /** Below this size a relation is dimension-like: one task reads it
+    * faster than 32 tasks can be scheduled — never fanned out. */
+  private val FanoutMinBytes: Long = 64L << 10
+
+  /** One fs stat per table path for the session lifetime (the value is a
+    * property of the fixture file, not of the query). */
+  private val sizeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private def tableBytes(spark: SparkSession, path: String): Long =
+    sizeCache.computeIfAbsent(path, { p =>
+      try {
+        val hp = new org.apache.hadoop.fs.Path(p)
+        val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        java.lang.Long.valueOf(fs.getContentSummary(hp).getLength)
+      } catch { case _: Throwable => java.lang.Long.valueOf(-1L) }
+    }).longValue()
+
+  /** SCALE-ADAPTIVE SCAN FAN-OUT for the document corpus (optimization
+    * guide §2.2/§6, r13).
+    *
+    * The fixture parquet files are single-row-group, so a scan is ONE task
+    * no matter how many cores the session has. For the DOCUMENTS corpus —
+    * whose consumers do super-linear per-byte CPU work in the first stage
+    * (per-position md5 k-grams, per-doc suffix sorts, HOF folds: the
+    * text/multimodal family) — that serialized the dominant cost on one
+    * core: measured at sf0.1/local[32], q281 winnowing ran 4.6 s with 31
+    * cores idle, the row-local q434 suffix sort 8.4 s. With the fan-out:
+    * 0.7 s and 1.0 s.
+    *
+    * The fan-out is derived from INPUT SIZE, not a constant: it fires only
+    * when the scan cannot reach the session's parallelism on its own
+    * (estimated splits = ceil(bytes / maxPartitionBytes) <
+    * defaultParallelism) and the file is big enough to matter
+    * (≥ [[FanoutMinBytes]]); then ONE round-robin
+    * repartition(defaultParallelism) is appended. repartition-by-number is
+    * exempt from AQE coalescing, so it survives to execution. On a
+    * production-scale corpus the split estimate exceeds the core count and
+    * the loader is a pure scan again — no shuffle is ever added to a big
+    * input. Filter pushdown and column pruning pass through a Repartition
+    * node (PushedFilters / ReadSchema verified unchanged, plans/r13/).
+    *
+    * The RELATIONAL tables deliberately do NOT fan out (measured A/B over
+    * a 34-query sf0.1 subset, this round): their consumers are join/agg
+    * shaped, where the first exchange already provides reduce-side
+    * parallelism, and the extra exchange plus 32-partition persisted
+    * fragments multiplied tiny-stage scheduling instead — q250 snowflake
+    * 3.6 s → 9.1 s, q218 DBSCAN 5.2 s → 7.4 s, and a ~0.3–1 s tax on most
+    * simple aggregation queries (q03, q12, q132, q138, q257). The
+    * documents-only split keeps every measured win and none of the
+    * regressions. q296 additionally pins its scan-order orders load — see
+    * [[ordersScanOrder]]. */
+  private def load(spark: SparkSession, dir: String, name: String,
+                   fanout: Boolean = false): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val df = spark.read.parquet(path)
+    if (!fanout) return df
+    val bytes = tableBytes(spark, path)
+    val par = spark.sparkContext.defaultParallelism
+    val maxSplit = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
+    val splits = if (maxSplit <= 0) Long.MaxValue
+                 else (bytes + maxSplit - 1) / maxSplit
+    if (bytes >= FanoutMinBytes && splits < par) df.repartition(par) else df
+  }
 }

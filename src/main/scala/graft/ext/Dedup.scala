@@ -388,7 +388,11 @@ object Dedup {
         contentId(col("text").substr(col("p0") + 1, lit(k))).as("cid"))
       .distinct()
       // five consumers (sizes, df census, prefix, both verify sides):
-      // uncut, the explode+md5+distinct subtree would plan five times
+      // uncut, the explode+md5+distinct subtree would plan five times.
+      // localCheckpoint, NOT persist — measured both ways in r13: the
+      // five consumers hit this relation hard, and the columnar IMR's
+      // build + per-consumer decompress made the query 6.6 s steady vs
+      // 3.5 s with the checkpointed raw-row RDD (sf0.1, isolated).
       .localCheckpoint()
     val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val dfv = toks.groupBy(col("cid")).agg(count(lit(1)).as("df"))
@@ -492,12 +496,15 @@ object Dedup {
       // gram text leaves the plan IMMEDIATELY as an 8 B xxhash64: every
       // exchange and aggregate below keys on the hash, not the k chars
       // (the 2^-64 collision would have to pair two grams inside the same
-      // corpus to flip a span boundary). Materialized once (localCheckpoint)
-      // because both the collision census and the position pass consume it —
-      // uncut, the explode+substring subtree plans twice.
+      // corpus to flip a span boundary). Materialized once because both
+      // the collision census and the position pass consume it — uncut,
+      // the explode+substring subtree plans twice. PERSIST since r13
+      // (was localCheckpoint): the subtree is flat, and the lazy persist
+      // lets a steady-state session reuse the gram table via the
+      // CacheManager instead of re-exploding eagerly per call.
       .select(col("doc_id"), col("pos"),
         xxhash64(substring_index_safe(col("text"), col("pos"), k)).as("gh"))
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // grams present in ≥ 2 DISTINCT docs: two-level aggregate (gh, doc)
     // → gh keeps the shuffle partial-aggregable — no collect_set
     val dupGrams = grams

@@ -89,18 +89,48 @@ object Features {
     def slidingSum(c: Column, us: Long): Column =
       sum(c).over(cum) - coalesce(sum(c).over(cumBefore(us)), lit(0L))
 
-    val featCols: Seq[Column] = Windows.flatMap { case (lbl, us) =>
-      val w = frame(us)
-      val txnCnt = slidingSum(col("txn"), us)
-      val cancels = slidingSum(col("cancel"), us)
-      val spendW = slidingSum(col("spend_cents"), us) / lit(100.0)
+    // ONE window expression per DISTINCT aggregate (r13, optimization
+    // guide §1.2 "don't compute things you throw away"): WindowExec does
+    // not common-subexpression-eliminate window functions, so inlining
+    // slidingSum per output column made the fused Window node evaluate 63
+    // aggregates where only 16 are distinct — sum(txn) over the growing
+    // frame ran SIX times per label (measured in the formatted plan,
+    // plans/r13/q12_feature_view_before.txt: _we0/_we7/_we9/_we15/_we19/
+    // _we21 identical). Step 1 computes the 3 cumulative sums, the 9
+    // before-window sums, the 3 exact distinct counts and first_ts once
+    // each; step 2 derives all 17 output columns by plain arithmetic over
+    // the named results — the SAME expressions on the SAME integer
+    // operands, so every double is bit-identical to the inlined form.
+    val cumCols: Seq[Column] =
+      Seq(sum(col("txn")).over(cum).as("__ct"),
+        sum(col("spend_cents")).over(cum).as("__cs"),
+        sum(col("cancel")).over(cum).as("__cc")) ++
+      Windows.flatMap { case (lbl, us) =>
+        Seq(
+          coalesce(sum(col("txn")).over(cumBefore(us)), lit(0L))
+            .as(s"__bt_$lbl"),
+          coalesce(sum(col("spend_cents")).over(cumBefore(us)), lit(0L))
+            .as(s"__bs_$lbl"),
+          coalesce(sum(col("cancel")).over(cumBefore(us)), lit(0L))
+            .as(s"__bc_$lbl"),
+          // imperative exact-distinct aggregate: counts without
+          // materializing a per-row set array the way size(collect_set())
+          // would; not invertible, keeps the true sliding frame
+          graft.functions.GraftFunctions.distinctCountExact(col("sku"))
+            .over(frame(us)).as(s"unique_skus_$lbl"))
+      } :+ min(col("ts_us")).over(byUser).as("__mints")
+
+    val withCums = base.select(
+      Seq(col("user_id"), col("event_id"), col("ts_us")) ++ cumCols: _*)
+
+    val featCols: Seq[Column] = Windows.flatMap { case (lbl, _) =>
+      val txnCnt = col("__ct") - col(s"__bt_$lbl")
+      val cancels = col("__cc") - col(s"__bc_$lbl")
+      val spendW = (col("__cs") - col(s"__bs_$lbl")) / lit(100.0)
       Seq(
         txnCnt.as(s"txn_count_$lbl"),
         spendW.as(s"spend_$lbl"),
-        // imperative exact-distinct aggregate: counts without materializing
-        // a per-row set array the way size(collect_set()) would
-        graft.functions.GraftFunctions.distinctCountExact(col("sku"))
-          .over(w).as(s"unique_skus_$lbl"),
+        col(s"unique_skus_$lbl"),
         // No round(): numerator/denominator are bit-identical integers in
         // both engines, so the double quotient is bit-identical — rounding
         // would only INTRODUCE divergence on exact .5 decimal boundaries
@@ -112,9 +142,9 @@ object Features {
           .as(s"cancel_rate_$lbl"))
     }
 
-    base.select(
+    withCums.select(
       Seq(col("user_id"), col("event_id"), col("ts_us")) ++ featCols ++ Seq(
-        floor((col("ts_us") - min(col("ts_us")).over(byUser)) / lit(DayUs.toDouble))
+        floor((col("ts_us") - col("__mints")) / lit(DayUs.toDouble))
           .cast("long").as("tenure_days")): _*)
   }
 }

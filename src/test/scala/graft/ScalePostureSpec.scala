@@ -769,7 +769,23 @@ class ScalePostureSpec extends SparkSpec {
 
   test("q250 surrogate-key mint plans NO single-partition window") {
     val df = SparkEntry.queries("q250_snowflake_build")(spark, sf)
-    val ws = windows(df)
+    // r13: the surrogate dims are persisted, so the rank windows live in
+    // the CACHED dim plans — recurse through InMemoryRelation the way
+    // Explain.windowAudit does, or the collect sees an empty list
+    def all(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.window.WindowExec] =
+      p.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => Seq(w)
+        case i: org.apache.spark.sql.execution.columnar
+                  .InMemoryTableScanExec => all(i.relation.cachedPlan)
+        // cached plans are AQE-wrapped in Spark 4 and AQE nodes are
+        // leaf-like (children = Nil) — unwrap explicitly, as boundLabel does
+        case a: org.apache.spark.sql.execution.adaptive
+                  .AdaptiveSparkPlanExec => all(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          all(q.plan)
+      }.flatten
+    val ws = all(df.queryExecution.sparkPlan)
     // the distributed rank still uses windows — but every one of them is
     // partitioned (by spark_partition_id), so parallelism scales with the
     // range partitioning, not with 1
