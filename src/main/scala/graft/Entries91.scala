@@ -58,9 +58,15 @@ object Entries91 {
   private val heapsCensus: Q =
     Q("q487_heaps_census",
       (s, d) => {
+        // persisted (r13): the corpus feeds three independent explodes
+        // (token counts, word first-seen, gram first-seen) and dt feeds
+        // two consumers — uncached this query ran NINE corpus scans
+        // (census row), each paying the fan-out exchange again
         val docs = Tables.documents(s, d)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val dt = docs.select(col("doc_id"),
           size(split(col("text"), " ")).cast("long").as("n_tok"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val ck = dt.filter(expr("(doc_id + 1) % 100 = 0"))
           .select(col("doc_id").as("cp"))
           .union(dt.agg(max(col("doc_id")).as("cp")))
