@@ -103,10 +103,19 @@ object SqlSurface {
     * InMemoryRelation instead of replanning the whole LPA chain per
     * reference. */
   /** The relations the LAST registerGraphViews call persisted — unpersisted
-    * on the next call so repeated registration (q459 re-registers per
-    * execution) can't accumulate pinned session-lifetime blocks across
-    * dataset dirs (ADVICE r12). One entry set at a time, a few refs. */
+    * on the next CROSS-DATASET call so repeated registration can't
+    * accumulate pinned session-lifetime blocks across dataset dirs
+    * (ADVICE r12). One entry set at a time, a few refs. */
   private var graphViewPersists: Seq[DataFrame] = Nil
+  /** Semantic identity of the events plan the current registration was
+    * built from — the same-dataset guard ADVICE r12 asked for (r13):
+    * q459 re-registers on every execution, and unpersist-then-persist
+    * threw the LPA label cache away between the bench's passes (the
+    * whole point of persisting it — measured 3.1 s steady where the
+    * second pass should pay only the modularity joins). Same input plan
+    * → registration is a no-op; different input (another dataset dir)
+    * → rotate the pins as before. */
+  private var graphViewKey: Option[Int] = None
 
   /** The calibration relation as a temp view (r13 — the SQL-text reach
     * extended to the train-prep calibration family):
@@ -127,9 +136,19 @@ object SqlSurface {
   }
 
   def registerGraphViews(spark: SparkSession, events: DataFrame): Unit = {
-    // drop the previous registration's pins first: same-dataset re-runs
-    // rebuild the (lazy) caches on next use; cross-dataset re-runs no
-    // longer leak the old dir's blocks for the session lifetime
+    // same-dataset re-registration is a no-op: the views and their
+    // (lazily built) caches are already in place and stay warm. The
+    // storageLevel check matters: an external clearCache (Verify's
+    // batched hygiene, the census's per-query clear) strips the persist
+    // markers without this object knowing — then the views must be
+    // re-registered, or they'd compile to the raw un-cached chains.
+    val key = events.queryExecution.analyzed.semanticHash()
+    if (graphViewKey.contains(key) && graphViewPersists.nonEmpty &&
+        graphViewPersists.forall(_.storageLevel !=
+          org.apache.spark.storage.StorageLevel.NONE)) return
+    graphViewKey = Some(key)
+    // drop the previous registration's pins first: cross-dataset re-runs
+    // no longer leak the old dir's blocks for the session lifetime
     graphViewPersists.foreach(_.unpersist())
     val edges = Curation.coengagementPairs(events, 10, 2L)
       .select(org.apache.spark.sql.functions.col("i1"),
